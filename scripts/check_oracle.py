@@ -1,0 +1,104 @@
+"""Local mirror of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf0.01, compare row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return f"{val:.6g}"
+    if isinstance(val, (list, tuple)):
+        return tuple(normalize(v) for v in val)
+    if isinstance(val, dict):
+        return tuple(sorted((k, normalize(v)) for k, v in val.items()))
+    return str(val)
+
+
+def canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(normalize(row[i]) for i in order) for row in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, SF_DIR)
+        spark_cols = sdf.columns
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only check, {len(spark_rows)} rows")
+            continue
+        rel = con.execute(oracles[name])
+        duck_cols = [d[0] for d in rel.description]
+        duck_rows = rel.fetchall()
+        ok = True
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"{name}: COLUMN MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            ok = False
+        elif len(spark_rows) != len(duck_rows):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
+            ok = False
+        else:
+            s = canon(spark_rows, spark_cols)
+            d = canon(duck_rows, duck_cols)
+            if s != d:
+                diffs = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:3]
+                print(f"{name}: VALUE MISMATCH ({len(spark_rows)} rows)")
+                for i in diffs:
+                    print(f"  spark: {s[i]}")
+                    print(f"  duck : {d[i]}")
+                ok = False
+        if ok:
+            print(f"{name}: OK ({len(spark_rows)} rows)")
+        else:
+            failures += 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,137 @@
+"""Core utilities shared by every operator.
+
+Parity targets (see SURVEY.md §2.10/§2.13):
+- backticks            -> reference src/main/scala-spark-3.5/uk/co/gresearch/spark/Backticks.scala:22-66
+- distinct_prefix_for  -> reference src/main/scala/uk/co/gresearch/spark/package.scala:42-46
+- case-sensitivity     -> reference python/gresearch/spark/diff/__init__.py:158-204
+- UnpersistHandle      -> reference src/main/scala/uk/co/gresearch/spark/UnpersistHandle.scala:27-72
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "backticks",
+    "distinct_prefix_for",
+    "count_null",
+    "UnpersistHandle",
+    "SilentUnpersistHandle",
+    "NoopUnpersistHandle",
+]
+
+_PLAIN_NAME = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+def backticks(name: str, *more: str) -> str:
+    """Join column-name parts with ``.``, wrapping any part that needs
+    quoting (non-identifier characters or embedded backticks) in backticks.
+
+    >>> backticks("a.column", "a.field")
+    '`a.column`.`a.field`'
+    """
+
+    def quote(part: str) -> str:
+        if _PLAIN_NAME.match(part) and "`" not in part:
+            return part
+        return "`" + part.replace("`", "``") + "`"
+
+    return ".".join(quote(p) for p in (name, *more))
+
+
+def distinct_prefix_for(existing: Iterable[str]) -> str:
+    """A ``_``-prefix strictly longer than any leading ``_`` run in
+    ``existing``, so that prefixed temp columns can never collide."""
+    longest = 0
+    for name in existing:
+        run = len(name) - len(name.lstrip("_"))
+        longest = max(longest, run)
+    return "_" * (longest + 1)
+
+
+def count_null(column) -> Column:
+    """Aggregate counting ``NULL`` values of ``column``
+    (complement of ``count``)."""
+    col = F.col(column) if isinstance(column, str) else column
+    return F.count(F.when(col.isNull(), F.lit(1)))
+
+
+# ---------------------------------------------------------------------------
+# case sensitivity helpers: Spark resolves column names per
+# ``spark.sql.caseSensitive`` (default false); all name bookkeeping in this
+# package must follow the same rule.
+# ---------------------------------------------------------------------------
+
+
+def is_case_sensitive(spark: SparkSession) -> bool:
+    return (spark.conf.get("spark.sql.caseSensitive") or "false").lower() == "true"
+
+
+def fold_name(name: str, case_sensitive: bool) -> str:
+    return name if case_sensitive else name.lower()
+
+
+def names_diff(left: Iterable[str], right: Iterable[str], case_sensitive: bool) -> List[str]:
+    """Elements of ``left`` not present in ``right`` (case-configured),
+    preserving order and original spelling."""
+    exclude = {fold_name(n, case_sensitive) for n in right}
+    return [n for n in left if fold_name(n, case_sensitive) not in exclude]
+
+
+def names_intersect(left: Iterable[str], right: Iterable[str], case_sensitive: bool) -> List[str]:
+    keep = {fold_name(n, case_sensitive) for n in right}
+    return [n for n in left if fold_name(n, case_sensitive) in keep]
+
+
+def names_contain(haystack: Iterable[str], needle: str, case_sensitive: bool) -> bool:
+    target = fold_name(needle, case_sensitive)
+    return any(fold_name(n, case_sensitive) == target for n in haystack)
+
+
+# ---------------------------------------------------------------------------
+# UnpersistHandle
+# ---------------------------------------------------------------------------
+
+
+class UnpersistHandle:
+    """Handle to eventually unpersist a DataFrame cached inside an operator
+    (e.g. :func:`with_row_numbers`).  Call the handle to unpersist."""
+
+    def __init__(self) -> None:
+        self._df: Optional[DataFrame] = None
+
+    def set_dataframe(self, df: DataFrame) -> None:
+        if self._df is not None:
+            raise RuntimeError("DataFrame has been set already, it cannot be reused.")
+        self._df = df
+
+    def __call__(self, blocking: bool = False) -> None:
+        if self._df is None:
+            raise RuntimeError("DataFrame has to be set first")
+        self._df.unpersist(blocking)
+
+
+class SilentUnpersistHandle(UnpersistHandle):
+    """Like :class:`UnpersistHandle` but silently ignores a missing DataFrame."""
+
+    def set_dataframe(self, df: DataFrame) -> None:
+        if self._df is None:
+            self._df = df
+
+    def __call__(self, blocking: bool = False) -> None:
+        if self._df is not None:
+            self._df.unpersist(blocking)
+
+
+class NoopUnpersistHandle(UnpersistHandle):
+    """Handle that never holds and never unpersists anything."""
+
+    def set_dataframe(self, df: DataFrame) -> None:  # pragma: no cover - trivial
+        pass
+
+    def __call__(self, blocking: bool = False) -> None:  # pragma: no cover - trivial
+        pass
