@@ -23,6 +23,16 @@ from .operators import (
     Differ,
     diff,
     diff_with,
+    histogram,
+    with_row_numbers,
+)
+from .functions import (
+    dotnet_ticks_to_timestamp,
+    dotnet_ticks_to_unix_epoch,
+    dotnet_ticks_to_unix_epoch_nanos,
+    timestamp_to_dotnet_ticks,
+    unix_epoch_to_dotnet_ticks,
+    unix_epoch_nanos_to_dotnet_ticks,
 )
 
 __version__ = "0.1.0"

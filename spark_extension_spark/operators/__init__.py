@@ -11,6 +11,8 @@ from .comparators import (
     EquivDiffComparator,
 )
 from .diff import DiffMode, DiffOptions, Differ, diff, diff_with
+from .histogram import histogram
+from .row_numbers import with_row_numbers
 
 __all__ = [
     "DiffComparator",
@@ -28,4 +30,6 @@ __all__ = [
     "Differ",
     "diff",
     "diff_with",
+    "histogram",
+    "with_row_numbers",
 ]

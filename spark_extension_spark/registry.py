@@ -12,7 +12,16 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import (
+    UNIX_EPOCH_DOTNET_TICKS,
+    dotnet_ticks_to_timestamp,
+    dotnet_ticks_to_unix_epoch_nanos,
+    unix_epoch_nanos_to_dotnet_ticks,
+)
 from .operators.diff import diff
+from .operators.histogram import histogram
+from .operators.row_numbers import with_row_numbers
+from .utils import count_null
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -31,6 +40,11 @@ def register(name: str, oracle: str = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4
+        # refuses by default; read it as raw nanosecond longs instead
+        # (lossless — Spark's TimestampType would truncate to µs anyway)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -141,4 +155,93 @@ def q_diff_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("diff")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("diff")
+    )
+
+
+# ---------------------------------------------------------------------------
+# histogram — binned counts of l_extendedprice per return flag
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_extendedprice <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS "≤20000",
+       CAST(SUM(CASE WHEN l_extendedprice > 20000 AND l_extendedprice <= 40000 THEN 1 ELSE 0 END) AS BIGINT) AS "≤40000",
+       CAST(SUM(CASE WHEN l_extendedprice > 40000 AND l_extendedprice <= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS "≤60000",
+       CAST(SUM(CASE WHEN l_extendedprice > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS ">60000"
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("histogram_lineitem_price", _HISTOGRAM_ORACLE)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return histogram(li, [20000, 40000, 60000], "l_extendedprice", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# global row numbers — scalable algorithm vs ROW_NUMBER() window oracle
+# ---------------------------------------------------------------------------
+
+_ROW_NUMBERS_ORACLE = """
+SELECT o_orderkey, o_orderdate,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS row_number
+FROM orders
+"""
+
+
+@register("row_numbers_orders", _ROW_NUMBERS_ORACLE)
+def q_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return with_row_numbers(orders, order=["o_orderdate", "o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# .Net ticks conversions over the events table
+# ---------------------------------------------------------------------------
+
+# Spark reads ts as nanosecond longs (see load()); DuckDB truncates
+# TIMESTAMP_NS parquet to µs on read, so truncate the Spark side to µs
+# before converting — then both engines agree exactly.
+_TICKS_ORACLE = f"""
+SELECT event_id,
+       epoch_us(ts) * 10 + {UNIX_EPOCH_DOTNET_TICKS} AS ticks,
+       make_timestamp(epoch_us(ts)) AS ts_back,
+       epoch_us(ts) * 1000 AS epoch_nanos
+FROM events
+"""
+
+
+@register("ticks_events", _TICKS_ORACLE)
+def q_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ns_at_us = (F.col("ts") - F.col("ts") % 1000).alias("ns")
+    ticks = unix_epoch_nanos_to_dotnet_ticks(ns_at_us)
+    return events.select(
+        "event_id",
+        ticks.alias("ticks"),
+        dotnet_ticks_to_timestamp(ticks).alias("ts_back"),
+        dotnet_ticks_to_unix_epoch_nanos(ticks).alias("epoch_nanos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# count_null — scalar aggregate sanity over events
+# ---------------------------------------------------------------------------
+
+_COUNT_NULL_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS value_nulls,
+       CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) AS props_nulls
+FROM events
+"""
+
+
+@register("count_null_events", _COUNT_NULL_ORACLE)
+def q_count_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        count_null("value").alias("value_nulls"),
+        count_null("props").alias("props_nulls"),
     )

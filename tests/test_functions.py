@@ -1,0 +1,84 @@
+"""Ticks conversions and scalar helpers (reference SparkSuite:548-760)."""
+
+import datetime
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from spark_extension_spark import (
+    backticks,
+    count_null,
+    distinct_prefix_for,
+    dotnet_ticks_to_timestamp,
+    dotnet_ticks_to_unix_epoch,
+    dotnet_ticks_to_unix_epoch_nanos,
+    timestamp_to_dotnet_ticks,
+    unix_epoch_to_dotnet_ticks,
+    unix_epoch_nanos_to_dotnet_ticks,
+)
+
+# 2023-03-29 09:56:14.89765/43 UTC in ticks (reference SparkSuite golden value family)
+TICKS = 638156805748976543
+
+
+def test_ticks_to_timestamp(spark):
+    df = spark.createDataFrame([(TICKS,)], ["ticks"])
+    ts = df.select(dotnet_ticks_to_timestamp("ticks").alias("ts")).collect()[0]["ts"]
+    assert ts == datetime.datetime(2023, 3, 29, 9, 56, 14, 897654)
+
+
+def test_ticks_to_unix_epoch(spark):
+    df = spark.createDataFrame([(TICKS,)], ["ticks"])
+    seconds = df.select(dotnet_ticks_to_unix_epoch("ticks").alias("s")).collect()[0]["s"]
+    assert seconds == Decimal("1680083774.8976543")
+
+
+def test_ticks_to_unix_epoch_nanos(spark):
+    df = spark.createDataFrame([(TICKS,), (713589688368547759,)], ["ticks"])
+    rows = df.select(dotnet_ticks_to_unix_epoch_nanos("ticks").alias("ns")).collect()
+    assert rows[0]["ns"] == 1680083774897654300
+    assert rows[1]["ns"] is None  # beyond long-overflow bound
+
+
+def test_timestamp_to_ticks_round_trip(spark):
+    df = spark.createDataFrame([(TICKS,)], ["ticks"])
+    result = df.select(
+        timestamp_to_dotnet_ticks(dotnet_ticks_to_timestamp("ticks")).alias("t")
+    ).collect()[0]["t"]
+    # µs truncation: round trip loses the sub-µs tick digits
+    assert result == (TICKS // 10) * 10
+
+
+def test_unix_epoch_to_ticks(spark):
+    df = spark.createDataFrame([(1680083774.8976543,)], ["s"])
+    t = df.select(unix_epoch_to_dotnet_ticks("s").alias("t")).collect()[0]["t"]
+    assert abs(t - TICKS) <= 10  # double input: 100ns-scale rounding
+
+
+def test_unix_epoch_nanos_to_ticks(spark):
+    # ...654300 ns = ...6543 ticks exactly (100 ns resolution preserved)
+    df = spark.createDataFrame([(1680083774897654300,)], ["ns"])
+    t = df.select(unix_epoch_nanos_to_dotnet_ticks("ns").alias("t")).collect()[0]["t"]
+    assert t == TICKS
+
+
+def test_count_null(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,), (None,)], "v int")
+    row = df.select(
+        count_null("v").alias("nulls"), F.count("v").alias("set")
+    ).collect()[0]
+    assert row["nulls"] == 2 and row["set"] == 2
+
+
+def test_backticks():
+    assert backticks("col") == "col"
+    assert backticks("a.column") == "`a.column`"
+    assert backticks("a.column", "a.field") == "`a.column`.`a.field`"
+    assert backticks("some`col") == "`some``col`"
+    assert backticks("a", "b", "c") == "a.b.c"
+
+
+def test_distinct_prefix_for():
+    assert distinct_prefix_for(["a", "b"]) == "_"
+    assert distinct_prefix_for(["a", "_b", "__c"]) == "___"
+    assert distinct_prefix_for([]) == "_"
