@@ -25,7 +25,10 @@ from .operators import (
     diff_with,
     histogram,
     with_row_numbers,
+    SortedGroupByDataFrame,
+    group_by_sorted,
 )
+from .sources import write_partitioned_by
 from .functions import (
     dotnet_ticks_to_timestamp,
     dotnet_ticks_to_unix_epoch,

@@ -13,6 +13,7 @@ from .comparators import (
 from .diff import DiffMode, DiffOptions, Differ, diff, diff_with
 from .histogram import histogram
 from .row_numbers import with_row_numbers
+from .sorted_groups import SortedGroupByDataFrame, group_by_sorted
 
 __all__ = [
     "DiffComparator",
@@ -32,4 +33,6 @@ __all__ = [
     "diff_with",
     "histogram",
     "with_row_numbers",
+    "SortedGroupByDataFrame",
+    "group_by_sorted",
 ]

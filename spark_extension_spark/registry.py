@@ -245,3 +245,89 @@ def q_count_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_null("value").alias("value_nulls"),
         count_null("props").alias("props_nulls"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted groups — per-order running quantity sum over sorted lineitems,
+# in both execution paths (lazy RDD iterator / Arrow applyInPandas),
+# against a window-function oracle
+# ---------------------------------------------------------------------------
+
+# (l_orderkey, l_linenumber) is NOT unique in the testdata; ordering by
+# (l_linenumber, l_quantity) makes the emitted multiset deterministic —
+# rows tied on the full sort key contribute identical increments.
+_RUNNING_SUM_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       SUM(l_quantity) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+FROM lineitem
+"""
+
+_RUNNING_SUM_SCHEMA = "l_orderkey long, l_linenumber int, run_qty double"
+
+
+@register("sorted_groups_running_sum", _RUNNING_SUM_ORACLE)
+def q_sorted_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sorted_groups import group_by_sorted
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def running(key, rows):
+        total = 0.0
+        for r in rows:
+            total += r["l_quantity"]
+            yield (key[0], r["l_linenumber"], total)
+
+    return group_by_sorted(
+        li, "l_orderkey", ["l_linenumber", "l_quantity"]
+    ).flat_map_sorted_groups(running, _RUNNING_SUM_SCHEMA)
+
+
+@register("sorted_groups_running_sum_pandas", _RUNNING_SUM_ORACLE)
+def q_sorted_groups_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sorted_groups import group_by_sorted
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def running(key, pdf):
+        out = pdf[["l_orderkey", "l_linenumber"]].copy()
+        out["run_qty"] = pdf["l_quantity"].cumsum()
+        return out
+
+    return group_by_sorted(
+        li, "l_orderkey", ["l_linenumber", "l_quantity"]
+    ).apply_in_pandas(running, _RUNNING_SUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# partitioned write — layout write + read-back equivalence
+# ---------------------------------------------------------------------------
+
+_WRITE_READ_BACK_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("write_partitioned_read_back", _WRITE_READ_BACK_ORACLE)
+def q_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.partitioned_write import write_partitioned_by
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="spark_ext_write_") + "/orders"
+    write_partitioned_by(
+        orders, ["o_orderstatus"], more_file_order=["o_orderkey"]
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("total"),
+    )

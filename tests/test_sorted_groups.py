@@ -1,0 +1,95 @@
+"""Sorted-group tests (reference GroupSuite/GroupBySuite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark import group_by_sorted
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [(k, o, k * 10 + o) for k in (1, 2, 3) for o in (3, 1, 2)]
+    return spark.createDataFrame(rows, ["k", "o", "v"]).repartition(4)
+
+
+def test_flat_map_sorted_groups_order(df):
+    grouped = group_by_sorted(df, "k", "o")
+
+    def collect_order(key, rows):
+        yield (key[0], [r["o"] for r in rows])
+
+    result = grouped.flat_map_sorted_groups(
+        collect_order, "k long, orders array<long>"
+    )
+    got = {r["k"]: r["orders"] for r in result.collect()}
+    assert got == {1: [1, 2, 3], 2: [1, 2, 3], 3: [1, 2, 3]}
+
+
+def test_flat_map_sorted_groups_reverse(df):
+    grouped = group_by_sorted(df, "k", "o", reverse=True)
+
+    def collect_order(key, rows):
+        yield (key[0], [r["o"] for r in rows])
+
+    result = grouped.flat_map_sorted_groups(collect_order, "k long, orders array<long>")
+    assert {r["k"]: r["orders"] for r in result.collect()}[2] == [3, 2, 1]
+
+
+def test_flat_map_sorted_groups_running_sum(df):
+    grouped = group_by_sorted(df, "k", "o")
+
+    def running(key, rows):
+        total = 0
+        for r in rows:
+            total += r["v"]
+            yield (key[0], r["o"], total)
+
+    result = grouped.flat_map_sorted_groups(running, "k long, o long, run long")
+    got = {(r["k"], r["o"]): r["run"] for r in result.collect()}
+    assert got[(1, 1)] == 11 and got[(1, 2)] == 23 and got[(1, 3)] == 36
+
+
+def test_stateful_variant(df):
+    grouped = group_by_sorted(df, "k", "o")
+
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+    def per_row(state, row):
+        state.n += 1
+        yield (row["k"], state.n)
+
+    result = grouped.flat_map_sorted_groups(
+        per_row, "k long, seq long", state=lambda key: Counter()
+    )
+    counts = {}
+    for r in result.collect():
+        counts[r["k"]] = max(counts.get(r["k"], 0), r["seq"])
+    assert counts == {1: 3, 2: 3, 3: 3}
+
+
+def test_apply_in_pandas(df):
+    grouped = group_by_sorted(df, "k", "o")
+
+    def summarize(key, pdf):
+        return pdf.assign(run=pdf["v"].cumsum())[["k", "o", "run"]]
+
+    result = grouped.apply_in_pandas(summarize, "k long, o long, run long")
+    got = {(r["k"], r["o"]): r["run"] for r in result.collect()}
+    assert got[(1, 1)] == 11 and got[(1, 3)] == 36
+
+
+def test_partitions_argument(df):
+    grouped = group_by_sorted(df, "k", "o", partitions=2)
+    assert grouped.sorted_df.rdd.getNumPartitions() == 2
+
+
+def test_missing_key_column(df):
+    with pytest.raises(ValueError, match="key columns do not exist"):
+        group_by_sorted(df, "nope", "o")
+
+
+def test_empty_keys(df):
+    with pytest.raises(ValueError, match="must not be empty"):
+        group_by_sorted(df, [], "o")
