@@ -28,7 +28,23 @@ from .operators import (
     SortedGroupByDataFrame,
     group_by_sorted,
 )
-from .sources import write_partitioned_by
+from .sources import (
+    parquet_block_columns,
+    parquet_blocks,
+    parquet_metadata,
+    parquet_partitions,
+    parquet_schema,
+    write_partitioned_by,
+)
+from .session import (
+    append_job_description,
+    create_temporary_dir,
+    install_pip_package,
+    install_poetry_project,
+    job_description,
+    on_either,
+    when_then,
+)
 from .functions import (
     dotnet_ticks_to_timestamp,
     dotnet_ticks_to_unix_epoch,

@@ -331,3 +331,96 @@ def q_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("o_totalprice").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# parquet metadata sources — oracle-checked against DuckDB's own parquet
+# introspection functions.  Oracle SQL is static, so it pins the sf0.01
+# path (the driver's t2 scale); the Spark side follows sf_dir.
+# ---------------------------------------------------------------------------
+
+_T2 = "/root/testdata/sf0.01"
+
+_PQ_META_ORACLE = f"""
+WITH rg AS (
+  SELECT file_name, row_group_id,
+         MAX(row_group_num_rows) AS rg_rows,
+         MAX(row_group_num_columns) AS rg_cols,
+         MAX(row_group_bytes) AS rg_bytes,
+         SUM(total_compressed_size) AS rg_comp,
+         SUM(num_values) AS rg_values,
+         SUM(stats_null_count) AS rg_nulls,
+         COUNT(*) FILTER (WHERE stats_null_count IS NULL) AS missing_stats
+  FROM parquet_metadata('{_T2}/lineitem.parquet')
+  GROUP BY 1, 2
+)
+SELECT r.file_name AS filename,
+       CAST(COUNT(*) AS INT) AS blocks,
+       CAST(SUM(rg_comp) AS BIGINT) AS "compressedBytes",
+       CAST(SUM(rg_bytes) AS BIGINT) AS "uncompressedBytes",
+       CAST(SUM(rg_rows) AS BIGINT) AS rows,
+       CAST(MAX(rg_cols) AS INT) AS columns,
+       CAST(SUM(rg_values) AS BIGINT) AS "values",
+       CAST(CASE WHEN SUM(missing_stats) = 0 THEN SUM(rg_nulls) END AS BIGINT) AS nulls,
+       MAX(f.created_by) AS "createdBy"
+FROM rg r
+JOIN parquet_file_metadata('{_T2}/lineitem.parquet') f USING (file_name)
+GROUP BY r.file_name
+"""
+
+
+@register("parquet_metadata_lineitem", _PQ_META_ORACLE)
+def q_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.parquet_metadata import parquet_metadata
+
+    return parquet_metadata(spark, f"{sf_dir}/lineitem.parquet").select(
+        "filename", "blocks", "compressedBytes", "uncompressedBytes",
+        "rows", "columns", "values", "nulls", "createdBy",
+    )
+
+
+_PQ_BLOCKS_ORACLE = f"""
+SELECT file_name AS filename,
+       CAST(row_group_id + 1 AS INT) AS block,
+       CAST(MIN(CASE WHEN dictionary_page_offset IS NOT NULL AND dictionary_page_offset > 0
+                     THEN dictionary_page_offset ELSE data_page_offset END) AS BIGINT) AS "blockStart",
+       CAST(SUM(total_compressed_size) AS BIGINT) AS "compressedBytes",
+       CAST(MAX(row_group_bytes) AS BIGINT) AS "uncompressedBytes",
+       CAST(MAX(row_group_num_rows) AS BIGINT) AS rows,
+       CAST(MAX(row_group_num_columns) AS INT) AS columns,
+       CAST(SUM(num_values) AS BIGINT) AS "values",
+       CAST(CASE WHEN COUNT(*) FILTER (WHERE stats_null_count IS NULL) = 0
+                 THEN SUM(stats_null_count) END AS BIGINT) AS nulls
+FROM parquet_metadata('{_T2}/lineitem.parquet')
+GROUP BY file_name, row_group_id
+"""
+
+
+@register("parquet_blocks_lineitem", _PQ_BLOCKS_ORACLE)
+def q_parquet_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.parquet_metadata import parquet_blocks
+
+    return parquet_blocks(spark, f"{sf_dir}/lineitem.parquet")
+
+
+_PQ_SCHEMA_ORACLE = f"""
+SELECT file_name AS filename, name AS "columnName", type
+FROM parquet_schema('{_T2}/lineitem.parquet')
+WHERE num_children IS NULL
+"""
+
+
+@register("parquet_schema_lineitem", _PQ_SCHEMA_ORACLE)
+def q_parquet_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.parquet_metadata import parquet_schema
+
+    return parquet_schema(spark, f"{sf_dir}/lineitem.parquet").select(
+        "filename", "columnName", "type"
+    )
+
+
+@register("parquet_partitions_lineitem")  # split planning: rows-only check
+def q_parquet_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.parquet_metadata import parquet_partitions
+
+    return parquet_partitions(spark, f"{sf_dir}/lineitem.parquet")

@@ -1,0 +1,123 @@
+"""Session and job utilities.
+
+Parity: reference src/main/scala/uk/co/gresearch/spark/package.scala:422-533
+(job descriptions), :55-58 (temporary dir), python __init__.py:500-609,
+and the fluent conditional helpers of uk/co/gresearch/package.scala:19-145.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from contextlib import contextmanager
+from typing import Callable, Optional, TypeVar
+
+from pyspark.sql import SparkSession
+
+__all__ = [
+    "job_description",
+    "append_job_description",
+    "create_temporary_dir",
+    "install_pip_package",
+    "install_poetry_project",
+    "when_then",
+    "on_either",
+]
+
+T = TypeVar("T")
+
+
+@contextmanager
+def job_description(description: str, if_not_set: bool = False):
+    """Set the Spark job description for the duration of the block.
+
+    With ``if_not_set=True`` an existing description is kept.
+    """
+    spark = SparkSession.getActiveSession()
+    sc = spark.sparkContext
+    previous = sc.getLocalProperty("spark.job.description")
+    if previous is None or not if_not_set:
+        sc.setJobDescription(description)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(previous)
+
+
+@contextmanager
+def append_job_description(extra: str, separator: str = " - "):
+    """Append ``extra`` to the current job description for the block."""
+    spark = SparkSession.getActiveSession()
+    sc = spark.sparkContext
+    previous = sc.getLocalProperty("spark.job.description")
+    combined = f"{previous}{separator}{extra}" if previous else extra
+    sc.setJobDescription(combined)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(previous)
+
+
+def create_temporary_dir(prefix: str = "spark") -> str:
+    """A temporary directory inside Spark's local root — removed with the
+    Spark application, so no cleanup bookkeeping needed."""
+    from pyspark.files import SparkFiles
+
+    root = SparkFiles.getRootDirectory()
+    if not os.path.isdir(root):  # pragma: no cover - no active executors yet
+        root = tempfile.gettempdir()
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
+def install_pip_package(*packages: str) -> None:
+    """Install pip packages into the running Spark application: pip
+    installs into a temp target, which is zipped, shipped via
+    ``sc.addArchive`` and put on ``sys.path`` driver-side (reference
+    python __init__.py:612-738).  Requires network access."""
+    import shutil
+    import subprocess
+    import sys
+
+    spark = SparkSession.getActiveSession()
+    target = create_temporary_dir("pip")
+    subprocess.check_call(
+        [sys.executable, "-m", "pip", "install", "--target", target, *packages]
+    )
+    archive = shutil.make_archive(target, "zip", target)
+    spark.sparkContext.addArchive(archive)
+    sys.path.insert(0, target)
+
+
+def install_poetry_project(project_dir: str, *args: str) -> None:
+    """Build a poetry project into wheels and install them
+    (reference python __init__.py:697-731).  Requires poetry + network."""
+    import subprocess
+
+    dist = create_temporary_dir("poetry")
+    subprocess.check_call(["poetry", "build", "--format", "wheel"], cwd=project_dir)
+    wheels = [
+        os.path.join(project_dir, "dist", f)
+        for f in os.listdir(os.path.join(project_dir, "dist"))
+        if f.endswith(".whl")
+    ]
+    if not wheels:
+        raise RuntimeError(f"poetry build produced no wheels in {project_dir}/dist")
+    install_pip_package(*wheels, *args)
+    del dist
+
+
+# -- fluent conditionals (reference uk/co/gresearch/package.scala:19-145) ----
+
+
+def when_then(condition: bool, transform: Callable[[T], T]) -> Callable[[T], T]:
+    """``df.transform(when_then(cond, f))`` — apply ``f`` only when
+    ``condition`` holds (reference ``when(cond).call(f)``)."""
+    return transform if condition else (lambda value: value)
+
+
+def on_either(
+    condition: bool, if_true: Callable[[T], T], if_false: Callable[[T], T]
+) -> Callable[[T], T]:
+    """``df.transform(on_either(cond, f, g))`` (reference
+    ``on(cond).either(f).or(g)``)."""
+    return if_true if condition else if_false

@@ -1,0 +1,136 @@
+"""Session utilities and diff CLI app tests (reference SparkSuite job
+description sections, AppSuite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark.session import (
+    append_job_description,
+    create_temporary_dir,
+    job_description,
+    on_either,
+    when_then,
+)
+from spark_extension_spark.diff_app import build_parser, run
+
+
+def _description(spark):
+    return spark.sparkContext.getLocalProperty("spark.job.description")
+
+
+def test_job_description(spark):
+    assert _description(spark) is None
+    with job_description("outer"):
+        assert _description(spark) == "outer"
+        with job_description("inner"):
+            assert _description(spark) == "inner"
+        with job_description("kept", if_not_set=True):
+            assert _description(spark) == "outer"
+        assert _description(spark) == "outer"
+    assert _description(spark) is None
+
+
+def test_append_job_description(spark):
+    with job_description("base"):
+        with append_job_description("extra"):
+            assert _description(spark) == "base - extra"
+        with append_job_description("extra", "/"):
+            assert _description(spark) == "base/extra"
+        assert _description(spark) == "base"
+
+
+def test_create_temporary_dir(spark):
+    import os
+
+    path = create_temporary_dir("test")
+    assert os.path.isdir(path)
+
+
+def test_when_then(spark):
+    df = spark.range(3)
+    grow = lambda d: d.withColumn("x", F.lit(1))
+    assert "x" in df.transform(when_then(True, grow)).columns
+    assert "x" not in df.transform(when_then(False, grow)).columns
+
+
+def test_on_either(spark):
+    df = spark.range(3)
+    f = lambda d: d.withColumn("f", F.lit(1))
+    g = lambda d: d.withColumn("g", F.lit(1))
+    assert "f" in df.transform(on_either(True, f, g)).columns
+    assert "g" in df.transform(on_either(False, f, g)).columns
+
+
+# -- CLI app ----------------------------------------------------------------
+
+
+@pytest.fixture()
+def csv_inputs(spark, tmp_path):
+    left = tmp_path / "left.csv"
+    right = tmp_path / "right.csv"
+    left.write_text("id,value\n1,one\n2,two\n3,three\n")
+    right.write_text("id,value\n1,one\n2,TWO\n4,four\n")
+    return str(left), str(right), str(tmp_path / "out")
+
+
+def test_diff_app_end_to_end(spark, csv_inputs):
+    left, right, out = csv_inputs
+    args = build_parser().parse_args([
+        "--format", "csv",
+        "--left-option", "header=true", "--right-option", "header=true",
+        "--output-option", "header=true",
+        "--schema", "id int, value string",
+        "--id", "id",
+        left, right, out,
+    ])
+    run(spark, args)
+    back = (
+        spark.read.format("csv").option("header", True)
+        .schema("diff string, id int, left_value string, right_value string")
+        .load(out)
+    )
+    rows = {r["id"]: r["diff"] for r in back.collect()}
+    assert rows == {1: "N", 2: "C", 3: "D", 4: "I"}
+
+
+def test_diff_app_statistics(spark, csv_inputs):
+    left, right, out = csv_inputs
+    args = build_parser().parse_args([
+        "--format", "csv",
+        "--left-option", "header=true", "--right-option", "header=true",
+        "--output-option", "header=true",
+        "--schema", "id int, value string",
+        "--id", "id", "--statistics", "--save-mode", "overwrite",
+        left, right, out,
+    ])
+    run(spark, args)
+    back = (
+        spark.read.format("csv").option("header", True)
+        .schema("diff string, count long")
+        .load(out)
+    )
+    stats = {r["diff"]: r["count"] for r in back.collect()}
+    assert stats == {"C": 1, "D": 1, "I": 1, "N": 1}
+
+
+def test_diff_app_filter(spark, csv_inputs):
+    left, right, out = csv_inputs
+    args = build_parser().parse_args([
+        "--format", "csv",
+        "--left-option", "header=true", "--right-option", "header=true",
+        "--schema", "id int, value string",
+        "--id", "id", "--filter", "C", "--filter", "D",
+        left, right, out,
+    ])
+    run(spark, args)
+    back = (
+        spark.read.format("csv")
+        .schema("diff string, id int, left_value string, right_value string")
+        .load(out)
+    )
+    assert {r["diff"] for r in back.collect()} == {"C", "D"}
+
+
+def test_diff_app_bad_option():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--save-mode", "nope", "a", "b", "c"])
