@@ -1,0 +1,292 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard, MinHash+LSH, and SimHash near-duplicate detection.
+
+Scale design (100 TB documents):
+
+* Every hash is derived from ``md5`` column expressions — JVM-side,
+  deterministic, identical across engines (no Python UDFs, no RNG).
+* Shingling uses ``explode`` + hash-aggregate: one shuffle keyed by
+  doc or shingle, never a cross join.
+* Candidate generation is an inverted-index equi-join (shared shingle /
+  LSH band bucket) — Catalyst executes it as a shuffle hash join keyed
+  by the bucket, so only colliding documents ever meet.  A frequency
+  cap drops degenerate buckets (stop-shingles) to keep the join skew-free.
+* Verification (exact Jaccard / signature agreement) runs only on
+  candidate pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+__all__ = [
+    "exact_dedup",
+    "duplicate_clusters",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+]
+
+# (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
+# over md5-derived 31-bit shingle hashes.  P = 2^31 - 1 (prime); a < 2^30
+# keeps a*x < 2^61, safely inside int64.  Fixed seeds => reproducible and
+# SQL-replicable.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(k: int) -> List[Tuple[int, int]]:
+    rows = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % (1 << 30)
+        pa = x | 1  # odd, < 2^30
+        x = (a * x + b) % (1 << 30)
+        rows.append((pa, x))
+    return rows
+
+
+def _hash31(col: Column) -> Column:
+    """md5-derived 31-bit integer hash of a string column — identical in
+    Spark (conv) and DuckDB (hex cast): first 8 hex digits mod 2^31."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % (1 << 31)
+    )
+
+
+def _hash31_sql(expr: str) -> str:
+    return f"(CAST(CONCAT('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % 2147483648)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True
+) -> DataFrame:
+    """Keep one representative (min id) per distinct content hash.
+    One hash aggregate; no join."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    hashed = df.withColumn("__content_hash", F.md5(content))
+    keep = hashed.groupBy("__content_hash").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, ["__content_hash", id_col], "left_semi")
+        .drop("__content_hash")
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True
+) -> DataFrame:
+    """(content_hash, size, representative id) for every duplicate
+    cluster of two or more documents."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.select(F.md5(content).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min(id_col).alias("representative"))
+        .where(F.col("cluster_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Built from the normalized token array with ``transform`` over token
+    positions — pure column algebra, exploded once."""
+    tokens = F.split(normalize_text(text_col), " ")
+    count = F.size(tokens) - (n - 1)
+    # guard: sequence(0, -1) would generate a *descending* sequence
+    positions = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        positions,
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """Candidate pairs with exact n-gram Jaccard similarity ≥ threshold.
+
+    Inverted-index join: documents pair up only through a shared shingle.
+    ``max_shingle_freq`` drops shingles appearing in more documents than
+    the cap (stop-shingles) — the standard skew guard: a shingle shared
+    by 1M docs would otherwise create 10^12 candidate pairs.
+    """
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    postings = sh
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        postings = sh.join(rare, "shingle", "left_semi")
+
+    left = postings.select(F.col(id_col).alias("id_a"), "shingle")
+    right = postings.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    jaccard = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        common.join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """k-permutation MinHash signature per document: columns
+    ``mh_0..mh_{k-1}``.  One explode + one hash aggregate computing all
+    k minima map-side — a single shuffle of (doc, k ints)."""
+    sh = shingles(df, id_col, text_col, n)
+    h = _hash31(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    Signatures are split into ``bands``; documents colliding on any
+    band's full row-hash become candidates (equi-join on the band
+    bucket), then candidates are verified by estimated Jaccard =
+    fraction of agreeing signature components ≥ threshold.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+
+    band_cols = [
+        F.md5(F.concat_ws("_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
+        .alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    ).distinct()
+
+    left = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    right = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    candidates = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig_a"),
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig_b"),
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+    return (
+        candidates.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", agree / F.lit(num_hashes))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """Per-document SimHash: tokens hashed to ``bits``-bit values, each
+    bit position majority-voted across tokens.  Explode + one aggregate
+    with ``bits`` conditional sums (all map-side combined)."""
+    tokens = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    # two md5-derived 32-bit halves give 64 deterministic bits
+    hi = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(hi if i < 32 else lo, i % 32) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(bits)
+    ]
+    voted = tokens.groupBy(id_col).agg(*votes)
+    value = None
+    for i in range(bits):
+        # bit 63 is the sign bit of int64: add its two's-complement weight
+        weight = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        bit = F.when(F.col(f"bit_{i}") > 0, weight).otherwise(F.lit(0).cast("long"))
+        value = bit if value is None else value + bit
+    return voted.select(F.col(id_col), value.alias("simhash"))

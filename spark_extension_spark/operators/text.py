@@ -1,0 +1,140 @@
+"""Text analysis for large-scale training-data pipelines: token
+counting, quality scoring, language identification, fingerprinting.
+
+All hot-path logic is pure ``pyspark.sql.functions`` column algebra —
+JVM-side, whole-stage-codegen, zero Python UDFs — so a 100 TB documents
+table is processed at scan speed with no shuffle at all (per-row
+transforms) or a single hash aggregate (corpus statistics).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "regex_token_count",
+    "quality_metrics",
+    "with_quality_metrics",
+    "language_id",
+    "fingerprint",
+    "normalize_text",
+]
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count(text) -> Column:
+    """Whitespace token count; 0 for empty/blank/null-free semantics
+    (null text -> null)."""
+    t = F.trim(_col(text))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def regex_token_count(text) -> Column:
+    """BPE-ish token count: runs of word characters or single
+    non-word-non-space characters — a stable proxy for subword token
+    counts without a tokenizer dependency."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), F.lit(0)))
+
+
+def normalize_text(text) -> Column:
+    """Canonical form used for fingerprinting/dedup: lowercase,
+    non-alphanumeric runs collapsed to single spaces, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), "[^a-z0-9]+", " "))
+
+
+def fingerprint(text) -> Column:
+    """Deterministic 128-bit document fingerprint (hex) over the
+    normalized text — equal fingerprints == exact near-normalized dups."""
+    return F.md5(normalize_text(text))
+
+
+# ratios guarded against empty documents
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+
+
+def quality_metrics(text) -> Dict[str, Column]:
+    """Quality signals: length, token stats, punctuation/digit/upper
+    ratios, mean word length — the standard cheap quality filters."""
+    t = _col(text)
+    n_chars = F.length(t)
+    tokens = token_count(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    spaces = F.length(F.regexp_replace(t, r"[^ \t\n]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": tokens,
+        "alpha_ratio": _ratio(alpha, n_chars),
+        "digit_ratio": _ratio(digits, n_chars),
+        "punct_ratio": _ratio(punct, n_chars),
+        "upper_ratio": _ratio(upper, alpha),
+        "mean_token_len": _ratio(n_chars - spaces, tokens),
+    }
+
+
+def with_quality_metrics(df: DataFrame, text: str = "text", prefix: str = "q_") -> DataFrame:
+    cols = quality_metrics(text)
+    return df.select("*", *[c.alias(prefix + name) for name, c in cols.items()])
+
+
+# -- language identification ------------------------------------------------
+
+# high-frequency, language-distinctive function words.  ASCII-only marker
+# sets keep the regex engines (Java vs RE2) in exact agreement.
+_LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une"],
+    "es": ["el", "los", "las", "es", "que", "una", "para"],
+    "it": ["il", "che", "di", "non", "per", "una", "sono"],
+}
+
+
+def _marker_hits(text: Column, words: Sequence[str]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def language_id(text, min_hits: int = 1) -> Column:
+    """N-gram/function-word language guess over a fixed language set;
+    ``und`` (undetermined) when no language reaches ``min_hits``.
+
+    Ties break by the fixed language order (en, de, fr, es, it) —
+    deterministic and SQL-replicable.
+    """
+    t = _col(text)
+    hits = [(lang, _marker_hits(t, words)) for lang, words in _LANG_MARKERS.items()]
+    best = F.greatest(*[h for _, h in hits])
+    result = F.lit("und")
+    # build the when-chain in reverse so earlier languages win ties
+    for lang, h in reversed(hits):
+        result = F.when((h == best) & (best >= min_hits), lang).otherwise(result)
+    return result
+
+
+def language_id_sql(text_expr: str, min_hits: int = 1) -> str:
+    """The exact DuckDB SQL equivalent of :func:`language_id` — kept next
+    to the implementation so the two stay in lock-step."""
+    hit = {
+        lang: (
+            f"len(regexp_extract_all(lower({text_expr}), "
+            f"'\\b({'|'.join(words)})\\b'))"
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(hit.values()) + ")"
+    clauses = "\n".join(
+        f"WHEN {hit[lang]} = {greatest} AND {greatest} >= {min_hits} THEN '{lang}'"
+        for lang in _LANG_MARKERS
+    )
+    return f"CASE {clauses} ELSE 'und' END"

@@ -424,3 +424,217 @@ def q_parquet_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet_metadata import parquet_partitions
 
     return parquet_partitions(spark, f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+from .operators import text as _text  # noqa: E402
+from .operators import dedup as _dedup  # noqa: E402
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       len(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       CASE WHEN len(text) > 0
+            THEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text)
+            ELSE 0.0 END AS digit_ratio,
+       md5({_NORM_SQL}) AS fp
+FROM documents
+"""
+
+
+@register("text_stats_documents", _TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    m = _text.quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["digit_ratio"].alias("digit_ratio"),
+        _text.fingerprint("text").alias("fp"),
+    )
+
+
+_LANG_ID_ORACLE = f"""
+SELECT lang, {_text.language_id_sql('text')} AS guess,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents
+GROUP BY lang, guess
+"""
+
+
+@register("language_id_documents", _LANG_ID_ORACLE)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", _text.language_id("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup over documents ∪ deterministic mutated copies
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # every 5th doc re-appears uppercased: an exact dup after normalization
+    dups = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    return docs.unionAll(dups)
+
+
+_EXACT_DUPS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH corpus AS ({_EXACT_DUPS_SQL})
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       MIN(doc_id) AS representative
+FROM corpus
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_clusters_documents", _DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.duplicate_clusters(_docs_with_exact_dups(spark, sf_dir))
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz7 qq9 extra suffix tokens")).alias("text"),
+        )
+    )
+    return docs.unionAll(near)
+
+
+_NEAR_DUPS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, text || ' zz7 qq9 extra suffix tokens' AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUPS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) >= 0.6
+"""
+
+
+@register("ngram_jaccard_documents", _NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.6
+    )
+
+
+def _minhash_oracle(num_hashes: int) -> str:
+    mins = ",\n       ".join(
+        f"MIN(({a} * h + {b}) % {_dedup.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(_dedup.minhash_params(num_hashes))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483648 AS h
+  FROM sh
+)
+SELECT doc_id,
+       {mins}
+FROM hashed
+GROUP BY doc_id
+"""
+
+
+@register("minhash_signatures_documents", _minhash_oracle(8))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _dedup.minhash_signatures(docs, num_hashes=8)
+
+
+def _simhash_oracle(bits: int = 64) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ({'hi' if i < 32 else 'lo'} >> {i % 32}) % 2 = 1 THEN 1 ELSE -1 END) AS bit_{i}"
+        for i in range(bits)
+    )
+    weights = " + ".join(
+        f"CASE WHEN bit_{i} > 0 THEN CAST({-(1 << 63) if i == 63 else (1 << i)} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(token), 1, 8)) AS BIGINT) AS hi,
+         CAST(CONCAT('0x', substr(md5(token), 9, 8)) AS BIGINT) AS lo
+  FROM toks WHERE token <> ''
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {weights} AS simhash
+FROM votes
+"""
+
+
+@register("simhash_documents", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _dedup.simhash(docs)

