@@ -27,6 +27,29 @@ from .operators import (
     with_row_numbers,
     SortedGroupByDataFrame,
     group_by_sorted,
+    fingerprint,
+    language_id,
+    normalize_text,
+    quality_metrics,
+    regex_token_count,
+    token_count,
+    with_quality_metrics,
+    duplicate_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    brute_force_topk,
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    rp_lsh_topk,
+    blob_metadata,
+    decode_images,
+    make_fake_image_blob,
+    sample_frame_indices,
+    with_blob_metadata,
 )
 from .sources import (
     parquet_block_columns,

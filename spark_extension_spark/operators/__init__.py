@@ -14,6 +14,37 @@ from .diff import DiffMode, DiffOptions, Differ, diff, diff_with
 from .histogram import histogram
 from .row_numbers import with_row_numbers
 from .sorted_groups import SortedGroupByDataFrame, group_by_sorted
+from .text import (
+    fingerprint,
+    language_id,
+    normalize_text,
+    quality_metrics,
+    regex_token_count,
+    token_count,
+    with_quality_metrics,
+)
+from .dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from .similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    rp_lsh_topk,
+)
+from .multimodal import (
+    blob_metadata,
+    decode_images,
+    make_fake_image_blob,
+    sample_frame_indices,
+    with_blob_metadata,
+)
 
 __all__ = [
     "DiffComparator",
@@ -35,4 +66,12 @@ __all__ = [
     "with_row_numbers",
     "SortedGroupByDataFrame",
     "group_by_sorted",
+    "fingerprint", "language_id", "normalize_text", "quality_metrics",
+    "regex_token_count", "token_count", "with_quality_metrics",
+    "duplicate_clusters", "exact_dedup", "minhash_lsh_pairs",
+    "minhash_signatures", "ngram_jaccard_pairs", "shingles", "simhash",
+    "brute_force_topk", "cosine_similarity", "embedding_near_dup_pairs",
+    "rp_lsh_topk",
+    "blob_metadata", "decode_images", "make_fake_image_blob",
+    "sample_frame_indices", "with_blob_metadata",
 ]

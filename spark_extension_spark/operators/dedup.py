@@ -104,25 +104,27 @@ def duplicate_clusters(
 
 
 def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-    Built from the normalized token array with ``transform`` over token
-    positions — pure column algebra, exploded once."""
-    tokens = F.split(normalize_text(text_col), " ")
-    count = F.size(tokens) - (n - 1)
-    # guard: sequence(0, -1) would generate a *descending* sequence
-    positions = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        positions,
-        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)]),
-    )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    """Word n-gram shingles per document: (id, shingle), distinct by
+    default.  Built from the normalized token array with ``transform``
+    over token positions — pure column algebra, exploded once.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is insensitive to duplicates (e.g. MinHash minima).
+
+    Overlapping n-grams come from a single lookahead-capture regex pass
+    over the normalized text (tokens are ``[a-z0-9]+`` separated by
+    single spaces after normalization).  The array-index formulation
+    (``transform`` + n ``element_at`` per position) re-evaluates the
+    tokenization inside the lambda — Catalyst does not do common
+    subexpression elimination across lambda bodies — costing ~50× more."""
+    token = "[a-z0-9]+"
+    pattern = "(?=(" + (token + " ") * (n - 1) + token + "))" + token
+    grams = F.regexp_extract_all(normalize_text(text_col), F.lit(pattern), F.lit(1))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return exploded.distinct() if distinct else exploded
 
 
 def ngram_jaccard_pairs(
@@ -187,14 +189,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document: columns
     ``mh_0..mh_{k-1}``.  One explode + one hash aggregate computing all
-    k minima map-side — a single shuffle of (doc, k ints)."""
-    sh = shingles(df, id_col, text_col, n)
-    h = _hash31(F.col("shingle"))
+    k minima map-side — a single shuffle of (doc, k ints).  Shingles are
+    deliberately NOT deduplicated first: min() is duplicate-insensitive,
+    so the distinct's extra shuffle would buy nothing."""
+    sh = shingles(df, id_col, text_col, n, distinct=False)
+    # materialize the md5-derived hash as a column BEFORE aggregating:
+    # embedding the expression in each of the k aggregates would make
+    # codegen evaluate the md5 k times per row
+    hashed = sh.select(F.col(id_col), _hash31(F.col("shingle")).alias("__h"))
+    h = F.col("__h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(

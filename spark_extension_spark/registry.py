@@ -286,22 +286,37 @@ def q_sorted_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).flat_map_sorted_groups(running, _RUNNING_SUM_SCHEMA)
 
 
-@register("sorted_groups_running_sum_pandas", _RUNNING_SUM_ORACLE)
+# The Arrow path shines with bounded group counts: group by supplier
+# (~1k groups at sf0.1) rather than order (~150k tiny groups, where
+# per-group pandas overhead dominates; use the lazy RDD path there).
+_RUNNING_SUM_SUPP_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       SUM(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+FROM lineitem
+"""
+
+
+@register("sorted_groups_running_sum_pandas", _RUNNING_SUM_SUPP_ORACLE)
 def q_sorted_groups_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sorted_groups import group_by_sorted
 
     li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
     )
 
     def running(key, pdf):
-        out = pdf[["l_orderkey", "l_linenumber"]].copy()
+        out = pdf[["l_suppkey", "l_orderkey", "l_linenumber"]].copy()
         out["run_qty"] = pdf["l_quantity"].cumsum()
         return out
 
     return group_by_sorted(
-        li, "l_orderkey", ["l_linenumber", "l_quantity"]
-    ).apply_in_pandas(running, _RUNNING_SUM_SCHEMA)
+        li, "l_suppkey", ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"]
+    ).apply_in_pandas(
+        running, "l_suppkey long, l_orderkey long, l_linenumber int, run_qty double"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -638,3 +653,105 @@ FROM votes
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return _dedup.simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+from .operators import similarity as _sim  # noqa: E402
+
+_TOPK_ORACLE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 50 = 0
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@register("similarity_topk_embeddings", _TOPK_ORACLE)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return _sim.brute_force_topk(emb, queries, k=5)
+
+
+_NEAR_DUP_EMB_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.1) AS embedding
+  FROM embeddings WHERE vec_id % 3 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(a.embedding, b.embedding) AS cosine
+FROM corpus a
+JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+"""
+
+
+@register("embedding_near_dup_pairs", _NEAR_DUP_EMB_ORACLE)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scaled = emb.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.1).alias("embedding"),
+    )
+    corpus = as_double.unionAll(scaled)
+    return _sim.embedding_near_dup_pairs(corpus, threshold=0.999)
+
+
+@register("similarity_lsh_topk_embeddings")  # approximate: rows-only check
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return _sim.rp_lsh_topk(emb, queries, k=5, num_planes=8, probes=1)
+
+
+# ---------------------------------------------------------------------------
+# multimodal — blob plumbing + stub decode over fake image containers
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal as _mm  # noqa: E402
+
+_MM_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 64 + 1 AS INT) AS width,
+       CAST(doc_id % 48 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       CAST(octet_length(encode('IMG1|' || (doc_id % 64 + 1) || '|' || (doc_id % 48 + 1) || '|' || text)) AS BIGINT) AS size_bytes,
+       'fake-image' AS format
+FROM documents
+"""
+
+
+@register("multimodal_decode_documents", _MM_ORACLE)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        _mm.make_fake_image_blob(
+            F.col("text"), F.col("doc_id") % 64 + 1, F.col("doc_id") % 48 + 1
+        ).alias("blob"),
+    )
+    meta = _mm.with_blob_metadata(blobs).select(
+        F.col("doc_id").alias("meta_id"),
+        F.col("m_size_bytes").alias("size_bytes"),
+        F.col("m_format").alias("format"),
+    )
+    decoded = _mm.decode_images(blobs)
+    return decoded.join(meta, decoded["doc_id"] == meta["meta_id"]).select(
+        "doc_id", "width", "height", "payload_bytes", "size_bytes", "format"
+    )

@@ -1,0 +1,88 @@
+"""Similarity search tests: brute-force exactness, LSH recall on
+planted near-duplicates, determinism."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    rp_lsh_topk,
+    rp_planes,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
+    c = df.select(cosine_similarity(F.col("v"), F.col("v")).alias("c")).collect()[0]["c"]
+    assert c == pytest.approx(1.0)
+
+
+def test_cosine_orthogonal_and_zero(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0], [0.0, 0.0])], ["a", "b", "z"])
+    row = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("ortho"),
+        cosine_similarity(F.col("a"), F.col("z")).alias("zero"),
+    ).collect()[0]
+    assert row["ortho"] == pytest.approx(0.0)
+    assert row["zero"] is None
+
+
+def test_brute_force_topk(emb):
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    result = brute_force_topk(emb, queries, k=3)
+    rows = result.collect()
+    n_queries = queries.count()
+    assert len(rows) == 3 * n_queries
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for q, neighbours in by_query.items():
+        ranks = sorted(r["rank"] for r in neighbours)
+        assert ranks == [1, 2, 3]
+        ordered = sorted(neighbours, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["vec_id"] != q for r in neighbours)
+
+
+def test_lsh_finds_planted_neighbours(emb, spark):
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.1).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionAll(scaled)
+    queries = corpus.where(F.col("vec_id") % 25 == 0).where(F.col("vec_id") < 100000)
+    result = rp_lsh_topk(corpus, queries, k=1, num_planes=12, probes=1)
+    top1 = {r["query_id"]: (r["vec_id"], r["cosine"]) for r in result.collect()}
+    hits = sum(1 for q, (v, c) in top1.items() if v == q + 100000 and c > 0.999999)
+    assert hits == len(top1)  # scaled copy shares the exact bucket: always found
+
+
+def test_embedding_near_dup_pairs(emb):
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionAll(scaled)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.9999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    n = emb.count()
+    planted = {(i, i + 100000) for i in range(n)}
+    assert planted <= got
+
+
+def test_rp_planes_deterministic():
+    assert rp_planes(4, 8) == rp_planes(4, 8)
+    assert rp_planes(4, 8, seed=1) != rp_planes(4, 8, seed=2)
+    assert all(w in (-1, 1) for row in rp_planes(4, 8) for w in row)
