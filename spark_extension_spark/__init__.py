@@ -59,6 +59,9 @@ from .sources import (
     parquet_schema,
     write_partitioned_by,
 )
+from .patch import install, uninstall
+from .version import spark_version, spark_version_at_least
+from .operators.sorted_groups import group_by_key
 from .session import (
     append_job_description,
     create_temporary_dir,

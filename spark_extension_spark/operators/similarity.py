@@ -211,3 +211,88 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search
+# ---------------------------------------------------------------------------
+
+
+def ivf_assignments(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Attach ``__cell`` — the index of the nearest centroid (or the
+    ``n_probes`` nearest, exploded) — computed with pure column algebra:
+    one cosine expression per centroid, argmax via sorted (score, index)
+    structs.  Ties break on centroid index (deterministic)."""
+    scores = [
+        F.struct(
+            (-cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+            .alias("neg_score"),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    ranked = F.transform(F.array_sort(F.array(*scores)), lambda s: s["idx"])
+    if n_probes == 1:
+        return df.withColumn("__cell", F.element_at(ranked, 1))
+    return df.withColumn("__cell", F.explode(F.slice(ranked, 1, n_probes)))
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic coarse centroids: the ``n_centroids`` lowest-id
+    corpus vectors (a data-independent seed choice; swap in k-means||
+    from ``pyspark.ml`` for production recall)."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: Optional[List[List[float]]] = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (one pass, no shuffle of vectors beyond the final join);
+    each query probes its ``n_probes`` nearest cells and scores only the
+    vectors inside them.  Candidate fraction ≈ n_probes/n_centroids."""
+    from pyspark.sql import Window
+
+    cents = centroids or ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = ivf_assignments(corpus, cents, vec_col, n_probes=1)
+    q = ivf_assignments(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        cents,
+        "__qvec",
+        n_probes=n_probes,
+    )
+    scored = (
+        c.join(q, "__cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -142,3 +142,17 @@ def group_by_sorted(
     if isinstance(order_columns, (str, Column)):
         order_columns = [order_columns]
     return SortedGroupByDataFrame(df, key_columns, order_columns, partitions, reverse)
+
+
+def group_by_key(df: DataFrame, *key_columns: Union[str, Column]):
+    """Column-expression grouping shortcut (reference
+    package.scala:785-804, ``groupByKey(Column*)``).
+
+    The reference exists because lambda-keyed ``groupByKey`` hides the
+    grouping columns from Catalyst, defeating partitioning/ordering
+    reuse; grouping by *columns* keeps the optimizer informed.  PySpark
+    has no ``KeyValueGroupedDataset`` — the idiomatic equivalent is a
+    ``GroupedData`` consumed via ``agg`` / ``applyInPandas``, which this
+    returns.
+    """
+    return df.groupBy(*[F.col(backticks(c)) if isinstance(c, str) else c for c in key_columns])

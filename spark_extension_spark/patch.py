@@ -1,0 +1,60 @@
+"""Opt-in DataFrame/DataFrameReader extension registration — the
+reference's Python package monkey-patches ``DataFrame.diff`` etc. on
+import (python/gresearch/spark/diff/__init__.py:902-913); here the
+patching is explicit:
+
+    import spark_extension_spark as sx
+    sx.install()          # adds df.diff, df.histogram, ... methods
+
+Every method remains available as a plain function; ``install()`` is
+sugar for fluent chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .operators.dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.diff import diff, diff_with
+from .operators.histogram import histogram
+from .operators.row_numbers import with_row_numbers
+from .operators.sorted_groups import group_by_sorted
+from .operators.text import with_quality_metrics
+from .sources.partitioned_write import write_partitioned_by
+
+__all__ = ["install", "uninstall"]
+
+_METHODS = {
+    "diff": diff,
+    "diff_with": diff_with,
+    "histogram": histogram,
+    "with_row_numbers": with_row_numbers,
+    "group_by_sorted": group_by_sorted,
+    "write_partitioned_by": write_partitioned_by,
+    "exact_dedup": exact_dedup,
+    "duplicate_clusters": duplicate_clusters,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash": simhash,
+    "with_quality_metrics": with_quality_metrics,
+}
+
+
+def install() -> None:
+    """Attach the extension methods to ``DataFrame``."""
+    for name, fn in _METHODS.items():
+        setattr(DataFrame, name, fn)
+
+
+def uninstall() -> None:
+    for name in _METHODS:
+        if hasattr(DataFrame, name):
+            delattr(DataFrame, name)

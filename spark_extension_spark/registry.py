@@ -755,3 +755,10 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(meta, decoded["doc_id"] == meta["meta_id"]).select(
         "doc_id", "width", "height", "payload_bytes", "size_bytes", "format"
     )
+
+
+@register("similarity_ivf_topk_embeddings")  # approximate: rows-only check
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return _sim.ivf_topk(emb, queries, k=5, n_centroids=16, n_probes=4)

@@ -1,0 +1,122 @@
+"""Structured Streaming extensions.
+
+The reference is batch-only (SURVEY.md §2.11) — this module is
+beyond-parity surface: the pipeline operators re-expressed for
+``readStream`` sources, built purely on Spark's streaming-native
+primitives (watermarks, ``dropDuplicatesWithinWatermark``, windowed
+aggregation, ``foreachBatch``), so state management, late-data handling
+and checkpointing come from Spark, not custom code.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.text import normalize_text
+
+__all__ = [
+    "streaming_exact_dedup",
+    "streaming_histogram",
+    "streaming_quality_monitor",
+    "foreach_batch_diff",
+]
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+    normalized: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content hash was already
+    seen within the watermark horizon.  State is bounded by the
+    watermark (Spark evicts expired hashes) — the streaming analogue of
+    :func:`~spark_extension_spark.operators.dedup.exact_dedup`."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    hashed = stream.withColumn("__content_hash", F.md5(content))
+    deduped = hashed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        ["__content_hash"]
+    )
+    return deduped.drop("__content_hash")
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    thresholds: Sequence,
+    value_column: str,
+    event_time_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed threshold histogram over a stream: per event-time window,
+    counts of the value column in ``≤t…>t`` bins — the streaming analogue
+    of :func:`~spark_extension_spark.operators.histogram.histogram`,
+    with late data handled by the watermark."""
+    if len(thresholds) == 0:
+        raise ValueError("Thresholds must not be empty")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError("Thresholds must not contain duplicates")
+    ordered = sorted(thresholds)
+    value = F.col(value_column)
+
+    def indicator(cond: Column) -> Column:
+        return F.when(cond, 1).otherwise(0)
+
+    bins = [(f"≤{ordered[0]}", indicator(value <= ordered[0]))]
+    bins += [
+        (f"≤{hi}", indicator((value > lo) & (value <= hi)))
+        for lo, hi in zip(ordered, ordered[1:])
+    ]
+    bins.append((f">{ordered[-1]}", indicator(value > ordered[-1])))
+
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_duration).alias("window"))
+        .agg(*[F.sum(col).alias(name) for name, col in bins])
+    )
+
+
+def streaming_quality_monitor(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window corpus quality aggregates (doc count, mean length,
+    empty-doc count) — a streaming QC dashboard feed."""
+    t = F.col(text_col)
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_duration).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.length(t)).alias("mean_chars"),
+            F.sum(F.when(F.trim(t) == "", 1).otherwise(0)).alias("n_empty"),
+        )
+    )
+
+
+def foreach_batch_diff(
+    stream: DataFrame,
+    reference: DataFrame,
+    id_columns: Sequence[str],
+    on_batch: Callable[[DataFrame, int], None],
+    options=None,
+):
+    """Data-drift monitor: diff every micro-batch against a static
+    reference table and hand the I/C/D/N result to ``on_batch``.
+    Returns a ``DataStreamWriter`` — call ``.start()`` (with a
+    checkpoint location) to run."""
+    from ..operators.diff import Differ
+
+    differ = Differ(options)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        on_batch(differ.diff(batch_df, reference, list(id_columns)), batch_id)
+
+    return stream.writeStream.foreachBatch(process)

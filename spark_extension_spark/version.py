@@ -1,0 +1,32 @@
+"""Spark version introspection (reference SparkVersion.scala:22-34,
+BuildVersion.scala:22-56)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import pyspark
+
+__all__ = [
+    "spark_version",
+    "spark_version_at_least",
+    "SPARK_MAJOR",
+    "SPARK_MINOR",
+    "SPARK_PATCH",
+]
+
+
+def spark_version() -> Tuple[int, int, int]:
+    parts = (pyspark.__version__.split("+")[0].split(".") + ["0", "0"])[:3]
+    nums = []
+    for p in parts:
+        digits = "".join(ch for ch in p if ch.isdigit())
+        nums.append(int(digits or 0))
+    return tuple(nums)
+
+
+SPARK_MAJOR, SPARK_MINOR, SPARK_PATCH = spark_version()
+
+
+def spark_version_at_least(major: int, minor: int = 0, patch: int = 0) -> bool:
+    return spark_version() >= (major, minor, patch)

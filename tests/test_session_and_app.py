@@ -134,3 +134,34 @@ def test_diff_app_filter(spark, csv_inputs):
 def test_diff_app_bad_option():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--save-mode", "nope", "a", "b", "c"])
+
+
+def test_install_patch(spark):
+    import spark_extension_spark as sx
+
+    left = spark.createDataFrame([(1, "a")], ["id", "v"])
+    right = spark.createDataFrame([(1, "b")], ["id", "v"])
+    sx.install()
+    try:
+        assert left.diff(right, "id").collect()[0]["diff"] == "C"
+        assert left.histogram([0], "id").columns == ["≤0", ">0"]
+    finally:
+        sx.uninstall()
+    assert not hasattr(left, "diff")
+
+
+def test_spark_version(spark):
+    from spark_extension_spark import spark_version, spark_version_at_least
+
+    assert spark_version() >= (3, 5, 0)
+    assert spark_version_at_least(3, 5)
+    assert not spark_version_at_least(99)
+
+
+def test_group_by_key(spark):
+    from spark_extension_spark import group_by_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 4)], ["k", "v"])
+    out = group_by_key(df, "k").agg(F.sum("v").alias("s"))
+    assert {r["k"]: r["s"] for r in out.collect()} == {1: 5, 2: 4}

