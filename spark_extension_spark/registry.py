@@ -762,3 +762,164 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return _sim.ivf_topk(emb, queries, k=5, n_centroids=16, n_probes=4)
+
+
+# ---------------------------------------------------------------------------
+# diff surface breadth: sparse mode, LeftSide mode, set-diff (no ids),
+# epsilon comparator — each against an exact SQL oracle
+# ---------------------------------------------------------------------------
+
+from .operators.diff import DiffMode, DiffOptions  # noqa: E402
+from .operators.comparators import DiffComparators  # noqa: E402
+
+
+_DIFF_SPARSE_ORACLE = """
+WITH lft AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 1 AS ex FROM orders WHERE o_orderkey % 10 <> 7
+), rgt AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,
+         1 AS ex
+  FROM orders WHERE o_orderkey % 10 <> 3
+)
+SELECT
+  CASE WHEN l.ex IS NULL THEN 'I' WHEN r.ex IS NULL THEN 'D'
+       WHEN NOT (l.o_custkey IS NOT DISTINCT FROM r.o_custkey
+             AND l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice) THEN 'C'
+       ELSE 'N' END AS diff,
+  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+  CASE WHEN l.o_custkey IS NOT DISTINCT FROM r.o_custkey THEN NULL ELSE l.o_custkey END AS left_o_custkey,
+  CASE WHEN l.o_custkey IS NOT DISTINCT FROM r.o_custkey THEN NULL ELSE r.o_custkey END AS right_o_custkey,
+  CASE WHEN l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice THEN NULL ELSE l.o_totalprice END AS left_o_totalprice,
+  CASE WHEN l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice THEN NULL ELSE r.o_totalprice END AS right_o_totalprice
+FROM lft l FULL OUTER JOIN rgt r ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey
+"""
+
+
+def _orders_pair(spark: SparkSession, sf_dir: str):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    left = orders.where(F.col("o_orderkey") % 10 != 7)
+    right = orders.where(F.col("o_orderkey") % 10 != 3).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 5).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return left, right
+
+
+@register("diff_sparse_orders", _DIFF_SPARSE_ORACLE)
+def q_diff_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _orders_pair(spark, sf_dir)
+    return diff(left, right, "o_orderkey", options=DiffOptions().with_sparse_mode(True))
+
+
+_DIFF_LEFT_SIDE_ORACLE = """
+WITH lft AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 1 AS ex FROM orders WHERE o_orderkey % 10 <> 7
+), rgt AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,
+         1 AS ex
+  FROM orders WHERE o_orderkey % 10 <> 3
+)
+SELECT
+  CASE WHEN l.ex IS NULL THEN 'I' WHEN r.ex IS NULL THEN 'D'
+       WHEN NOT (l.o_custkey IS NOT DISTINCT FROM r.o_custkey
+             AND l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice) THEN 'C'
+       ELSE 'N' END AS diff,
+  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+  l.o_custkey AS o_custkey,
+  l.o_totalprice AS o_totalprice
+FROM lft l FULL OUTER JOIN rgt r ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey
+"""
+
+
+@register("diff_left_side_orders", _DIFF_LEFT_SIDE_ORACLE)
+def q_diff_left_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _orders_pair(spark, sf_dir)
+    return diff(
+        left, right, "o_orderkey",
+        options=DiffOptions().with_diff_mode(DiffMode.LeftSide),
+    )
+
+
+# set-diff semantics: no id columns => all columns are the key, only
+# I/D/N possible (SURVEY §2.9: diff subsumes except/intersect)
+_DIFF_SET_ORACLE = """
+WITH lft AS (
+  SELECT n_nationkey, n_name, 1 AS ex FROM nation
+), rgt AS (
+  SELECT n_nationkey, CASE WHEN n_nationkey % 5 = 0 THEN lower(n_name) ELSE n_name END AS n_name,
+         1 AS ex
+  FROM nation
+)
+SELECT
+  CASE WHEN l.ex IS NULL THEN 'I' WHEN r.ex IS NULL THEN 'D' ELSE 'N' END AS diff,
+  COALESCE(l.n_nationkey, r.n_nationkey) AS n_nationkey,
+  COALESCE(l.n_name, r.n_name) AS n_name
+FROM lft l FULL OUTER JOIN rgt r
+  ON l.n_nationkey IS NOT DISTINCT FROM r.n_nationkey
+ AND l.n_name IS NOT DISTINCT FROM r.n_name
+"""
+
+
+@register("diff_set_nation", _DIFF_SET_ORACLE)
+def q_diff_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mutated = nation.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") % 5 == 0, F.lower("n_name")).otherwise(F.col("n_name")),
+    )
+    return diff(nation, mutated)
+
+
+_DIFF_EPSILON_ORACLE = """
+WITH lft AS (
+  SELECT o_orderkey, o_totalprice, 1 AS ex FROM orders
+), rgt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.02
+              ELSE o_totalprice * 1.000001 END AS o_totalprice,
+         1 AS ex
+  FROM orders
+)
+SELECT
+  CASE WHEN l.ex IS NULL THEN 'I' WHEN r.ex IS NULL THEN 'D'
+       WHEN NOT (abs(l.o_totalprice - r.o_totalprice)
+                 <= 0.0001 * greatest(abs(l.o_totalprice), abs(r.o_totalprice))) THEN 'C'
+       ELSE 'N' END AS diff,
+  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+  l.o_totalprice AS left_o_totalprice,
+  r.o_totalprice AS right_o_totalprice
+FROM lft l FULL OUTER JOIN rgt r ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey
+"""
+
+
+@register("diff_epsilon_orders", _DIFF_EPSILON_ORACLE)
+def q_diff_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    right = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") * 1.02).otherwise(
+            F.col("o_totalprice") * 1.000001
+        ),
+    )
+    opts = DiffOptions().with_column_name_comparator(
+        DiffComparators.epsilon(0.0001).as_relative().as_inclusive(), "o_totalprice"
+    )
+    return diff(orders, right, "o_orderkey", options=opts)
+
+
+# exact dedup survivors (full rows) — min-id representative per content hash
+_EXACT_DEDUP_ORACLE = f"""
+WITH corpus AS ({_EXACT_DUPS_SQL})
+SELECT doc_id, text FROM corpus
+QUALIFY doc_id = MIN(doc_id) OVER (
+  PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+"""
+
+
+@register("exact_dedup_documents", _EXACT_DEDUP_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(_docs_with_exact_dups(spark, sf_dir))
