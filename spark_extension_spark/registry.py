@@ -923,3 +923,49 @@ QUALIFY doc_id = MIN(doc_id) OVER (
 @register("exact_dedup_documents", _EXACT_DEDUP_ORACLE)
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(_docs_with_exact_dups(spark, sf_dir))
+
+
+_PQ_BLOCK_COLS_ORACLE = f"""
+SELECT file_name AS filename,
+       CAST(row_group_id + 1 AS INT) AS block,
+       string_split(path_in_schema, ', ') AS "column",
+       compression AS codec,
+       type,
+       CAST(total_compressed_size AS BIGINT) AS "compressedBytes",
+       CAST(total_uncompressed_size AS BIGINT) AS "uncompressedBytes",
+       CAST(num_values AS BIGINT) AS "values"
+FROM parquet_metadata('{_T2}/orders.parquet')
+"""
+
+
+@register("parquet_block_columns_orders", _PQ_BLOCK_COLS_ORACLE)
+def q_parquet_block_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.parquet_metadata import parquet_block_columns
+
+    return parquet_block_columns(spark, f"{sf_dir}/orders.parquet").select(
+        "filename", "block", "column", "codec", "type",
+        "compressedBytes", "uncompressedBytes", "values",
+    )
+
+
+# contract of unordered row numbers: contiguous 1..N regardless of the
+# (partitioning-dependent) assignment order
+_ROW_NUMBERS_CONTRACT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(1 AS BIGINT) AS min_rn,
+       CAST(COUNT(*) AS BIGINT) AS max_rn
+FROM customer
+"""
+
+
+@register("row_numbers_contract_customer", _ROW_NUMBERS_CONTRACT_ORACLE)
+def q_row_numbers_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    numbered = with_row_numbers(customer)
+    return numbered.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_number").alias("n_distinct"),
+        F.min("row_number").cast("long").alias("min_rn"),
+        F.max("row_number").cast("long").alias("max_rn"),
+    )

@@ -165,3 +165,23 @@ def test_group_by_key(spark):
     df = spark.createDataFrame([(1, 2), (1, 3), (2, 4)], ["k", "v"])
     out = group_by_key(df, "k").agg(F.sum("v").alias("s"))
     assert {r["k"]: r["s"] for r in out.collect()} == {1: 5, 2: 4}
+
+
+def test_diff_app_hive_tables(spark):
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.mode(
+        "overwrite"
+    ).saveAsTable("app_left")
+    spark.createDataFrame([(1, "a"), (2, "B")], ["id", "v"]).write.mode(
+        "overwrite"
+    ).saveAsTable("app_right")
+    try:
+        args = build_parser().parse_args(
+            ["--hive", "--id", "id", "--save-mode", "overwrite",
+             "app_left", "app_right", "app_out"]
+        )
+        run(spark, args)
+        rows = {r["id"]: r["diff"] for r in spark.table("app_out").collect()}
+        assert rows == {1: "N", 2: "C"}
+    finally:
+        for t in ("app_left", "app_right", "app_out"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
