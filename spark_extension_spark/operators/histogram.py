@@ -50,6 +50,8 @@ def histogram(
     # aggregate columns are the leading columns of the projection;
     # reference by position so expression-valued aggregates work too
     group_cols = [flagged[i] for i in range(len(aggs))]
+    # coalesce: a global aggregate over zero rows sums to NULL, but an
+    # empty histogram's counts are 0
     return flagged.groupBy(*group_cols).agg(
-        *[F.sum(F.col(f"`{name}`")).alias(name) for name, _ in bins]
+        *[F.coalesce(F.sum(F.col(f"`{name}`")), F.lit(0)).alias(name) for name, _ in bins]
     )

@@ -969,3 +969,76 @@ def q_row_numbers_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_number").cast("long").alias("min_rn"),
         F.max("row_number").cast("long").alias("max_rn"),
     )
+
+
+_DIFF_WHITESPACE_ORACLE = """
+WITH lft AS (
+  SELECT doc_id, text, 1 AS ex FROM documents
+), rgt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN '  ' || replace(text, ' ', '   ') || ' '
+              ELSE text || ' trailing_token' END AS text,
+         1 AS ex
+  FROM documents
+)
+SELECT
+  CASE WHEN l.ex IS NULL THEN 'I' WHEN r.ex IS NULL THEN 'D'
+       WHEN NOT (regexp_replace(trim(l.text), '\\s+', ' ', 'g')
+                 IS NOT DISTINCT FROM regexp_replace(trim(r.text), '\\s+', ' ', 'g')) THEN 'C'
+       ELSE 'N' END AS diff,
+  COALESCE(l.doc_id, r.doc_id) AS doc_id
+FROM lft l FULL OUTER JOIN rgt r ON l.doc_id IS NOT DISTINCT FROM r.doc_id
+"""
+
+
+@register("diff_whitespace_documents", _DIFF_WHITESPACE_ORACLE)
+def q_diff_whitespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "), F.lit(" ")),
+        ).otherwise(F.concat(F.col("text"), F.lit(" trailing_token"))),
+    )
+    opts = DiffOptions().with_column_name_comparator(
+        DiffComparators.string(whitespace_agnostic=True), "text"
+    )
+    return diff(docs, mangled, "doc_id", options=opts).select("diff", "doc_id")
+
+
+# duration comparator over events-derived timestamps (ts read as ns longs;
+# truncate to µs so both engines see identical instants)
+_DIFF_DURATION_ORACLE = """
+WITH base AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS t FROM events
+), lft AS (
+  SELECT event_id, t, 1 AS ex FROM base
+), rgt AS (
+  SELECT event_id, t + to_seconds(CAST(event_id % 120 AS BIGINT)) AS t, 1 AS ex FROM base
+)
+SELECT
+  CASE WHEN l.ex IS NULL THEN 'I' WHEN r.ex IS NULL THEN 'D'
+       WHEN NOT (abs(epoch_us(l.t) - epoch_us(r.t)) <= 60000000) THEN 'C'
+       ELSE 'N' END AS diff,
+  COALESCE(l.event_id, r.event_id) AS event_id
+FROM lft l FULL OUTER JOIN rgt r ON l.event_id IS NOT DISTINCT FROM r.event_id
+"""
+
+
+@register("diff_duration_events", _DIFF_DURATION_ORACLE)
+def q_diff_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        # integral div: ts/1000 in double would lose low bits at ~1.7e18
+        "event_id", F.timestamp_micros(F.expr("ts div 1000")).alias("t")
+    )
+    shifted = base.withColumn(
+        "t", F.col("t") + F.make_dt_interval(secs=(F.col("event_id") % 120).cast("double"))
+    )
+    opts = DiffOptions().with_column_name_comparator(
+        DiffComparators.duration(datetime.timedelta(minutes=1)).as_inclusive(), "t"
+    )
+    return diff(base, shifted, "event_id", options=opts).select("diff", "event_id")

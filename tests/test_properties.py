@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+example-based strategy: algebraic laws that must hold for arbitrary
+data, checked on small generated frames."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_extension_spark import diff, histogram, with_row_numbers
+from spark_extension_spark.operators.dedup import minhash_signatures, shingles
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),          # id (collisions likely)
+        st.one_of(st.none(), st.text(alphabet="abc xyz", max_size=8)),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    uniq = {}
+    for rid, txt, num in rows:
+        uniq[rid] = (rid, txt, num)  # unique ids: diff key semantics
+    return spark.createDataFrame(list(uniq.values()) or [], "id int, txt string, num int")
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_diff_self_is_all_nochange(spark, rows):
+    df = _df(spark, rows)
+    result = diff(df, df, "id").collect()
+    assert all(r["diff"] == "N" for r in result)
+    assert len(result) == df.count()
+
+
+@given(left_rows=ROWS, right_rows=ROWS)
+@SETTINGS
+def test_diff_actions_partition_the_key_space(spark, left_rows, right_rows):
+    left, right = _df(spark, left_rows), _df(spark, right_rows)
+    result = diff(left, right, "id").collect()
+    left_ids = {r["id"] for r in left.collect()}
+    right_ids = {r["id"] for r in right.collect()}
+    # one output row per key in the union; action determined by membership
+    assert {r["id"] for r in result} == left_ids | right_ids
+    for r in result:
+        if r["diff"] == "I":
+            assert r["id"] in right_ids - left_ids
+        elif r["diff"] == "D":
+            assert r["id"] in left_ids - right_ids
+        else:
+            assert r["id"] in left_ids & right_ids
+
+
+@given(left_rows=ROWS, right_rows=ROWS)
+@SETTINGS
+def test_diff_is_antisymmetric(spark, left_rows, right_rows):
+    left, right = _df(spark, left_rows), _df(spark, right_rows)
+    fwd = {r["id"]: r["diff"] for r in diff(left, right, "id").collect()}
+    rev = {r["id"]: r["diff"] for r in diff(right, left, "id").collect()}
+    flip = {"I": "D", "D": "I", "C": "C", "N": "N"}
+    assert rev == {k: flip[v] for k, v in fwd.items()}
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_row_numbers_always_a_contiguous_permutation(spark, rows):
+    df = _df(spark, rows)
+    n = df.count()
+    got = sorted(r["row_number"] for r in with_row_numbers(df).collect())
+    assert got == list(range(1, n + 1))
+
+
+@given(
+    rows=ROWS,
+    thresholds=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=4, unique=True),
+)
+@SETTINGS
+def test_histogram_counts_sum_to_non_null_rows(spark, rows, thresholds):
+    df = _df(spark, rows)
+    result = histogram(df, thresholds, "num").collect()[0]
+    non_null = df.where("num is not null").count()
+    assert sum(result) == non_null
+
+
+@given(text=st.text(alphabet="ab c", max_size=30))
+@SETTINGS
+def test_minhash_signature_bounded_by_prime(spark, text):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    sigs = minhash_signatures(df, num_hashes=4).collect()
+    for row in sigs:
+        for i in range(4):
+            assert 0 <= row[f"mh_{i}"] < 2147483647
+
+
+@given(text=st.text(alphabet="ab c", max_size=30), n=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_shingle_count_law(spark, text, n):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    tokens = [t for t in "".join(ch if ch.isalnum() else " " for ch in text.lower()).split() if t]
+    expected = max(len(tokens) - n + 1, 0)
+    got = shingles(df, n=n, distinct=False).count()
+    assert got == expected
