@@ -45,6 +45,8 @@ from .operators import (
     cosine_similarity,
     embedding_near_dup_pairs,
     rp_lsh_topk,
+    salted_join,
+    with_salt,
     blob_metadata,
     decode_images,
     make_fake_image_blob,

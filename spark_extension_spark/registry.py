@@ -1042,3 +1042,32 @@ def q_diff_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         DiffComparators.duration(datetime.timedelta(minutes=1)).as_inclusive(), "t"
     )
     return diff(base, shifted, "event_id", options=opts).select("diff", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# salted join — results must equal the plain equi-join (skew machinery
+# is transparent to semantics)
+# ---------------------------------------------------------------------------
+
+from .operators.skew import salted_join  # noqa: E402
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("salted_join_lineitem_orders", _SALTED_JOIN_ORACLE)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("total_qty"),
+    )

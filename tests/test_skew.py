@@ -1,0 +1,42 @@
+"""Salted join tests: result equivalence and skew scattering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark.operators.skew import salted_join, with_salt
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90%) + a tail
+    rows = [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)]
+    return spark.createDataFrame(rows, ["k", "v"]).repartition(8)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame([(k, f"name_{k}") for k in range(1, 102)], ["k", "name"])
+
+
+def test_salted_join_equals_plain_join(skewed, dim):
+    plain = skewed.join(dim, "k").groupBy("k").count()
+    salted = salted_join(skewed, dim, "k", salt=8).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join(skewed, dim, spark):
+    extra = skewed.unionAll(spark.createDataFrame([(999, 0)], ["k", "v"]))
+    result = salted_join(extra, dim, "k", how="left")
+    unmatched = result.where(F.col("name").isNull()).collect()
+    assert [r["k"] for r in unmatched] == [999]
+
+
+def test_salt_scatters_hot_key(skewed):
+    salted = with_salt(skewed.where(F.col("k") == 1), 8, "salt")
+    buckets = salted.select("salt").distinct().count()
+    assert buckets > 1  # the hot key occupies multiple buckets
+
+
+def test_unsupported_join_type(skewed, dim):
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(skewed, dim, "k", how="full")
