@@ -225,21 +225,43 @@ def ivf_assignments(
     n_probes: int = 1,
 ) -> DataFrame:
     """Attach ``__cell`` — the index of the nearest centroid (or the
-    ``n_probes`` nearest, exploded) — computed with pure column algebra:
-    one cosine expression per centroid, argmax via sorted (score, index)
-    structs.  Ties break on centroid index (deterministic)."""
-    scores = [
-        F.struct(
-            (-cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
-            .alias("neg_score"),
-            F.lit(i).alias("idx"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    ranked = F.transform(F.array_sort(F.array(*scores)), lambda s: s["idx"])
-    if n_probes == 1:
-        return df.withColumn("__cell", F.element_at(ranked, 1))
-    return df.withColumn("__cell", F.explode(F.slice(ranked, 1, n_probes)))
+    ``n_probes`` nearest, exploded).
+
+    Computed in one Arrow-batched kernel as a normalized matrix multiply
+    (vectors × centroidsᵀ): Spark's higher-order array functions are
+    *interpreted* (no whole-stage codegen inside lambdas), so k
+    per-centroid fold expressions cost k×dim interpreted evals per row,
+    while the numpy path is one BLAS call per batch.  Ties break on
+    centroid index (argsort is stable over -scores)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+    cents_unit = (cents / norms[:, None]).T  # (dim, k)
+    probes = n_probes
+    vec_name = vec_col
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, __cell int"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__cell=pd.Series(dtype="int32"))
+                continue
+            vectors = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_name]])
+            vnorms = np.linalg.norm(vectors, axis=1)
+            vnorms[vnorms == 0] = 1.0
+            scores = (vectors / vnorms[:, None]) @ cents_unit  # (n, k)
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :probes]  # (n, p)
+            repeated = pdf.loc[pdf.index.repeat(probes)].reset_index(drop=True)
+            repeated["__cell"] = top.reshape(-1).astype("int32")
+            yield repeated
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def ivf_centroids(
