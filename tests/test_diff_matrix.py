@@ -134,3 +134,30 @@ def test_empty_frames(spark):
     result = diff(empty, empty, "id")
     assert result.count() == 0
     assert result.columns == ["diff", "id", "left_v", "right_v"]
+
+
+def test_diff_array_columns(spark):
+    left = spark.createDataFrame([(1, [1, 2]), (2, [3])], "id int, tags array<int>")
+    right = spark.createDataFrame([(1, [1, 2]), (2, [3, 4])], "id int, tags array<int>")
+    rows = {r["id"]: r["diff"] for r in diff(left, right, "id").collect()}
+    assert rows == {1: "N", 2: "C"}
+
+
+def test_diff_struct_columns(spark):
+    left = spark.createDataFrame(
+        [(1, (10, "a")), (2, (20, "b"))], "id int, s struct<x:int,y:string>"
+    )
+    right = spark.createDataFrame(
+        [(1, (10, "a")), (2, (21, "b"))], "id int, s struct<x:int,y:string>"
+    )
+    rows = {r["id"]: r["diff"] for r in diff(left, right, "id").collect()}
+    assert rows == {1: "N", 2: "C"}
+
+
+def test_histogram_with_column_expressions(spark):
+    from spark_extension_spark import histogram
+
+    df = spark.createDataFrame([(1, 5), (2, 15)], ["k", "v"])
+    result = histogram(df, [10], F.col("v") * 2, (F.col("k") % 2).alias("parity"))
+    rows = {r["parity"]: (r["≤10"], r[">10"]) for r in result.collect()}
+    assert rows == {1: (1, 0), 0: (0, 1)}

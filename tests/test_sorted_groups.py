@@ -93,3 +93,24 @@ def test_missing_key_column(df):
 def test_empty_keys(df):
     with pytest.raises(ValueError, match="must not be empty"):
         group_by_sorted(df, [], "o")
+
+
+def test_lazy_iteration_handles_one_huge_group(spark):
+    """The O(1)-memory contract: one group far larger than any sane
+    per-group buffer, consumed lazily without materialization."""
+    big = spark.range(500_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("o")
+    )
+    grouped = group_by_sorted(big, "k", "o")
+
+    def head_tail(key, rows):
+        first = next(rows)["o"]
+        last = n = None
+        for n, r in enumerate(rows, start=2):
+            last = r["o"]
+        yield (key[0], first, last, n)
+
+    row = grouped.flat_map_sorted_groups(
+        head_tail, "k int, first long, last long, n long"
+    ).collect()[0]
+    assert (row["first"], row["last"], row["n"]) == (0, 499_999, 500_000)
