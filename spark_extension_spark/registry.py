@@ -1071,3 +1071,58 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("l_quantity").alias("total_qty"),
     )
+
+
+def _rp_lsh_oracle(num_planes: int, dim: int, k: int, modulus: int) -> str:
+    """Replicate the full sign-random-projection LSH pipeline in SQL:
+    same deterministic ±1 hyperplanes, same buckets, same multi-probe
+    (1-bit flips), same exact-cosine verification and ranking."""
+    from .operators.similarity import rp_planes
+
+    planes = rp_planes(num_planes, dim)
+    plane_lits = ", ".join(
+        "[" + ", ".join(f"{float(w)}" for w in row) + "]" for row in planes
+    )
+    bit_exprs = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(v, p[{i + 1}]), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN '1' ELSE '0' END)"
+        for i in range(num_planes)
+    )
+    flips = ", ".join(
+        f"substr(bucket, 1, {i}) || (CASE WHEN substr(bucket, {i + 1}, 1) = '1' "
+        f"THEN '0' ELSE '1' END) || substr(bucket, {i + 2}, {num_planes - i - 1})"
+        for i in range(num_planes)
+    )
+    return f"""
+WITH planes AS (SELECT [{plane_lits}]::DOUBLE[][] AS p),
+corpus AS (
+  SELECT vec_id, embedding AS v, ({bit_exprs}) AS bucket
+  FROM embeddings, planes
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, unnest([bucket, {flips}]) AS bucket
+  FROM corpus WHERE vec_id % {modulus} = 0
+),
+candidates AS (
+  SELECT DISTINCT q.query_id, c.vec_id, q.qv, c.v
+  FROM corpus c JOIN queries q USING (bucket)
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[]) AS cosine
+  FROM candidates
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+# upgrade the LSH top-k check from rows-only to a full oracle: every
+# stage (planes, buckets, probes, verification, ranking) is
+# deterministic and engine-portable
+ORACLES["similarity_lsh_topk_embeddings"] = _rp_lsh_oracle(
+    num_planes=8, dim=64, k=5, modulus=50
+)
