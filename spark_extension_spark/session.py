@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 from contextlib import contextmanager
-from typing import Callable, Optional, TypeVar
+from typing import Callable, TypeVar
 
 from pyspark.sql import SparkSession
 
