@@ -369,7 +369,7 @@ WITH rg AS (
   FROM parquet_metadata('{_T2}/lineitem.parquet')
   GROUP BY 1, 2
 )
-SELECT r.file_name AS filename,
+SELECT regexp_extract(r.file_name, '[^/]+$') AS filename,
        CAST(COUNT(*) AS INT) AS blocks,
        CAST(SUM(rg_comp) AS BIGINT) AS "compressedBytes",
        CAST(SUM(rg_bytes) AS BIGINT) AS "uncompressedBytes",
@@ -389,13 +389,14 @@ def q_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet_metadata import parquet_metadata
 
     return parquet_metadata(spark, f"{sf_dir}/lineitem.parquet").select(
-        "filename", "blocks", "compressedBytes", "uncompressedBytes",
+        F.element_at(F.split("filename", "/"), -1).alias("filename"),
+        "blocks", "compressedBytes", "uncompressedBytes",
         "rows", "columns", "values", "nulls", "createdBy",
     )
 
 
 _PQ_BLOCKS_ORACLE = f"""
-SELECT file_name AS filename,
+SELECT regexp_extract(file_name, '[^/]+$') AS filename,
        CAST(row_group_id + 1 AS INT) AS block,
        CAST(MIN(CASE WHEN dictionary_page_offset IS NOT NULL AND dictionary_page_offset > 0
                      THEN dictionary_page_offset ELSE data_page_offset END) AS BIGINT) AS "blockStart",
@@ -415,11 +416,12 @@ GROUP BY file_name, row_group_id
 def q_parquet_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet_metadata import parquet_blocks
 
-    return parquet_blocks(spark, f"{sf_dir}/lineitem.parquet")
+    df = parquet_blocks(spark, f"{sf_dir}/lineitem.parquet")
+    return df.withColumn("filename", F.element_at(F.split("filename", "/"), -1))
 
 
 _PQ_SCHEMA_ORACLE = f"""
-SELECT file_name AS filename, name AS "columnName", type
+SELECT regexp_extract(file_name, '[^/]+$') AS filename, name AS "columnName", type
 FROM parquet_schema('{_T2}/lineitem.parquet')
 WHERE num_children IS NULL
 """
@@ -430,7 +432,8 @@ def q_parquet_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet_metadata import parquet_schema
 
     return parquet_schema(spark, f"{sf_dir}/lineitem.parquet").select(
-        "filename", "columnName", "type"
+        F.element_at(F.split("filename", "/"), -1).alias("filename"),
+        "columnName", "type",
     )
 
 
@@ -926,7 +929,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_BLOCK_COLS_ORACLE = f"""
-SELECT file_name AS filename,
+SELECT regexp_extract(file_name, '[^/]+$') AS filename,
        CAST(row_group_id + 1 AS INT) AS block,
        string_split(path_in_schema, ', ') AS "column",
        compression AS codec,
@@ -943,7 +946,8 @@ def q_parquet_block_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet_metadata import parquet_block_columns
 
     return parquet_block_columns(spark, f"{sf_dir}/orders.parquet").select(
-        "filename", "block", "column", "codec", "type",
+        F.element_at(F.split("filename", "/"), -1).alias("filename"),
+        "block", "column", "codec", "type",
         "compressedBytes", "uncompressedBytes", "values",
     )
 
