@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "multimodal_decode_documents",
     "salted_join_lineitem_orders",
+    "asof_join_events",
 ]
 
 

@@ -45,6 +45,7 @@ from .operators import (
     cosine_similarity,
     embedding_near_dup_pairs,
     rp_lsh_topk,
+    asof_join,
     salted_join,
     with_salt,
     blob_metadata,

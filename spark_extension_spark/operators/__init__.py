@@ -38,6 +38,7 @@ from .similarity import (
     embedding_near_dup_pairs,
     rp_lsh_topk,
 )
+from .asof import asof_join
 from .skew import salted_join, with_salt
 from .multimodal import (
     blob_metadata,
@@ -73,6 +74,7 @@ __all__ = [
     "minhash_signatures", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine_similarity", "embedding_near_dup_pairs",
     "rp_lsh_topk",
+    "asof_join",
     "salted_join", "with_salt",
     "blob_metadata", "decode_images", "make_fake_image_blob",
     "sample_frame_indices", "with_blob_metadata",

@@ -1130,3 +1130,37 @@ QUALIFY rank <= {k}
 ORACLES["similarity_lsh_topk_embeddings"] = _rp_lsh_oracle(
     num_planes=8, dim=64, k=5, modulus=50
 )
+
+
+# ---------------------------------------------------------------------------
+# as-of join — every event aligned to the most recent reference event of
+# the same user, validated against DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+from .operators.asof import asof_join  # noqa: E402
+
+_ASOF_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+), ref AS (
+  SELECT user_id, t, value AS ref_value FROM base WHERE event_id % 10 = 0
+)
+SELECT b.user_id, b.t, b.event_id, b.value,
+       r.t AS ref_t, r.ref_value
+FROM base b
+ASOF LEFT JOIN ref r ON b.user_id = r.user_id AND b.t >= r.t
+"""
+
+
+@register("asof_join_events", _ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t"), "value"
+    )
+    ref = base.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "t", F.col("value").alias("ref_value")
+    )
+    return asof_join(base, ref, on="t", by="user_id", right_prefix="ref").select(
+        "user_id", "t", "event_id", "value", "ref_t", "ref_ref_value"
+    ).withColumnRenamed("ref_ref_value", "ref_value")
