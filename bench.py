@@ -55,6 +55,7 @@ HEADLINE = [
     "multimodal_decode_documents",
     "salted_join_lineitem_orders",
     "asof_join_events",
+    "time_bucket_rollup_events",
 ]
 
 

@@ -46,6 +46,9 @@ from .operators import (
     embedding_near_dup_pairs,
     rp_lsh_topk,
     asof_join,
+    range_join_bands,
+    time_bucket,
+    time_bucket_rollup,
     salted_join,
     with_salt,
     blob_metadata,

@@ -39,6 +39,7 @@ from .similarity import (
     rp_lsh_topk,
 )
 from .asof import asof_join
+from .timeseries import range_join_bands, time_bucket, time_bucket_rollup
 from .skew import salted_join, with_salt
 from .multimodal import (
     blob_metadata,
@@ -75,6 +76,7 @@ __all__ = [
     "brute_force_topk", "cosine_similarity", "embedding_near_dup_pairs",
     "rp_lsh_topk",
     "asof_join",
+    "range_join_bands", "time_bucket", "time_bucket_rollup",
     "salted_join", "with_salt",
     "blob_metadata", "decode_images", "make_fake_image_blob",
     "sample_frame_indices", "with_blob_metadata",

@@ -1164,3 +1164,57 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(base, ref, on="t", by="user_id", right_prefix="ref").select(
         "user_id", "t", "event_id", "value", "ref_t", "ref_ref_value"
     ).withColumnRenamed("ref_ref_value", "ref_value")
+
+
+# ---------------------------------------------------------------------------
+# time-series rollup + range join
+# ---------------------------------------------------------------------------
+
+from .operators.timeseries import range_join_bands, time_bucket_rollup  # noqa: E402
+
+_ROLLUP_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, make_timestamp(epoch_us(ts))) AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(value) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY bucket, event_type
+"""
+
+
+@register("time_bucket_rollup_events", _ROLLUP_ORACLE)
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    with_ts = events.withColumn("t", F.timestamp_micros(F.expr("ts div 1000")))
+    return time_bucket_rollup(
+        with_ts,
+        "t",
+        3600,
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+            "n_users": F.countDistinct("user_id"),
+        },
+        group_by=["event_type"],
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH bands(band, low, high) AS (
+  VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9)
+)
+SELECT e.event_id, e.value, b.band,
+       CAST(b.low AS DOUBLE) AS low, CAST(b.high AS DOUBLE) AS high
+FROM events e LEFT JOIN bands b ON e.value >= b.low AND e.value < b.high
+"""
+
+
+@register("range_join_events_bands", _RANGE_JOIN_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
+        "band string, low double, high double",
+    )
+    return range_join_bands(events, bands, "value")
