@@ -27,6 +27,7 @@ from .operators import (
     with_row_numbers,
     SortedGroupByDataFrame,
     group_by_sorted,
+    deterministic_shuffle,
     fingerprint,
     language_id,
     normalize_text,

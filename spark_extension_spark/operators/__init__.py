@@ -15,6 +15,7 @@ from .histogram import histogram
 from .row_numbers import with_row_numbers
 from .sorted_groups import SortedGroupByDataFrame, group_by_sorted
 from .text import (
+    deterministic_shuffle,
     fingerprint,
     language_id,
     normalize_text,
@@ -69,6 +70,7 @@ __all__ = [
     "with_row_numbers",
     "SortedGroupByDataFrame",
     "group_by_sorted",
+    "deterministic_shuffle",
     "fingerprint", "language_id", "normalize_text", "quality_metrics",
     "regex_token_count", "token_count", "with_quality_metrics",
     "duplicate_clusters", "exact_dedup", "minhash_lsh_pairs",

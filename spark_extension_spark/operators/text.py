@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "normalize_text",
+    "deterministic_shuffle",
 ]
 
 
@@ -138,3 +139,16 @@ def language_id_sql(text_expr: str, min_hits: int = 1) -> str:
         for lang in _LANG_MARKERS
     )
     return f"CASE {clauses} ELSE 'und' END"
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: rows are
+    ordered by an md5 hash of (seed, id) — the same permutation on every
+    run, every engine, every cluster size (unlike ``orderBy(rand())``).
+
+    Implemented as a range-partitioned sort on the hash (one exchange);
+    compose with :func:`~spark_extension_spark.operators.row_numbers.with_row_numbers`
+    for contiguous shuffled sample ids.
+    """
+    key = F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return df.orderBy(key)

@@ -1218,3 +1218,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band string, low double, high double",
     )
     return range_join_bands(events, bands, "value")
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle — reproducible training-data ordering
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         AS shuffle_rank
+FROM documents
+"""
+
+
+@register("deterministic_shuffle_documents", _SHUFFLE_ORACLE)
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    shuffled = _text.deterministic_shuffle(docs, "doc_id", seed=42)
+    return with_row_numbers(
+        shuffled, row_number_column_name="shuffle_rank",
+        order=[F.md5(F.concat_ws("_", F.lit("42"), F.col("doc_id").cast("string"))), F.col("doc_id")],
+    )

@@ -87,3 +87,16 @@ def test_language_id_on_documents_table(spark, sf_dir):
     stats = labelled.groupBy("lang", "guess").count().collect()
     total = sum(r["count"] for r in stats)
     assert total > 0
+
+
+def test_deterministic_shuffle(spark):
+    from spark_extension_spark.operators.text import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    a = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id").collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id").collect()]
+    assert a == b                       # reproducible
+    assert a != list(range(50))         # actually permuted
+    assert sorted(a) == list(range(50)) # a permutation
+    c = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=7).collect()]
+    assert c != a                       # seed changes the permutation
