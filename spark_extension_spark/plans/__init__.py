@@ -62,7 +62,10 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
         for kind in _JOIN_KINDS:
             if kind in stripped:
                 summary.joins.append(kind)
-        if re.search(r"\bExchange\b", stripped) and "Reused" not in stripped:
+        # formatted explain prints each node twice: a tree line
+        # "+- Exchange (5)" and a detail header "(5) Exchange" — count
+        # only the tree form
+        if re.search(r"\bExchange(\b[^(]*)?\(\d+\)", stripped) and "Reused" not in stripped:
             summary.exchanges += 1
         if "PushedFilters:" in stripped:
             summary.pushed_filters.append(stripped.split("PushedFilters:", 1)[1].strip())

@@ -760,7 +760,50 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf_topk_embeddings")  # approximate: rows-only check
+# full SQL replica of the IVF pipeline — every stage is deterministic:
+# centroids are the 16 lowest-id vectors (cell = rank by vec_id), corpus
+# rows assign to their single nearest centroid (cosine desc, cell asc —
+# the kernel's stable argsort order), queries probe their 4 nearest
+# cells, and exact cosine ranks candidates
+_IVF_ORACLE = """
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+corpus AS (
+  SELECT e.vec_id, e.embedding AS v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY rnk <= 1
+),
+queries AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id % 50 = 0
+  QUALIFY rnk <= 4
+),
+candidates AS (
+  SELECT DISTINCT q.query_id, c.vec_id, q.qv, c.v
+  FROM corpus c JOIN queries q USING (cell)
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         list_cosine_similarity(qv::DOUBLE[], v::DOUBLE[]) AS cosine
+  FROM candidates
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@register("similarity_ivf_topk_embeddings", _IVF_ORACLE)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -928,10 +971,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(_docs_with_exact_dups(spark, sf_dir))
 
 
+# NOTE: the column path is projected as a dot-joined STRING on both
+# sides — the driver's canonicalizer sorts cells with pandas, which
+# raises "unhashable type: 'list'" on array-typed cells
 _PQ_BLOCK_COLS_ORACLE = f"""
 SELECT regexp_extract(file_name, '[^/]+$') AS filename,
        CAST(row_group_id + 1 AS INT) AS block,
-       string_split(path_in_schema, ', ') AS "column",
+       replace(path_in_schema, ', ', '.') AS "column",
        compression AS codec,
        type,
        CAST(total_compressed_size AS BIGINT) AS "compressedBytes",
@@ -947,8 +993,10 @@ def q_parquet_block_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return parquet_block_columns(spark, f"{sf_dir}/orders.parquet").select(
         F.element_at(F.split("filename", "/"), -1).alias("filename"),
-        "block", "column", "codec", "type",
-        "compressedBytes", "uncompressedBytes", "values",
+        F.col("block"),
+        F.array_join("column", ".").alias("column"),
+        F.col("codec"), F.col("type"),
+        F.col("compressedBytes"), F.col("uncompressedBytes"), F.col("values"),
     )
 
 

@@ -34,13 +34,32 @@ def test_row_numbers_offsets_join_is_broadcast(spark):
     assert plan.read_columns()[0] == ["o_orderkey", "o_orderdate"]
 
 
-def test_similarity_broadcasts_queries(spark):
+def test_similarity_topk_is_single_scan_no_join(spark):
     plan = summarize_plan(QUERIES["similarity_topk_embeddings"](spark, SF))
-    # the query side is explicitly broadcast; the non-equi condition
-    # makes BroadcastNestedLoop the correct strategy (cartesian would
-    # mean the broadcast hint was lost)
-    assert "BroadcastNestedLoopJoin" in plan.joins
+    # queries ship inside the kernel closure: the corpus is scanned once
+    # with no join at all; the only exchange is the final rank window
+    # over k × #queries tiny rows
+    assert plan.joins == []
     assert not plan.has_cartesian
+    assert plan.exchanges == 1
+    assert plan.read_columns() == [["vec_id", "embedding"]]
+
+
+def test_embedding_near_dup_caps_buckets_before_join(spark):
+    from spark_extension_spark.plans import explain_text
+    from spark_extension_spark.operators.similarity import embedding_near_dup_pairs
+    from spark_extension_spark.registry import load
+
+    emb = load(spark, SF, "embeddings")
+    capped = embedding_near_dup_pairs(emb, threshold=0.0, max_bucket_size=2)
+    text = explain_text(capped)
+    # the degenerate-bucket guard must appear in the physical plan (a
+    # count window + filter on the bucket key, upstream of the self-join)
+    assert "__bucket_n" in text
+    # and it actually bounds the candidate set: every surviving bucket
+    # has <= 2 members, so <= 1 pair per bucket side
+    uncapped = embedding_near_dup_pairs(emb, threshold=0.0, max_bucket_size=None)
+    assert capped.count() <= uncapped.count()
 
 
 def test_minhash_lsh_joins_on_buckets(spark):
