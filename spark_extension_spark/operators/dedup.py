@@ -22,6 +22,8 @@ from typing import List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import UnpersistHandle
+from .similarity import _cap_buckets
 from .text import normalize_text
 
 __all__ = [
@@ -134,6 +136,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = 1000,
+    unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
     """Candidate pairs with exact n-gram Jaccard similarity ≥ threshold.
 
@@ -141,8 +144,15 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles appearing in more documents than
     the cap (stop-shingles) — the standard skew guard: a shingle shared
     by 1M docs would otherwise create 10^12 candidate pairs.
+
+    The shingle postings are persisted (they feed both the size and the
+    candidate branch); pass an ``unpersist_handle`` to release the cache
+    after materializing the result — required in long-lived sessions
+    (e.g. per-batch inside ``foreachBatch``).
     """
     sh = shingles(df, id_col, text_col, n).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     postings = sh
@@ -213,6 +223,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: Optional[int] = 10_000,
+    unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -220,21 +232,34 @@ def minhash_lsh_pairs(
     band's full row-hash become candidates (equi-join on the band
     bucket), then candidates are verified by estimated Jaccard =
     fraction of agreeing signature components ≥ threshold.
+
+    ``max_bucket_size`` drops degenerate band buckets before the
+    self-join (a bucket of B members yields B² candidates — the classic
+    LSH blowup on boilerplate-heavy corpora); ``None`` disables the
+    guard.  The signatures are persisted (they feed both the bucket and
+    the verification branch); pass an ``unpersist_handle`` to release
+    the cache after materializing the result.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(sig)
 
     band_cols = [
         F.md5(F.concat_ws("_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
         .alias("bucket")
         for b in range(bands)
     ]
-    buckets = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("bucket"),
-    ).distinct()
+    buckets = _cap_buckets(
+        sig.select(
+            F.col(id_col),
+            F.explode(F.array(*band_cols)).alias("bucket"),
+        ).distinct(),
+        "bucket",
+        max_bucket_size,
+    )
 
     left = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     right = buckets.select(F.col(id_col).alias("id_b"), "bucket")

@@ -57,9 +57,18 @@ def with_row_numbers(
         prepared = df.withColumn(mono, F.monotonically_increasing_id())
         window_order = [F.col(mono)]
 
-    pinned = prepared.withColumn(pid, F.spark_partition_id())
-    if storage_level is not None:
-        pinned = pinned.persist(storage_level)
+    if storage_level is None:
+        # the persist is a correctness barrier, not an optimization: the
+        # local-row-number branch and the offsets branch must observe the
+        # SAME spark_partition_id assignment, which only the cache pins
+        # (the reference's RowNumbers.scala guards StorageLevel.NONE the
+        # same way on Spark >= 3.5)
+        raise ValueError(
+            "with_row_numbers requires a real storage level: the persist pins "
+            "the partitioning both plan branches depend on (use "
+            "StorageLevel.MEMORY_AND_DISK, and an unpersist_handle to release it)"
+        )
+    pinned = prepared.withColumn(pid, F.spark_partition_id()).persist(storage_level)
     if unpersist_handle is not None:
         unpersist_handle.set_dataframe(pinned)
 

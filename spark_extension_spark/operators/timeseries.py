@@ -25,7 +25,11 @@ def time_bucket(ts: Union[str, Column], width_seconds: int) -> Column:
     col = F.col(ts) if isinstance(ts, str) else ts
     epoch = F.unix_micros(col.cast("timestamp"))
     width_us = width_seconds * 1_000_000
-    return F.timestamp_micros((epoch - epoch % width_us).cast("long"))
+    # floored modulo in pure int64 arithmetic: Spark's % truncates toward
+    # zero, which would round pre-1970 (negative-epoch) timestamps UP to
+    # the wrong bucket — time_bucket semantics require flooring
+    floored_mod = ((epoch % width_us) + width_us) % width_us
+    return F.timestamp_micros((epoch - floored_mod).cast("long"))
 
 
 def time_bucket_rollup(

@@ -48,13 +48,21 @@ _METHODS = {
 }
 
 
+_installed: dict = {}
+
+
 def install() -> None:
     """Attach the extension methods to ``DataFrame``."""
     for name, fn in _METHODS.items():
         setattr(DataFrame, name, fn)
+        _installed[name] = fn
 
 
 def uninstall() -> None:
-    for name in _METHODS:
-        if hasattr(DataFrame, name):
+    """Remove only the attributes this package set: a name that now
+    holds something else (e.g. a genuine DataFrame method a future
+    Spark version defines) is left untouched."""
+    for name, fn in list(_installed.items()):
+        if getattr(DataFrame, name, None) is fn:
             delattr(DataFrame, name)
+        del _installed[name]

@@ -437,11 +437,47 @@ def q_parquet_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("parquet_partitions_lineitem")  # split planning: rows-only check
+# split-plan-invariant aggregate: whatever maxPartitionBytes /
+# parallelism produced the split plan, the partitions must tile the file
+# exactly ([0, fileLength) with no gap/overlap — the two boolean
+# invariants) and every row group must land in exactly one partition
+# (the block/byte/row/value sums, checked against DuckDB's parquet
+# metadata).  The split math itself is additionally pinned against
+# Spark's real FilePartition planning in pytest under two configs.
+_PQ_PARTITIONS_PATH = f"{_T2}/lineitem.parquet"
+_PQ_PARTITIONS_ORACLE = f"""
+SELECT CAST(0 AS BIGINT) AS min_start,
+       CAST(fm.num_row_groups AS BIGINT) AS total_blocks,
+       (SELECT CAST(SUM(total_compressed_size) AS BIGINT)
+          FROM parquet_metadata('{_PQ_PARTITIONS_PATH}')) AS total_compressed,
+       (SELECT CAST(SUM(total_uncompressed_size) AS BIGINT)
+          FROM parquet_metadata('{_PQ_PARTITIONS_PATH}')) AS total_uncompressed,
+       CAST(fm.num_rows AS BIGINT) AS total_rows,
+       (SELECT CAST(SUM(num_values) AS BIGINT)
+          FROM parquet_metadata('{_PQ_PARTITIONS_PATH}')) AS total_values,
+       CAST(1 AS BIGINT) AS n_files,
+       TRUE AS spans_file,
+       TRUE AS covers_file
+FROM parquet_file_metadata('{_PQ_PARTITIONS_PATH}') fm
+"""
+
+
+@register("parquet_partitions_lineitem", _PQ_PARTITIONS_ORACLE)
 def q_parquet_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet_metadata import parquet_partitions
 
-    return parquet_partitions(spark, f"{sf_dir}/lineitem.parquet")
+    parts = parquet_partitions(spark, f"{sf_dir}/lineitem.parquet")
+    return parts.agg(
+        F.min("start").alias("min_start"),
+        F.sum("blocks").alias("total_blocks"),
+        F.sum("compressedBytes").alias("total_compressed"),
+        F.sum("uncompressedBytes").alias("total_uncompressed"),
+        F.sum("rows").alias("total_rows"),
+        F.sum("values").alias("total_values"),
+        F.countDistinct("filename").alias("n_files"),
+        (F.max("end") == F.max("fileLength")).alias("spans_file"),
+        (F.sum("length") == F.max("fileLength")).alias("covers_file"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,37 @@ def test_asof_no_key(spark):
     assert rows == {10: "x", 30: "y"}
 
 
+def test_asof_no_key_scales_across_partitions(spark):
+    # keyless path: range-partitioned two-pass, NOT a single global
+    # window — verify the boundary carry is exact on data that spans
+    # many range partitions, including long runs with no right rows
+    from spark_extension_spark.utils import UnpersistHandle
+
+    left = spark.range(0, 1000).select(F.col("id").alias("t"))
+    # right rows only at multiples of 7 below 300: every partition
+    # beyond the first ranges must take its match from the carry chain
+    right = (
+        spark.range(0, 300, 7)
+        .select(F.col("id").alias("t"), (F.col("id") * 10).alias("v"))
+    )
+    handle = UnpersistHandle()
+    result = asof_join(left, right, on="t", unpersist_handle=handle)
+    rows = {r["t"]: r["right_t"] for r in result.collect()}
+    assert len(rows) == 1000
+    last_right = 294  # largest multiple of 7 below 300
+    for t in range(1000):
+        expected = (t // 7) * 7 if t < last_right else last_right
+        assert rows[t] == expected, f"t={t}"
+    handle()  # release the pinned union
+
+
+def test_asof_no_key_rejects_storage_level_none(spark):
+    left = spark.createDataFrame([(10,)], ["t"])
+    right = spark.createDataFrame([(5, "x")], ["t", "v"])
+    with pytest.raises(ValueError, match="storage level"):
+        asof_join(left, right, on="t", storage_level=None)
+
+
 def test_asof_tolerance(trades, quotes):
     within = asof_join(trades, quotes, on="t", by="sym", tolerance=F.lit(5))
     rows = {(r["sym"], r["t"]): r["right_t"] for r in within.collect()}

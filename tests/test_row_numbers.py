@@ -49,6 +49,15 @@ def test_row_numbers_unpersist_handle(spark):
     handle()  # must not raise
 
 
+def test_row_numbers_rejects_storage_level_none(spark):
+    # the persist is a correctness barrier (pins spark_partition_id
+    # across the two plan branches), so skipping it must be an error —
+    # the reference's RowNumbers.scala guards StorageLevel.NONE the same way
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="storage level"):
+        with_row_numbers(df, storage_level=None)
+
+
 def test_row_numbers_internal_name_collision(spark):
     df = spark.createDataFrame([(1, 2)], ["id", "_partition_id"])
     result = with_row_numbers(df)

@@ -19,6 +19,15 @@ def test_time_bucket(spark):
     assert row["b"] == datetime.datetime(2024, 1, 1, 10, 0, 0)
 
 
+def test_time_bucket_pre_epoch_floors_down(spark):
+    # negative epochs: Spark's % truncates toward zero, which would
+    # round 23:59:30 UP to 1970-01-01 00:00:00 — time_bucket must floor
+    t = datetime.datetime(1969, 12, 31, 23, 59, 30)
+    df = spark.createDataFrame([(t,)], "ts timestamp")
+    row = df.select(time_bucket("ts", 60).alias("b")).collect()[0]
+    assert row["b"] == datetime.datetime(1969, 12, 31, 23, 59, 0)
+
+
 def test_time_bucket_rollup(spark):
     t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
