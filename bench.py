@@ -56,6 +56,8 @@ HEADLINE = [
     "salted_join_lineitem_orders",
     "asof_join_events",
     "time_bucket_rollup_events",
+    "range_join_events_bands",
+    "deterministic_shuffle_documents",
 ]
 
 

@@ -73,6 +73,24 @@ def _footer(path: str):
     return pq.ParquetFile(path).metadata
 
 
+def _footer_guarded(path: str):
+    """Footer + encryption state.  Raises for an encrypted footer (parity:
+    the reference throws for all five sources without keys,
+    ParquetSuite.scala:402-417); for a plaintext footer with encrypted
+    column chunks, returns the crypto map so callers can avoid touching
+    unreadable chunk metadata (pyarrow std::terminates on access — see
+    footer_crypto module docstring)."""
+    from .footer_crypto import scan_footer_crypto
+
+    crypto = scan_footer_crypto(path)
+    if crypto.footer_encrypted:
+        raise ValueError(
+            f"parquet footer is encrypted and no decryption keys are "
+            f"available: {path}"
+        )
+    return _footer(path), crypto
+
+
 def _sum_columns(md, attr) -> int:
     return sum(
         getattr(md.row_group(g).column(c), attr)
@@ -113,26 +131,31 @@ def parquet_metadata(
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                try:
-                    md = _footer(path)
-                except Exception:
-                    # encrypted/corrupt footer: emit the filename with nulls
-                    rows.append((path, None, None, None, None, None, None,
-                                 None, None, None, "ENCRYPTED", None))
-                    continue
+                md, crypto = _footer_guarded(path)
+                if crypto.encryption == "UNENCRYPTED":
+                    compressed = _sum_columns(md, "total_compressed_size")
+                    uncompressed = sum(
+                        md.row_group(g).total_byte_size for g in range(md.num_row_groups)
+                    )
+                    values, nulls = _sum_columns(md, "num_values"), _null_count(md)
+                else:
+                    # chunk-level metadata is unreadable without keys:
+                    # null the chunk-derived sums (reference
+                    # ParquetSuite.scala:373-377 expects exactly this row)
+                    compressed = uncompressed = values = nulls = None
                 rows.append(
                     (
                         path,
                         md.num_row_groups,
-                        _sum_columns(md, "total_compressed_size"),
-                        sum(md.row_group(g).total_byte_size for g in range(md.num_row_groups)),
+                        compressed,
+                        uncompressed,
                         md.num_rows,
                         md.num_columns,
-                        _sum_columns(md, "num_values"),
-                        _null_count(md),
+                        values,
+                        nulls,
                         md.created_by,
                         str(md.schema).split("\n", 1)[-1],
-                        "UNENCRYPTED",
+                        crypto.encryption,
                         _key_values(md),
                     )
                 )
@@ -161,7 +184,7 @@ def parquet_schema(
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                md = _footer(path)
+                md, _crypto = _footer_guarded(path)
                 pq_schema = md.schema
                 for i in range(md.num_columns):
                     col = pq_schema.column(i)
@@ -213,9 +236,20 @@ def parquet_blocks(
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                md = _footer(path)
+                md, crypto = _footer_guarded(path)
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
+                    if crypto.encryption != "UNENCRYPTED":
+                        # chunk metadata unreadable: blockStart comes from
+                        # the plaintext RowGroup.file_offset, the rest of
+                        # the chunk-derived fields are null (reference
+                        # ParquetSuite.scala:388-391)
+                        rows.append(
+                            (path, g + 1, crypto.row_group_offsets[g], None,
+                             rg.total_byte_size, rg.num_rows, rg.num_columns,
+                             None, None)
+                        )
+                        continue
                     cols = [rg.column(c) for c in range(rg.num_columns)]
                     nulls, total = None, 0
                     if all(c.statistics is not None and c.statistics.null_count is not None
@@ -258,7 +292,21 @@ def parquet_block_columns(
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                md = _footer(path)
+                md, crypto = _footer_guarded(path)
+                if crypto.encryption != "UNENCRYPTED":
+                    # column paths come from the (plaintext) schema; every
+                    # chunk-level field is unreadable → null, with the
+                    # per-chunk encrypted flag from the footer scan
+                    # (reference ParquetSuite.scala:392-397)
+                    for g in range(md.num_row_groups):
+                        for c in range(md.num_columns):
+                            rows.append(
+                                (path, g + 1,
+                                 list(md.schema.column(c).path.split(".")),
+                                 None, None, None, crypto.is_encrypted(g, c),
+                                 None, None, None, None, None, None, None)
+                            )
+                    continue
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
                     for c in range(rg.num_columns):
@@ -381,7 +429,15 @@ def parquet_partitions(
         for pdf in batches:
             rows = []
             for part, path, size, start, length in pdf.itertuples(index=False):
-                md = _footer(path)
+                md, crypto = _footer_guarded(path)
+                if crypto.encryption != "UNENCRYPTED":
+                    # split planning needs per-chunk starts/sizes, which are
+                    # unreadable without keys — the reference throws here
+                    # too (ParquetSuite.scala:398-400)
+                    raise ValueError(
+                        f"cannot compute partitions for parquet file with "
+                        f"encrypted column chunks: {path}"
+                    )
                 blocks = []
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)

@@ -67,6 +67,22 @@ def test_minhash_lsh_joins_on_buckets(spark):
     assert plan.joins == []  # signatures are a single aggregate, no join
 
 
+def test_minhash_lsh_caps_buckets_before_join(spark):
+    from spark_extension_spark.plans import explain_text
+    from spark_extension_spark.operators.dedup import minhash_lsh_pairs
+    from spark_extension_spark.registry import load
+
+    docs = load(spark, SF, "documents")
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=2)
+    text = explain_text(capped)
+    # the degenerate-bucket guard must appear in the physical plan (a
+    # count window + filter on the bucket key, upstream of the self-join)
+    assert "__bucket_n" in text
+    uncapped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=None)
+    assert "__bucket_n" not in explain_text(uncapped)
+    assert capped.count() <= uncapped.count()
+
+
 def test_dedup_clusters_single_aggregate(spark):
     plan = summarize_plan(QUERIES["dedup_clusters_documents"](spark, SF))
     assert plan.joins == []
