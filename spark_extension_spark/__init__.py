@@ -27,6 +27,8 @@ from .operators import (
     with_row_numbers,
     SortedGroupByDataFrame,
     group_by_sorted,
+    group_by_key_sorted,
+    KeySortedGroups,
     deterministic_shuffle,
     fingerprint,
     language_id,

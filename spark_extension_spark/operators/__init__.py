@@ -13,7 +13,12 @@ from .comparators import (
 from .diff import DiffMode, DiffOptions, Differ, diff, diff_with
 from .histogram import histogram
 from .row_numbers import with_row_numbers
-from .sorted_groups import SortedGroupByDataFrame, group_by_sorted
+from .sorted_groups import (
+    KeySortedGroups,
+    SortedGroupByDataFrame,
+    group_by_key_sorted,
+    group_by_sorted,
+)
 from .text import (
     deterministic_shuffle,
     fingerprint,
@@ -70,6 +75,8 @@ __all__ = [
     "with_row_numbers",
     "SortedGroupByDataFrame",
     "group_by_sorted",
+    "group_by_key_sorted",
+    "KeySortedGroups",
     "deterministic_shuffle",
     "fingerprint", "language_id", "normalize_text", "quality_metrics",
     "regex_token_count", "token_count", "with_quality_metrics",

@@ -33,7 +33,12 @@ from pyspark.sql import types as T
 
 from ..utils import backticks
 
-__all__ = ["SortedGroupByDataFrame", "group_by_sorted"]
+__all__ = [
+    "SortedGroupByDataFrame",
+    "KeySortedGroups",
+    "group_by_sorted",
+    "group_by_key_sorted",
+]
 
 
 def _as_cols(cols: Sequence[Union[str, Column]]) -> List[Column]:
@@ -142,6 +147,82 @@ def group_by_sorted(
     if isinstance(order_columns, (str, Column)):
         order_columns = [order_columns]
     return SortedGroupByDataFrame(df, key_columns, order_columns, partitions, reverse)
+
+
+class KeySortedGroups:
+    """Groups keyed by an arbitrary ``key(row)`` function, iterating in
+    ``order(row)`` order (reference package.scala:865-919,
+    ``groupByKeySorted(V => K)(V => O)``).
+
+    The lambda key is opaque to Catalyst — the reference documents this as
+    the slow path and tells users to prefer column keys
+    (package.scala:794-797); :func:`group_by_sorted` is that fast path.
+    Here the distributed shape is the classic RDD one: tag each row with
+    its ``(key, order)`` tuple, then one
+    ``repartitionAndSortWithinPartitions`` — partitioned on ``key`` alone
+    (hash), sorted on the composite — so groups land contiguous and
+    pre-sorted on their partition with a single shuffle and a spilling
+    external sort, same scale profile as the column path.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key: Callable[[Row], object],
+        order: Callable[[Row], object],
+        partitions: Optional[int] = None,
+        reverse: bool = False,
+    ) -> None:
+        from pyspark.rdd import portable_hash
+
+        self._df = df
+        n = partitions or df.rdd.getNumPartitions() or df.sparkSession.sparkContext.defaultParallelism
+        key_fn, order_fn = key, order
+        tagged = df.rdd.map(lambda r: ((key_fn(r), order_fn(r)), r))
+        self.sorted_rdd = tagged.repartitionAndSortWithinPartitions(
+            numPartitions=n,
+            partitionFunc=lambda ko: portable_hash(ko[0]),
+            ascending=not reverse,
+        )
+
+    def flat_map_sorted_groups(
+        self,
+        fn: Callable[[object, Iterator[Row]], Iterator],
+        schema: Union[str, T.StructType],
+        state: Optional[Callable[[object], object]] = None,
+    ) -> DataFrame:
+        """Apply ``fn(key, sorted_row_iterator)`` per group, lazily (rows
+        stream through ``itertools.groupby``; a group is never
+        materialized).  With ``state``, calls ``fn(state(key), row)`` per
+        row (the reference's stateful variant)."""
+        user_fn, state_factory = fn, state
+
+        def run_partition(pairs: Iterator) -> Iterator:
+            grouped = itertools.groupby(pairs, key=lambda kv: kv[0][0])
+            if state_factory is None:
+                for key, group in grouped:
+                    yield from user_fn(key, (row for _, row in group))
+            else:
+                for key, group in grouped:
+                    st = state_factory(key)
+                    for _, row in group:
+                        yield from user_fn(st, row)
+
+        spark = self._df.sparkSession
+        return spark.createDataFrame(self.sorted_rdd.mapPartitions(run_partition), schema)
+
+
+def group_by_key_sorted(
+    df: DataFrame,
+    key: Callable[[Row], object],
+    order: Callable[[Row], object],
+    partitions: Optional[int] = None,
+    reverse: bool = False,
+) -> KeySortedGroups:
+    """``ds.groupByKeySorted(row => k)(row => o, reverse)`` (reference
+    package.scala:865-919).  ``key``/``order`` take a :class:`Row` and
+    must return hashable, orderable values (tuples for compound keys)."""
+    return KeySortedGroups(df, key, order, partitions, reverse)
 
 
 def group_by_key(df: DataFrame, *key_columns: Union[str, Column]):

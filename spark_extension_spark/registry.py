@@ -319,6 +319,43 @@ def q_sorted_groups_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lambda-keyed variant (reference package.scala:865-919): key and order are
+# opaque row functions, shuffled once via repartitionAndSortWithinPartitions.
+# The lambda here is SQL-expressible on purpose so the oracle can replicate
+# it; real users would pass genuinely non-columnar keys.
+_RUNNING_SUM_LAMBDA_ORACLE = """
+SELECT l_orderkey % 97 AS bucket, l_orderkey, l_linenumber,
+       SUM(l_quantity) OVER (
+         PARTITION BY l_orderkey % 97
+         ORDER BY l_orderkey, l_linenumber, l_quantity
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+FROM lineitem
+"""
+
+
+@register("sorted_groups_lambda_running_sum", _RUNNING_SUM_LAMBDA_ORACLE)
+def q_sorted_groups_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sorted_groups import group_by_key_sorted
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def running(key, rows):
+        total = 0.0
+        for r in rows:
+            total += r["l_quantity"]
+            yield (key, r["l_orderkey"], r["l_linenumber"], total)
+
+    return group_by_key_sorted(
+        li,
+        key=lambda r: r["l_orderkey"] % 97,
+        order=lambda r: (r["l_orderkey"], r["l_linenumber"], r["l_quantity"]),
+    ).flat_map_sorted_groups(
+        running, "bucket long, l_orderkey long, l_linenumber int, run_qty double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # partitioned write — layout write + read-back equivalence
 # ---------------------------------------------------------------------------

@@ -114,3 +114,86 @@ def test_lazy_iteration_handles_one_huge_group(spark):
         head_tail, "k int, first long, last long, n long"
     ).collect()[0]
     assert (row["first"], row["last"], row["n"]) == (0, 499_999, 500_000)
+
+
+# -- lambda-keyed variant (reference package.scala:865-919) -----------------
+
+
+def test_group_by_key_sorted_lambda(df):
+    from spark_extension_spark import group_by_key_sorted
+
+    grouped = group_by_key_sorted(df, key=lambda r: r["k"] % 2, order=lambda r: (r["k"], r["o"]))
+
+    def collect_order(key, rows):
+        yield (key, [r["v"] for r in rows])
+
+    result = grouped.flat_map_sorted_groups(collect_order, "key long, vs array<long>")
+    got = {r["key"]: r["vs"] for r in result.collect()}
+    # odd k's (1, 3) interleave in (k, o) order; even k (2) alone
+    assert got == {
+        1: [11, 12, 13, 31, 32, 33],
+        0: [21, 22, 23],
+    }
+
+
+def test_group_by_key_sorted_reverse(df):
+    from spark_extension_spark import group_by_key_sorted
+
+    grouped = group_by_key_sorted(
+        df, key=lambda r: r["k"], order=lambda r: r["o"], reverse=True
+    )
+
+    def collect_order(key, rows):
+        yield (key, [r["o"] for r in rows])
+
+    result = grouped.flat_map_sorted_groups(collect_order, "key long, os array<long>")
+    assert {r["key"]: r["os"] for r in result.collect()}[2] == [3, 2, 1]
+
+
+def test_group_by_key_sorted_stateful_and_partitions(df):
+    from spark_extension_spark import group_by_key_sorted
+
+    grouped = group_by_key_sorted(df, key=lambda r: r["k"], order=lambda r: r["o"], partitions=2)
+    assert grouped.sorted_rdd.getNumPartitions() == 2
+
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+    def per_row(state, row):
+        state.n += 1
+        yield (row["k"], row["o"], state.n)
+
+    result = grouped.flat_map_sorted_groups(
+        per_row, "k long, o long, n long", state=lambda key: Counter()
+    )
+    got = {(r["k"], r["o"]): r["n"] for r in result.collect()}
+    assert got[(3, 1)] == 1 and got[(3, 2)] == 2 and got[(3, 3)] == 3
+
+
+def test_group_by_key_sorted_matches_window(spark, sf_dir):
+    """Lambda path must agree with the declarative window formulation."""
+    from spark_extension_spark import group_by_key_sorted
+    from spark_extension_spark.registry import load
+    from pyspark.sql import Window
+
+    # registry.load handles events' INT64 TIMESTAMP(NANOS) column
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value").limit(2000)
+
+    def running(key, rows):
+        total = 0.0
+        for r in rows:
+            total += r["value"] or 0.0
+            yield (key, r["ts"], total)
+
+    got = group_by_key_sorted(
+        events, key=lambda r: r["user_id"], order=lambda r: (r["ts"],)
+    ).flat_map_sorted_groups(running, "user_id long, ts long, run double")
+
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    want = events.select(
+        "user_id", "ts", F.sum(F.coalesce("value", F.lit(0.0))).over(w).alias("run")
+    )
+    diff = got.join(want, ["user_id", "ts"]).where(F.abs(got["run"] - want["run"]) > 1e-6)
+    assert got.count() == want.count()
+    assert diff.count() == 0
