@@ -58,6 +58,12 @@ HEADLINE = [
     "time_bucket_rollup_events",
     "range_join_events_bands",
     "deterministic_shuffle_documents",
+    "sorted_groups_lambda_running_sum",
+    "sessionize_events",
+    "stratified_sample_documents",
+    "split_assign_documents",
+    "pack_blocks_documents",
+    "scrub_pii_documents",
 ]
 
 

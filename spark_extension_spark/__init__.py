@@ -30,6 +30,14 @@ from .operators import (
     group_by_key_sorted,
     KeySortedGroups,
     deterministic_shuffle,
+    scrub_pii,
+    with_scrubbed_pii,
+    pack_blocks,
+    with_running_total,
+    assign_splits,
+    hash_sample,
+    hash_uniform,
+    stratified_sample,
     fingerprint,
     language_id,
     normalize_text,
@@ -50,6 +58,8 @@ from .operators import (
     rp_lsh_topk,
     asof_join,
     range_join_bands,
+    sessionize,
+    session_summary,
     time_bucket,
     time_bucket_rollup,
     salted_join,

@@ -19,8 +19,12 @@ from .sorted_groups import (
     group_by_key_sorted,
     group_by_sorted,
 )
+from .packing import pack_blocks, with_running_total
+from .sampling import assign_splits, hash_sample, hash_uniform, stratified_sample
 from .text import (
     deterministic_shuffle,
+    scrub_pii,
+    with_scrubbed_pii,
     fingerprint,
     language_id,
     normalize_text,
@@ -45,7 +49,13 @@ from .similarity import (
     rp_lsh_topk,
 )
 from .asof import asof_join
-from .timeseries import range_join_bands, time_bucket, time_bucket_rollup
+from .timeseries import (
+    range_join_bands,
+    session_summary,
+    sessionize,
+    time_bucket,
+    time_bucket_rollup,
+)
 from .skew import salted_join, with_salt
 from .multimodal import (
     blob_metadata,
@@ -78,6 +88,14 @@ __all__ = [
     "group_by_key_sorted",
     "KeySortedGroups",
     "deterministic_shuffle",
+    "scrub_pii",
+    "with_scrubbed_pii",
+    "pack_blocks",
+    "with_running_total",
+    "assign_splits",
+    "hash_sample",
+    "hash_uniform",
+    "stratified_sample",
     "fingerprint", "language_id", "normalize_text", "quality_metrics",
     "regex_token_count", "token_count", "with_quality_metrics",
     "duplicate_clusters", "exact_dedup", "minhash_lsh_pairs",
@@ -86,6 +104,7 @@ __all__ = [
     "rp_lsh_topk",
     "asof_join",
     "range_join_bands", "time_bucket", "time_bucket_rollup",
+    "sessionize", "session_summary",
     "salted_join", "with_salt",
     "blob_metadata", "decode_images", "make_fake_image_blob",
     "sample_frame_indices", "with_blob_metadata",

@@ -1,0 +1,156 @@
+"""Sequence packing: place an ordered stream of documents into
+fixed-capacity token blocks (GPT-style concatenate-and-chunk).
+
+``pack_blocks`` computes, for every document, the exclusive running token
+total before it and the first/last block index it lands in when the
+corpus is concatenated in order and cut every ``capacity`` tokens.  This
+is the closed-form (window) formulation of pretraining data packing — no
+stateful scan, no driver loop.
+
+The running total is the hard part at scale: a bare
+``Window.orderBy(...)`` collapses the dataset into ONE partition (the
+same trap the reference documents for global row numbers,
+ROW_NUMBER.md:4-8).  :func:`with_running_total` reuses the reference's
+5-step fix (RowNumbers.scala:43-95, already implemented in
+``row_numbers.py``): range-sort, pin partitioning with persist, local
+per-partition cumulative sums, prefix-sum the ≤ #partitions per-partition
+totals, broadcast-join the offsets back.  The only serial step sees one
+row per partition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..utils import UnpersistHandle, backticks, distinct_prefix_for
+
+__all__ = ["with_running_total", "pack_blocks"]
+
+
+def _cols(cols: Sequence[Union[str, Column]]):
+    return [F.col(backticks(c)) if isinstance(c, str) else c for c in cols]
+
+
+def with_running_total(
+    df: DataFrame,
+    value_col: Union[str, Column],
+    order: Sequence[Union[str, Column]],
+    by: Sequence[str] = (),
+    out: str = "running_total",
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in ``order``.
+
+    With ``by`` keys this is an ordinary per-key window (one hash
+    shuffle, fully parallel).  Without keys it is the *global* prefix
+    sum, computed scalably with the partition-offsets technique instead
+    of a single-partition window."""
+    value = _cols([value_col])[0].cast("long")
+    order_cols = _cols(order)
+    if by:
+        w = (
+            Window.partitionBy(*_cols(by))
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out, F.sum(value).over(w))
+
+    prefix = distinct_prefix_for(df.columns)
+    pid = prefix + "partition_id"
+    local_sum = prefix + "local_sum"
+    part_total = prefix + "partition_total"
+    offset = prefix + "offset"
+
+    # 1) global range sort; 2) persist pins the partition assignment both
+    # plan branches below depend on (same barrier as with_row_numbers)
+    pinned = (
+        df.orderBy(*order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .persist(storage_level)
+    )
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(pinned)
+
+    # 3) per-partition inclusive cumulative sum — parallel windows
+    local_w = (
+        Window.partitionBy(pid)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pinned.withColumn(local_sum, F.sum(value).over(local_w))
+
+    # 4) one row per partition, prefix-summed in a tiny single window
+    offsets = (
+        local.groupBy(pid)
+        .agg(F.max(local_sum).alias(part_total))
+        .withColumn(
+            offset,
+            F.coalesce(
+                F.sum(part_total).over(
+                    Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(pid, offset)
+    )
+
+    # 5) broadcast the offsets back and add
+    return (
+        local.join(F.broadcast(offsets), pid, "left")
+        .withColumn(out, F.col(local_sum) + F.col(offset))
+        .drop(pid, local_sum, offset)
+    )
+
+
+def pack_blocks(
+    df: DataFrame,
+    token_col: Union[str, Column],
+    capacity: int,
+    order: Sequence[Union[str, Column]],
+    by: Sequence[str] = (),
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Concatenate-and-chunk packing: documents are laid out in ``order``
+    (within each ``by`` shard, or globally) and the token stream is cut
+    every ``capacity`` tokens.  Adds:
+
+    - ``tokens_before`` — exclusive running token total (the document's
+      start offset in the concatenated stream);
+    - ``block_first`` / ``block_last`` — 0-based indices of the blocks
+      this document's tokens fall into (a document may straddle a block
+      boundary — exactly how pretraining pipelines pack).
+
+    Empty documents (0 tokens) get ``block_last = block_first``.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    tokens = _cols([token_col])[0].cast("long")
+    cum = "__pack_cum"
+    out = with_running_total(
+        df,
+        tokens,
+        order=order,
+        by=by,
+        out=cum,
+        storage_level=storage_level,
+        unpersist_handle=unpersist_handle,
+    )
+    cap = F.lit(int(capacity))
+    return (
+        out.withColumn("tokens_before", F.col(cum) - tokens)
+        .withColumn("block_first", F.floor(F.col("tokens_before") / cap))
+        .withColumn(
+            "block_last",
+            F.when(tokens > 0, F.floor((F.col(cum) - 1) / cap)).otherwise(
+                F.col("block_first")
+            ),
+        )
+        .drop(cum)
+    )

@@ -141,6 +141,65 @@ def language_id_sql(text_expr: str, min_hits: int = 1) -> str:
     return f"CASE {clauses} ELSE 'und' END"
 
 
+# PII patterns, deliberately simple and RE2-safe so the Spark (Java
+# regex) and DuckDB (RE2) formulations match token-for-token: no
+# lookaround, no backreferences, ASCII word boundaries only.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+# scrub order matters: emails first (they contain digits/dots), then IPs,
+# then phones — counts are taken on the progressively-scrubbed text so a
+# string is never double-counted across categories
+_PII_ORDER = ["email", "ip", "phone"]
+
+
+def scrub_pii(text) -> Dict[str, Column]:
+    """Redact emails, IPv4 addresses, and phone numbers with typed
+    placeholders (``<EMAIL>``/``<IP>``/``<PHONE>``), returning the
+    scrubbed text plus a per-category match count.
+
+    Pure column algebra (JVM regex, whole-stage codegen) — scan-speed, no
+    shuffle, no UDF; the regexes are intentionally conservative
+    (precision over recall) and identical across engines for the oracle.
+    """
+    current = _col(text)
+    out: Dict[str, Column] = {}
+    for kind in _PII_ORDER:
+        pattern = _PII_PATTERNS[kind]
+        out[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(current, F.lit(pattern), F.lit(0))
+        )
+        current = F.regexp_replace(current, pattern, f"<{kind.upper()}>")
+    out["text_scrubbed"] = current
+    return out
+
+
+def scrub_pii_sql(text_expr: str) -> Dict[str, str]:
+    """DuckDB expressions in lock-step with :func:`scrub_pii` (DuckDB
+    needs the explicit ``'g'`` flag; Spark replaces all by default)."""
+    current = text_expr
+    out: Dict[str, str] = {}
+    for kind in _PII_ORDER:
+        # DuckDB single-quoted strings pass backslashes through literally
+        pattern = _PII_PATTERNS[kind].replace("'", "''")
+        out[f"n_{kind}"] = f"len(regexp_extract_all({current}, '{pattern}'))"
+        current = f"regexp_replace({current}, '{pattern}', '<{kind.upper()}>', 'g')"
+    out["text_scrubbed"] = current
+    return out
+
+
+def with_scrubbed_pii(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach ``n_email``/``n_ip``/``n_phone`` and replace ``text`` with
+    its scrubbed form."""
+    cols = scrub_pii(text)
+    out = df
+    for name, col in cols.items():
+        out = out.withColumn(name if name != "text_scrubbed" else text, col)
+    return out
+
+
 def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
     """Reproducible global shuffle for training-data ordering: rows are
     ordered by an md5 hash of (seed, id) — the same permutation on every

@@ -13,10 +13,17 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["time_bucket", "time_bucket_rollup", "range_join_bands"]
+__all__ = [
+    "time_bucket",
+    "time_bucket_rollup",
+    "range_join_bands",
+    "sessionize",
+    "session_summary",
+]
 
 
 def time_bucket(ts: Union[str, Column], width_seconds: int) -> Column:
@@ -45,6 +52,66 @@ def time_bucket_rollup(
     return (
         df.groupBy(bucket, *[F.col(c) for c in group_by])
         .agg(*[expr.alias(name) for name, expr in aggregates.items()])
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: int,
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization: assign each row a per-key ``session_id``
+    (1-based) that increments whenever the time since the key's previous
+    event exceeds ``gap``.
+
+    The classic scalable shape: one hash shuffle on ``by``, then two
+    within-partition window passes (``lag`` for the gap flag, running
+    ``sum`` for the session ordinal) — no self-join, no iteration, state
+    bounded by a partition.  At 100 TB the cost is one exchange of the
+    events table, the same as any per-key window.
+
+    ``ts_col`` may be a timestamp (``gap`` in seconds) or any numeric
+    epoch column (``gap`` in the column's own unit — the driver testdata's
+    ``events.ts`` arrives as raw nanosecond longs, so pass nanoseconds).
+
+    ``tiebreak`` columns make the ordering total when ``ts_col`` has
+    duplicates — required for deterministic session ids (ties within
+    ``gap`` never split a session, but the emitted running ordinal is
+    order-sensitive).
+    """
+    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        axis = F.unix_micros(F.col(ts_col))
+        gap_units = int(gap) * 1_000_000
+    else:
+        axis = F.col(ts_col).cast("long")
+        gap_units = int(gap)
+    order = [axis.asc(), *[F.col(c).asc() for c in tiebreak]]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    prev = F.lag(axis).over(w)
+    is_new = (prev.isNull() | ((axis - prev) > F.lit(gap_units))).cast("long")
+    run = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(is_new).over(run))
+
+
+def session_summary(
+    df: DataFrame,
+    ts_col: str,
+    gap: int,
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """One row per (key, session): event count and first/last event time.
+    A hash aggregate over :func:`sessionize` — the window's shuffle is
+    reused by the aggregate (same keys), so AQE plans a single exchange."""
+    sessions = sessionize(df, ts_col, gap, by=by, tiebreak=tiebreak)
+    return sessions.groupBy(*[F.col(c) for c in by], "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("t_first"),
+        F.max(ts_col).alias("t_last"),
     )
 
 

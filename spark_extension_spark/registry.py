@@ -1361,3 +1361,187 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffled, row_number_column_name="shuffle_rank",
         order=[F.md5(F.concat_ws("_", F.lit("42"), F.col("doc_id").cast("string"))), F.col("doc_id")],
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based per-user sessions over events
+# ---------------------------------------------------------------------------
+
+# events.ts arrives as raw nanosecond longs in Spark and µs-truncated
+# TIMESTAMP in DuckDB — both sides work in µs (ts div 1000 / epoch_us)
+_SESSION_GAP_US = 3_600_000_000  # 1 hour
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), d AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), s AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS t_first, MAX(ts_us) AS t_last
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", _SESSIONIZE_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import session_summary
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return session_summary(
+        ev, "ts_us", gap=_SESSION_GAP_US, by=["user_id"], tiebreak=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling — reproducible stratified sample + frozen splits
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import assign_splits_sql as _splits_sql
+from .operators.sampling import hash_uniform_sql as _uniform_sql
+
+_STRAT_FRACTIONS = {"en": 0.5, "zh": 0.2, "de": 0.35}
+_STRAT_DEFAULT = 0.05
+_STRAT_SEED = 7
+
+_STRAT_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{v}' THEN {f!r}" for v, f in _STRAT_FRACTIONS.items()
+) + f" ELSE {_STRAT_DEFAULT!r} END"
+
+_STRAT_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_uniform_sql('doc_id', _STRAT_SEED)} < {_STRAT_CASE}
+"""
+
+
+@register("stratified_sample_documents", _STRAT_SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return stratified_sample(
+        docs, "lang", _STRAT_FRACTIONS, "doc_id",
+        seed=_STRAT_SEED, default=_STRAT_DEFAULT,
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 11
+
+_SPLIT_ASSIGN_ORACLE = f"""
+SELECT doc_id, {_splits_sql('doc_id', _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split
+FROM documents
+"""
+
+
+@register("split_assign_documents", _SPLIT_ASSIGN_ORACLE)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import assign_splits
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(docs, _SPLIT_WEIGHTS, "doc_id", seed=_SPLIT_SEED)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — concatenate-and-chunk into fixed token blocks
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, tokens_before,
+       CAST(tokens_before // {_PACK_CAPACITY} AS BIGINT) AS block_first,
+       CAST(CASE WHEN n_tok > 0 THEN (tokens_before + n_tok - 1) // {_PACK_CAPACITY}
+                 ELSE tokens_before // {_PACK_CAPACITY} END AS BIGINT) AS block_last
+FROM c
+"""
+
+
+@register("pack_blocks_documents", _PACK_ORACLE)
+def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_blocks
+    from .operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_blocks(
+        docs.withColumn("n_tok", token_count("text").cast("long")),
+        "n_tok", _PACK_CAPACITY, order=["doc_id"],
+    )
+    return packed.select(
+        "doc_id", "n_tok", "tokens_before", "block_first", "block_last"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — typed redaction with per-category counts
+# ---------------------------------------------------------------------------
+
+from .operators.text import scrub_pii_sql as _scrub_sql
+
+# the corpus is synthetic word soup with no PII, so the gate plants
+# deterministic contacts derived from doc_id — identically on both sides
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "' or +1 555 010 ' || CAST(doc_id % 10000 AS VARCHAR)"
+)
+
+_SCRUB_EXPRS = _scrub_sql(f"({_PII_TEXT_SQL})")
+
+_SCRUB_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST({_SCRUB_EXPRS['n_email']} AS INT) AS n_email,
+       CAST({_SCRUB_EXPRS['n_ip']} AS INT) AS n_ip,
+       CAST({_SCRUB_EXPRS['n_phone']} AS INT) AS n_phone,
+       {_SCRUB_EXPRS['text_scrubbed']} AS text_scrubbed
+FROM documents
+"""
+
+
+@register("scrub_pii_documents", _SCRUB_PII_ORACLE)
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or +1 555 010 "), (F.col("doc_id") % 10000).cast("string"),
+        ),
+    )
+    cols = scrub_pii("text")
+    return planted.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ip"].alias("n_ip"),
+        cols["n_phone"].alias("n_phone"),
+        cols["text_scrubbed"].alias("text_scrubbed"),
+    )

@@ -1,0 +1,86 @@
+"""Deterministic sampling tests: reproducibility under repartitioning is
+the whole point (Spark's RNG-based sample is partitioning-dependent)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark import (
+    assign_splits,
+    hash_sample,
+    hash_uniform,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_hash_uniform_range_and_determinism(docs):
+    u = docs.select(hash_uniform("doc_id", seed=1).alias("u"))
+    stats = u.agg(F.min("u"), F.max("u")).first()
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+    # same seed -> identical draw; different seed -> different draw
+    again = docs.select(hash_uniform("doc_id", seed=1).alias("u"))
+    assert u.exceptAll(again).count() == 0
+    other = docs.select(hash_uniform("doc_id", seed=2).alias("u"))
+    assert u.exceptAll(other).count() > 0
+
+
+def test_hash_sample_stable_under_repartitioning(docs):
+    a = set(r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id").collect())
+    b = set(
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17), 0.3, "doc_id").collect()
+    )
+    assert a == b
+    # roughly the requested rate (hash-uniform, 500 docs)
+    assert 0.2 <= len(a) / docs.count() <= 0.4
+
+
+def test_hash_sample_bounds(docs):
+    assert hash_sample(docs, 0.0, "doc_id").count() == 0
+    assert hash_sample(docs, 1.0, "doc_id").count() == docs.count()
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_rates(docs):
+    sampled = stratified_sample(
+        docs, "lang", {"en": 1.0, "zh": 0.0}, "doc_id", default=0.0
+    )
+    langs = {r["lang"] for r in sampled.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert sampled.count() == n_en
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", {"en": 2.0}, "doc_id")
+
+
+def test_assign_splits_disjoint_exhaustive(docs):
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # exhaustive, one split each
+    assert counts["train"] > counts["val"]
+    # frozen: re-running with a different partitioning yields the same map
+    again = assign_splits(
+        docs.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    )
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_assign_splits_validation(docs):
+    with pytest.raises(ValueError, match="empty"):
+        assign_splits(docs, {}, "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        assign_splits(docs, {"a": 0.0}, "doc_id")
+
+
+def test_sample_filter_reaches_scan(docs, spark):
+    from spark_extension_spark.plans import summarize_plan
+
+    plan = summarize_plan(hash_sample(docs, 0.5, "doc_id"))
+    # a pure projection filter: no shuffle, no join, single scan
+    assert plan.joins == [] and plan.exchanges == 0 and plan.scans == 1

@@ -100,3 +100,53 @@ def test_deterministic_shuffle(spark):
     assert sorted(a) == list(range(50)) # a permutation
     c = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=7).collect()]
     assert c != a                       # seed changes the permutation
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+
+def test_scrub_pii_categories(spark):
+    from spark_extension_spark import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.org now",),
+            ("server at 192.168.0.17 port 80",),
+            ("call +44 20 7946 0958 today",),
+            ("clean text with no contacts",),
+        ],
+        ["text"],
+    )
+    cols = scrub_pii("text")
+    out = df.select(
+        cols["n_email"].alias("ne"), cols["n_ip"].alias("ni"),
+        cols["n_phone"].alias("np"), cols["text_scrubbed"].alias("t"),
+    ).collect()
+    assert (out[0]["ne"], out[0]["t"]) == (1, "mail <EMAIL> now")
+    assert (out[1]["ni"], out[1]["t"]) == (1, "server at <IP> port 80")
+    assert (out[2]["np"], out[2]["t"]) == (1, "call <PHONE> today")
+    assert out[3] == (0, 0, 0, "clean text with no contacts")
+
+
+def test_scrub_pii_no_double_count(spark):
+    from spark_extension_spark import scrub_pii
+
+    # the email contains digits and the IP contains phone-like digit runs:
+    # progressive scrubbing must attribute each once
+    df = spark.createDataFrame([("a1.b2@x.io and 10.20.30.40 and +1 555 123 9876",)], ["text"])
+    cols = scrub_pii("text")
+    row = df.select(
+        cols["n_email"].alias("ne"), cols["n_ip"].alias("ni"),
+        cols["n_phone"].alias("np"), cols["text_scrubbed"].alias("t"),
+    ).first()
+    assert (row["ne"], row["ni"], row["np"]) == (1, 1, 1)
+    assert row["t"] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_with_scrubbed_pii_replaces_text(spark):
+    from spark_extension_spark import with_scrubbed_pii
+
+    df = spark.createDataFrame([(1, "write to a@b.co")], ["id", "text"])
+    out = with_scrubbed_pii(df).first()
+    assert out["text"] == "write to <EMAIL>"
+    assert out["n_email"] == 1 and out["n_ip"] == 0 and out["n_phone"] == 0

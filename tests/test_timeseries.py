@@ -58,3 +58,60 @@ def test_range_join_is_broadcast(spark):
     plan = summarize_plan(range_join_bands(facts, bands, "v"))
     assert "BroadcastNestedLoopJoin" in plan.joins
     assert not plan.has_cartesian
+
+
+# -- sessionization ---------------------------------------------------------
+
+
+def test_sessionize_gap_splitting(spark):
+    from spark_extension_spark import sessionize
+
+    rows = [
+        # user 1: events at t=0s, 10s, 2000s, 2010s -> two sessions
+        (1, 1, 0), (1, 2, 10_000_000), (1, 3, 2_000_000_000), (1, 4, 2_010_000_000),
+        # user 2: single event
+        (2, 5, 500),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts_us"])
+    out = sessionize(df, "ts_us", gap=1_000_000_000, by=["user_id"], tiebreak=["event_id"])
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_timestamp_column(spark):
+    from spark_extension_spark import sessionize
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (1, 2, base + dt.timedelta(minutes=10)),
+        (1, 3, base + dt.timedelta(hours=3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = sessionize(df, "ts", gap=3600, by=["user_id"], tiebreak=["event_id"])
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_session_summary_counts(spark):
+    from spark_extension_spark import session_summary
+
+    rows = [(1, i, i * 100) for i in range(5)] + [(1, 9, 10_000_000)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts_us"])
+    out = session_summary(df, "ts_us", gap=1_000_000, by=["user_id"], tiebreak=["event_id"])
+    got = {r["session_id"]: (r["n_events"], r["t_first"], r["t_last"]) for r in out.collect()}
+    assert got == {1: (5, 0, 400), 2: (1, 10_000_000, 10_000_000)}
+
+
+def test_sessionize_single_exchange(spark):
+    from spark_extension_spark import sessionize
+    from spark_extension_spark.plans import summarize_plan
+    from spark_extension_spark.registry import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("user_id", "event_id", "ts")
+    plan = summarize_plan(
+        sessionize(ev, "ts", gap=10**12, by=["user_id"], tiebreak=["event_id"])
+    )
+    # both window passes share the user_id hash partitioning: one shuffle
+    assert plan.exchanges == 1 and plan.joins == []
