@@ -64,6 +64,8 @@ HEADLINE = [
     "split_assign_documents",
     "pack_blocks_documents",
     "scrub_pii_documents",
+    "repetition_metrics_documents",
+    "bucketed_join_orders_customer",
 ]
 
 

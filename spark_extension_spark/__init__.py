@@ -43,6 +43,7 @@ from .operators import (
     normalize_text,
     quality_metrics,
     regex_token_count,
+    repetition_metrics,
     token_count,
     with_quality_metrics,
     duplicate_clusters,
@@ -77,6 +78,9 @@ from .sources import (
     parquet_partitions,
     parquet_schema,
     write_partitioned_by,
+    write_bucketed,
+    read_bucketed,
+    colocated_join,
 )
 from .patch import install, uninstall
 from .version import spark_version, spark_version_at_least

@@ -30,6 +30,7 @@ from .text import (
     normalize_text,
     quality_metrics,
     regex_token_count,
+    repetition_metrics,
     token_count,
     with_quality_metrics,
 )
@@ -97,7 +98,8 @@ __all__ = [
     "hash_uniform",
     "stratified_sample",
     "fingerprint", "language_id", "normalize_text", "quality_metrics",
-    "regex_token_count", "token_count", "with_quality_metrics",
+    "regex_token_count",
+    "repetition_metrics", "token_count", "with_quality_metrics",
     "duplicate_clusters", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine_similarity", "embedding_near_dup_pairs",

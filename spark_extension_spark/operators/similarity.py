@@ -241,15 +241,56 @@ def rp_bucket(vec: Column, planes: List[List[int]]) -> Column:
     return F.concat(*bits)
 
 
+def _bucket_column(df: DataFrame, vec_col: str, planes: List[List[int]]) -> DataFrame:
+    """Attach ``__bucket`` (the sign bit-string) via one Arrow/numpy
+    matmul per batch.
+
+    The column-algebra :func:`rp_bucket` is an interpreted fold of
+    #planes × dim multiply-adds per row, and — because Catalyst does no
+    common-subexpression elimination inside lambda bodies — every probe
+    variant derived from that *expression* would re-evaluate the whole
+    fold.  Materializing the bucket as a real column makes the probe
+    variants plain substring ops on a #planes-char string."""
+    import numpy as np
+
+    plane_matrix = np.asarray(planes, dtype=np.float64).T  # (dim, p)
+    vec_name = vec_col
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, __bucket string"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__bucket=pd.Series(dtype="string"))
+                continue
+            out = pdf.copy()
+            buckets = pd.array([None] * len(pdf), dtype="string")
+            ok = pdf[vec_name].notna().to_numpy()
+            if ok.any():
+                vectors = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_name][ok]]
+                )
+                signs = (vectors @ plane_matrix) > 0  # (n, p)
+                bits = np.where(signs, "1", "0")
+                buckets[ok] = ["".join(row) for row in bits]
+            out["__bucket"] = buckets  # null vector -> null bucket (drops in join)
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def _with_buckets(
     df: DataFrame, vec_col: str, planes: List[List[int]], probes: int
 ) -> DataFrame:
     """Attach one row per probed bucket.  probes=0: exact bucket only;
     probes=1 adds every 1-bit-flip neighbour bucket."""
-    bucket = rp_bucket(F.col(vec_col), planes)
+    bucketed = _bucket_column(df, vec_col, planes)
     if probes == 0:
-        return df.withColumn("__bucket", bucket)
+        return bucketed
     num = len(planes)
+    bucket = F.col("__bucket")
     variants = [bucket] + [
         F.concat(
             F.substring(bucket, 1, i),
@@ -258,7 +299,7 @@ def _with_buckets(
         )
         for i in range(num)
     ]
-    return df.withColumn("__bucket", F.explode(F.array(*variants)))
+    return bucketed.withColumn("__bucket", F.explode(F.array(*variants)))
 
 
 def _cap_buckets(df: DataFrame, bucket_col: str, cap: Optional[int]) -> DataFrame:

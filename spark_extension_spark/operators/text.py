@@ -88,6 +88,46 @@ def with_quality_metrics(df: DataFrame, text: str = "text", prefix: str = "q_") 
     return df.select("*", *[c.alias(prefix + name) for name, c in cols.items()])
 
 
+def repetition_metrics(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules):
+    one row per non-empty document with
+
+    - ``n_tokens`` — total tokens;
+    - ``n_distinct`` — distinct tokens;
+    - ``distinct_ratio`` — vocabulary richness (low → templated/spam);
+    - ``top_token_frac`` — share of the single most frequent token
+      (high → keyword stuffing / boilerplate loops).
+
+    Shape: explode tokens → two hash aggregates keyed by the document id
+    (both map-side combined, one shuffle of (id, token) counts) — the
+    SimHash cost profile, shuffle volume bounded by vocabulary, not text
+    size.  Documents with zero tokens are omitted (no denominators).
+    """
+    t = F.trim(_col(text))
+    tok = F.explode(F.split(t, r"\s+")).alias("__token")
+    per_token = (
+        df.select(F.col(id_col), tok)
+        .where(F.col("__token") != "")
+        .groupBy(id_col, "__token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        per_token.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("__cnt").alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias("distinct_ratio"),
+            (F.col("__top").cast("double") / F.col("n_tokens").cast("double")).alias("top_token_frac"),
+        )
+    )
+
+
 # -- language identification ------------------------------------------------
 
 # high-frequency, language-distinctive function words.  ASCII-only marker

@@ -323,13 +323,17 @@ def q_sorted_groups_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # opaque row functions, shuffled once via repartitionAndSortWithinPartitions.
 # The lambda here is SQL-expressible on purpose so the oracle can replicate
 # it; real users would pass genuinely non-columnar keys.
+# orders (unique key, 1/4 the rows of lineitem): the lambda path ships
+# every row through Python pickle by definition — the reference's own
+# documented slow path — so the gate exercises it on the smaller table
+# while the column-keyed gates cover lineitem
 _RUNNING_SUM_LAMBDA_ORACLE = """
-SELECT l_orderkey % 97 AS bucket, l_orderkey, l_linenumber,
-       SUM(l_quantity) OVER (
-         PARTITION BY l_orderkey % 97
-         ORDER BY l_orderkey, l_linenumber, l_quantity
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
-FROM lineitem
+SELECT o_orderkey % 97 AS bucket, o_orderkey,
+       SUM(o_totalprice) OVER (
+         PARTITION BY o_orderkey % 97
+         ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_price
+FROM orders
 """
 
 
@@ -337,22 +341,20 @@ FROM lineitem
 def q_sorted_groups_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sorted_groups import group_by_key_sorted
 
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
 
     def running(key, rows):
         total = 0.0
         for r in rows:
-            total += r["l_quantity"]
-            yield (key, r["l_orderkey"], r["l_linenumber"], total)
+            total += r["o_totalprice"]
+            yield (key, r["o_orderkey"], total)
 
     return group_by_key_sorted(
-        li,
-        key=lambda r: r["l_orderkey"] % 97,
-        order=lambda r: (r["l_orderkey"], r["l_linenumber"], r["l_quantity"]),
+        orders,
+        key=lambda r: r["o_orderkey"] % 97,
+        order=lambda r: r["o_orderkey"],
     ).flat_map_sorted_groups(
-        running, "bucket long, l_orderkey long, l_linenumber int, run_qty double"
+        running, "bucket long, o_orderkey long, run_price double"
     )
 
 
@@ -1544,4 +1546,74 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_ip"].alias("n_ip"),
         cols["n_phone"].alias("n_phone"),
         cols["text_scrubbed"].alias("text_scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics — within-document token repetition (quality rules)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tc AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS distinct_ratio,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_frac
+FROM tc GROUP BY doc_id
+"""
+
+
+@register("repetition_metrics_documents", _REPETITION_ORACLE)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_metrics
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_metrics(docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join — shuffle paid at write time, not per query
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("bucketed_join_orders_customer", _BUCKETED_JOIN_ORACLE)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.bucketed import colocated_join, write_bucketed  # noqa: F401
+
+    base = tempfile.mkdtemp(prefix="sx_bucketed_gate_")
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "sx_gate_orders_b", 8, ["o_custkey"], sort_columns=["o_custkey"],
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "sx_gate_customer_b", 8, ["c_custkey"], sort_columns=["c_custkey"],
+        path=f"{base}/customer",
+    )
+    # bucket columns have different names on the two sides: pass the
+    # equi-condition as a Column (still a bucket-key equi-join)
+    joined = colocated_join(
+        spark, "sx_gate_orders_b", "sx_gate_customer_b",
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("total"),
     )

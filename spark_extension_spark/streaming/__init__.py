@@ -21,6 +21,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_histogram",
     "streaming_quality_monitor",
+    "streaming_sessionize",
     "foreach_batch_diff",
 ]
 
@@ -97,6 +98,39 @@ def streaming_quality_monitor(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg(F.length(t)).alias("mean_chars"),
             F.sum(F.when(F.trim(t) == "", 1).otherwise(0)).alias("n_empty"),
+        )
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    by: Sequence[str] = ("user_id",),
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+    aggregates=None,
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's native
+    ``session_window``: one row per closed (key, session) with event
+    count, session bounds, and any extra ``aggregates`` (name → Column).
+
+    The streaming analogue of
+    :func:`~spark_extension_spark.operators.timeseries.session_summary`:
+    the same gap semantics, but sessions extend while events keep
+    arriving within ``gap`` and close when the watermark passes — state
+    per open session only, evicted on close, so it runs indefinitely."""
+    extra = aggregates or {}
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(event_time_col), gap).alias("session"),
+            *[F.col(c) for c in by],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(event_time_col).alias("t_first"),
+            F.max(event_time_col).alias("t_last"),
+            *[c.alias(n) for n, c in extra.items()],
         )
     )
 

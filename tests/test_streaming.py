@@ -115,3 +115,34 @@ def test_foreach_batch_diff(spark, stream_source, tmp_path):
     assert (1, "N") in seen          # identical row
     assert (9, "I") in seen          # reference-only row
     assert any(k[1] == "D" for k in seen)  # stream-only rows
+
+
+def test_streaming_sessionize(spark, tmp_path_factory):
+    from spark_extension_spark.streaming import streaming_sessionize
+
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    rows = [
+        # user 1: two bursts separated by > 30 min -> two sessions
+        (1, T0),
+        (1, T0 + datetime.timedelta(minutes=5)),
+        (1, T0 + datetime.timedelta(minutes=90)),
+        # user 2: one event
+        (2, T0 + datetime.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(path)
+    out = _run(
+        spark,
+        streaming_sessionize(stream, gap="30 minutes", by=["user_id"]),
+        "sessions_test",
+        mode="complete",
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in out.collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
+    bounds = {
+        (r["user_id"], r["n_events"]): (r["t_first"], r["t_last"]) for r in out.collect()
+    }
+    assert bounds[(1, 2)] == (T0, T0 + datetime.timedelta(minutes=5))

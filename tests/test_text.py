@@ -150,3 +150,34 @@ def test_with_scrubbed_pii_replaces_text(spark):
     out = with_scrubbed_pii(df).first()
     assert out["text"] == "write to <EMAIL>"
     assert out["n_email"] == 1 and out["n_ip"] == 0 and out["n_phone"] == 0
+
+
+# -- repetition metrics -----------------------------------------------------
+
+
+def test_repetition_metrics_values(spark):
+    from spark_extension_spark import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),           # 5 tokens, 2 distinct, top=4/5
+            (2, "x y z"),               # all distinct
+            (3, "   "),                 # no tokens -> omitted
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df, "doc_id").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_tokens"] == 5 and got[1]["n_distinct"] == 2
+    assert abs(got[1]["top_token_frac"] - 0.8) < 1e-12
+    assert abs(got[1]["distinct_ratio"] - 0.4) < 1e-12
+    assert got[2]["distinct_ratio"] == 1.0 and got[2]["top_token_frac"] == pytest.approx(1 / 3)
+
+
+def test_repetition_metrics_no_join(spark):
+    from spark_extension_spark import repetition_metrics
+    from spark_extension_spark.plans import summarize_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = summarize_plan(repetition_metrics(docs, "doc_id"))
+    assert plan.joins == []  # two chained aggregates, no self-join
