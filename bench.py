@@ -66,6 +66,7 @@ HEADLINE = [
     "scrub_pii_documents",
     "repetition_metrics_documents",
     "bucketed_join_orders_customer",
+    "near_dup_clusters_documents",
 ]
 
 

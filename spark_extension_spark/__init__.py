@@ -49,6 +49,8 @@ from .operators import (
     duplicate_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    connected_components,
+    near_dup_clusters,
     minhash_signatures,
     ngram_jaccard_pairs,
     shingles,

@@ -35,6 +35,8 @@ from .text import (
     with_quality_metrics,
 )
 from .dedup import (
+    connected_components,
+    near_dup_clusters,
     duplicate_clusters,
     exact_dedup,
     minhash_lsh_pairs,

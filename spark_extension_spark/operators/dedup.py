@@ -34,6 +34,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "connected_components",
+    "near_dup_clusters",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -323,3 +325,91 @@ def simhash(
         bit = F.when(F.col(f"bit_{i}") > 0, weight).otherwise(F.lit(0).cast("long"))
         value = bit if value is None else value + bit
     return voted.select(F.col(id_col), value.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# connected components — pair lists -> dedup cluster assignments
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: one row per
+    node with ``cluster_id`` = the smallest node id reachable from it.
+    The step that turns near-duplicate *pairs* (LSH / n-gram Jaccard
+    output) into dedup *decisions* (keep one doc per cluster).
+
+    Min-label propagation: each iteration joins current labels to the
+    symmetrized edges, takes the per-node minimum over neighbour labels,
+    and stops when no label changed.  Iterations needed = graph diameter
+    (near-dup graphs are piles of small cliques — single digits), each
+    iteration is one equi-join + one aggregate keyed by node id, and
+    every intermediate is persisted/released — nothing driver-side but
+    the converged-yet? count.  For adversarial long-chain graphs swap in
+    large-star/small-star; the API is the same.
+    """
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbour_min = (
+                sym.join(labels, sym["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("__nbr_min"))
+            )
+            new_labels = (
+                labels.join(neighbour_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("__nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                f"iterations — pathological chain graph; use a larger limit "
+                f"or a star-contraction variant"
+            )
+        return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    finally:
+        sym.unpersist()
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster assignment (``doc_id``, ``cluster_id``) for every document
+    appearing in a near-duplicate pair list; ``cluster_id`` is the
+    smallest doc id in the component, so "keep the representative" is
+    ``WHERE doc_id = cluster_id`` and "drop the rest" is the negation."""
+    return connected_components(
+        pairs, src=id_a, dst=id_b, max_iterations=max_iterations
+    ).select(F.col("id").alias("doc_id"), "cluster_id")

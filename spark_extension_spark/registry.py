@@ -629,8 +629,9 @@ SELECT doc_id + 200000 AS doc_id, text || ' zz7 qq9 extra suffix tokens' AS text
 FROM documents WHERE doc_id % 7 = 0
 """
 
-_NGRAM_JACCARD_ORACLE = f"""
-WITH corpus AS ({_NEAR_DUPS_SQL}),
+# shared CTE block: corpus-with-planted-near-dups -> qualifying pairs
+# (reused verbatim by the connected-components oracle below)
+_NGRAM_PAIR_CTES = f"""corpus AS ({_NEAR_DUPS_SQL}),
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
   FROM corpus
@@ -646,14 +647,20 @@ common AS (
   FROM sh a JOIN sh b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT id_a, id_b, common,
-       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
-       CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) >= 0.6
+),
+pairs AS (
+  SELECT id_a, id_b, common,
+         sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+         CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) >= 0.6
+)"""
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT id_a, id_b, common, size_a, size_b, jaccard FROM pairs
 """
 
 
@@ -1617,3 +1624,35 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components — near-dup pairs -> cluster assignments
+# ---------------------------------------------------------------------------
+
+# the recursive CTE computes min-reachable-label per node — exactly the
+# fixpoint the Spark label-propagation loop converges to
+_NEAR_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+@register("near_dup_clusters_documents", _NEAR_DUP_CLUSTERS_ORACLE)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _dedup.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.6
+    )
+    return _dedup.near_dup_clusters(pairs)

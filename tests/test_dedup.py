@@ -94,3 +94,44 @@ def test_simhash(docs, spark):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     assert hamming(values[1], values[3]) < hamming(values[1], values[4])
+
+
+# -- connected components ---------------------------------------------------
+
+
+def test_connected_components_two_clusters(spark):
+    from spark_extension_spark import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_chain_and_direction(spark):
+    from spark_extension_spark import connected_components
+
+    # labels must flow against edge direction too (symmetrization)
+    edges = spark.createDataFrame([(5, 4), (4, 3), (3, 2), (2, 1)], ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_connected_components_empty(spark):
+    from spark_extension_spark import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_near_dup_clusters_representative(spark):
+    from spark_extension_spark import near_dup_clusters
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (20, 21)], ["id_a", "id_b"])
+    clusters = near_dup_clusters(pairs)
+    reps = clusters.where(F.col("doc_id") == F.col("cluster_id"))
+    assert {r["doc_id"] for r in reps.collect()} == {3, 20}
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id"))
+    assert {r["doc_id"] for r in drop.collect()} == {7, 9, 21}
