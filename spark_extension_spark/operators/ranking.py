@@ -1,0 +1,185 @@
+"""Lexical relevance scoring: document frequency, TF-IDF, BM25.
+
+The retrieval/quality-scoring layer of a training-data pipeline:
+rank documents against a query term list (curation, dataset search,
+decontamination triage) or materialize per-(doc, term) weights for
+downstream feature joins.
+
+Execution shape (the part that matters at 100 TB):
+
+* Tokenization is one ``regexp_extract_all`` over the normalized text
+  (same normalization as the dedup shingles — one engine-portable
+  regex, whole-stage codegen, no UDF).
+* For :func:`bm25_score` the token stream is filtered to the query's
+  terms *before* the explode-aggregate, so the shuffled volume is
+  ``O(matching tokens)``, not corpus size; per-(doc, term) counts are
+  map-side combined.
+* Document frequency for the query terms is a second tiny aggregate
+  whose result (≤ #terms rows) joins back **broadcast** — the corpus
+  never shuffles for the idf.
+* Document lengths come from a scan-speed projection (no explode).
+
+All arithmetic is double-precision ``ln`` / ``/`` / ``*`` — IEEE
+correctly-rounded in both Spark and DuckDB, so the scores hash-match
+an ANSI-SQL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+__all__ = ["term_frequencies", "document_frequencies", "tfidf", "bm25_score"]
+
+_TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, token) occurrence; tokens are the ``[a-z0-9]+``
+    runs of the normalized text (lock-step with the dedup shingles)."""
+    toks = F.regexp_extract_all(normalize_text(text_col), F.lit(_TOKEN_PATTERN), F.lit(0))
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, token, tf) — one hash aggregate, map-side combined; shuffle
+    volume is per-document vocabulary, not text size."""
+    return (
+        _tokens(df, id_col, text_col)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def document_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, df) — number of distinct documents containing the token.
+    ``distinct`` before the count keeps the aggregate exact while both
+    steps stay map-side combinable."""
+    return (
+        _tokens(df, id_col, text_col)
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF: ``tf * ln((N + 1) / (df + 1))`` (the
+    smoothed idf — never negative, defined for df = N).
+
+    Two aggregates over one token explode + an equi-join keyed by
+    token.  The join shuffles (id, token, tf) — vocabulary-sized, not
+    text-sized; ``min_df`` prunes hapax noise *and* join volume."""
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = document_frequencies(df, id_col, text_col).where(F.col("df") >= min_df)
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        F.log((F.col("__n") + F.lit(1).cast("long")).cast("double") / (F.col("df") + 1).cast("double")).alias("idf"),
+    )
+    return tf.join(idf, "token").select(
+        id_col, "token", "tf", "df", "idf", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every matching document against ``terms``
+    (Robertson/Sparck-Jones idf, the Lucene formulation):
+
+    ``score = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+              · tf · (k1+1) / (tf + k1·(1 - b + b·len/avglen))``
+
+    Returns (id, score, n_matched) for documents matching ≥1 term,
+    scores descending (ties by id).
+
+    Scale shape: the token stream is filtered to ``terms`` *before*
+    any aggregation — everything downstream is O(matching tokens).
+    The per-term df and the corpus-level (N, avg length) are tiny
+    aggregates joined back broadcast; the corpus itself is scanned
+    once and never shuffled beyond the (id, term, tf) counts.
+    """
+    if not terms:
+        raise ValueError("bm25_score requires at least one query term")
+    term_list = [t.lower() for t in terms]
+
+    toks = _tokens(df, id_col, text_col)
+    matched = toks.where(F.col("token").isin(term_list))
+    tf = matched.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = matched.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    # corpus stats: one scan-speed projection (no explode), 1-row result
+    lens = df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(normalize_text(text_col), F.lit(_TOKEN_PATTERN), F.lit(0))
+        ).cast("double").alias("__len"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__len").alias("__avglen"),
+    )
+
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("__idf"),
+        "__n",
+        "__avglen",
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "token")
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            (
+                F.col("__idf")
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__len") / F.col("__avglen"))
+                )
+            ).alias("__s"),
+        )
+    )
+    # fixed-order final sum: one conditional aggregate per query term,
+    # added left-to-right.  A plain SUM would add the per-term doubles
+    # in arrival order — non-deterministic across runs/engines (float
+    # addition is not associative); the unrolled form is deterministic
+    # and exactly replicable in ANSI SQL.  x + 0.0 is exact, so absent
+    # terms contribute nothing.
+    aggs = [
+        F.sum(F.when(F.col("token") == t, F.col("__s"))).alias(f"__s_{i}")
+        for i, t in enumerate(term_list)
+    ] + [F.count(F.lit(1)).alias("n_matched")]
+    grouped = per_term.groupBy(id_col).agg(*aggs)
+    score = F.coalesce(F.col("__s_0"), F.lit(0.0))
+    for i in range(1, len(term_list)):
+        score = score + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+    return grouped.select(
+        F.col(id_col), score.alias("score"), F.col("n_matched")
+    ).orderBy(F.col("score").desc(), F.col(id_col))

@@ -1656,3 +1656,87 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.6
     )
     return _dedup.near_dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# lexical ranking: TF-IDF weights and BM25 relevance
+# ---------------------------------------------------------------------------
+
+# DuckDB tokenization lock-step with operators.text.normalize_text +
+# the [a-z0-9]+ extraction used by operators.ranking
+_RANK_TOKS_SQL = """
+SELECT doc_id,
+       unnest(regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+')) AS token
+FROM documents
+"""
+
+_TFIDF_ORACLE = f"""
+WITH toks AS ({_RANK_TOKS_SQL} WHERE doc_id % 10 = 0),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS idf,
+       tf.tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+"""
+
+
+@register("tfidf_documents", _TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import tfidf
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return tfidf(docs, min_df=2)
+
+
+_BM25_TERMS = ["vector", "merge", "filter"]
+
+# parenthesization mirrors operators.ranking.bm25_score exactly: every
+# *, /, +, - associates identically so the doubles match bit-for-bit
+_BM25_ORACLE = f"""
+WITH toks AS ({_RANK_TOKS_SQL}),
+matched AS (SELECT * FROM toks WHERE token IN ('vector', 'merge', 'filter')),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM matched GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM matched) GROUP BY 1
+),
+lens AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+')) AS DOUBLE) AS doclen
+  FROM documents
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(doclen) AS avglen FROM lens),
+idf AS (
+  SELECT token, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfreq CROSS JOIN stats
+),
+per_term AS (
+  SELECT tf.doc_id, tf.token,
+         idf.idf * (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.doclen / stats.avglen)) AS s
+  FROM tf
+  JOIN idf USING (token)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       COALESCE(SUM(CASE WHEN token = 'vector' THEN s END), 0.0)
+       + COALESCE(SUM(CASE WHEN token = 'merge' THEN s END), 0.0)
+       + COALESCE(SUM(CASE WHEN token = 'filter' THEN s END), 0.0) AS score,
+       COUNT(*) AS n_matched
+FROM per_term
+GROUP BY doc_id
+"""
+
+
+@register("bm25_documents", _BM25_ORACLE)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import bm25_score
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_score(docs, _BM25_TERMS)
