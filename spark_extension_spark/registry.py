@@ -1740,3 +1740,44 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bm25_score(docs, _BM25_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap with an eval set)
+# ---------------------------------------------------------------------------
+
+# benchmark = every 37th document's text; corpus = all documents.  The
+# benchmark members themselves are guaranteed contaminated; chance
+# 5-gram collisions elsewhere are part of the checked result.
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+),
+bench_grams AS (
+  SELECT DISTINCT shingle FROM doc_grams WHERE doc_id % 37 = 0
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM doc_grams JOIN bench_grams USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("decontaminate_documents", _DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import contamination_flags
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    return contamination_flags(docs, bench, n=5)
