@@ -1781,3 +1781,43 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
     return contamination_flags(docs, bench, n=5)
+
+
+# ---------------------------------------------------------------------------
+# z-order layout: Morton interleave of (user_id, event_id) over events
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _z_interleave_sql(exprs, bits):
+    terms = []
+    for i, e in enumerate(exprs):
+        for b in range(bits):
+            terms.append(f"((({e} >> {b}) & 1) << {b * len(exprs) + i})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH stats AS (
+  SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+         MIN(event_id) AS mne, MAX(event_id) AS mxe
+  FROM events
+),
+scaled AS (
+  SELECT event_id, user_id,
+         (user_id - mnu) * {(1 << _Z_BITS) - 1} // GREATEST(mxu - mnu, 1) AS su,
+         (event_id - mne) * {(1 << _Z_BITS) - 1} // GREATEST(mxe - mne, 1) AS se
+  FROM events CROSS JOIN stats
+)
+SELECT event_id, user_id, {_z_interleave_sql(['su', 'se'], _Z_BITS)} AS z_value
+FROM scaled
+"""
+
+
+@register("zorder_events", _ZORDER_ORACLE)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.layout import with_z_value
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    return with_z_value(ev, ["user_id", "event_id"], bits=_Z_BITS)
