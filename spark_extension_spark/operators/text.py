@@ -23,6 +23,8 @@ __all__ = [
     "fingerprint",
     "normalize_text",
     "deterministic_shuffle",
+    "heavy_hitters",
+    "dup_ngram_fraction",
 ]
 
 
@@ -251,3 +253,90 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 42) -> DataFra
     """
     key = F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string")))
     return df.orderBy(key)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text: str = "text",
+    k: int = 20,
+    by: str = None,
+) -> DataFrame:
+    """Exact top-``k`` most frequent tokens — corpus-wide, or per
+    ``by`` group (e.g. per language): (``by``?, token, n, rank).
+
+    Two chained hash aggregates do the heavy lifting map-side (the
+    shuffle carries (group, token, partial-count) — vocabulary-sized,
+    not corpus-sized); the rank window then sees only one row per
+    (group, token).  For the global variant that final window is a
+    single partition over the vocabulary — bounded by |vocabulary|,
+    which is what makes exact (not sketched) heavy hitters viable at
+    100 TB of *text* but would not be viable over an unbounded key
+    domain (ids, urls): there, cap the domain first or sketch.
+
+    Ties rank deterministically by token."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(normalize_text(text), F.lit("[a-z0-9]+"), F.lit(0))
+    keys = [by] if by else []
+    counts = (
+        df.select(*keys, F.explode(toks).alias("token"))
+        .groupBy(*keys, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplication signal per document (the
+    RefinedWeb/Gopher "duplicated n-gram fraction" family): for each
+    document, the fraction of its n-gram *occurrences* whose n-gram
+    appears in at least ``min_docs`` distinct documents.
+
+    Returns (id, ``n_ngrams``, ``n_dup``, ``dup_frac``); documents too
+    short for any n-gram are omitted (no denominator).
+
+    Shape: one shingle pass (lookahead-capture regex, no UDF) → per
+    (doc, gram) counts (map-side combined — the only text-sized
+    shuffle, keyed by gram after reduction to per-doc vocabulary) →
+    per-gram distinct-doc counts (aggregate *of the counts*, already
+    small) joined back on the gram key → per-doc sums.  No self-join,
+    no explosion; a boilerplate gram shared by B docs costs B join
+    rows, not B².
+    """
+    from .dedup import shingles
+
+    grams = shingles(df, id_col=id_col, text_col=text, n=n, distinct=False)
+    per_doc_gram = grams.groupBy(id_col, "shingle").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    gram_docs = per_doc_gram.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    joined = per_doc_gram.join(gram_docs, "shingle").select(
+        F.col(id_col),
+        F.col("__occ"),
+        (F.col("__n_docs") >= min_docs).cast("long").alias("__is_dup"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("__occ").alias("n_ngrams"),
+            F.sum(F.col("__occ") * F.col("__is_dup")).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_ngrams").cast("double")).alias("dup_frac"),
+        )
+    )

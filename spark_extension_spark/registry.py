@@ -1821,3 +1821,57 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     return with_z_value(ev, ["user_id", "event_id"], bits=_Z_BITS)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters + corpus-duplicated n-gram fraction
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+WITH toks AS (
+  SELECT lang,
+         unnest(regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+')) AS token
+  FROM documents
+),
+counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+SELECT lang, token, n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INT) AS rank
+FROM counts
+QUALIFY rank <= 5
+"""
+
+
+@register("heavy_hitters_documents", _HEAVY_HITTERS_ORACLE)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import heavy_hitters
+
+    return heavy_hitters(load(spark, sf_dir, "documents"), k=5, by="lang")
+
+
+_DUP_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+per_doc_gram AS (SELECT doc_id, shingle, COUNT(*) AS occ FROM grams GROUP BY 1, 2),
+gram_docs AS (SELECT shingle, COUNT(*) AS n_docs FROM per_doc_gram GROUP BY 1)
+SELECT doc_id,
+       SUM(occ) AS n_ngrams,
+       SUM(occ * CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup,
+       CAST(SUM(occ * CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(occ) AS DOUBLE) AS dup_frac
+FROM per_doc_gram JOIN gram_docs USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@register("dup_ngram_fraction_documents", _DUP_NGRAM_ORACLE)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import dup_ngram_fraction
+
+    return dup_ngram_fraction(load(spark, sf_dir, "documents"), n=3, min_docs=2)

@@ -181,3 +181,64 @@ def test_repetition_metrics_no_join(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = summarize_plan(repetition_metrics(docs, "doc_id"))
     assert plan.joins == []  # two chained aggregates, no self-join
+
+
+# -- heavy hitters ----------------------------------------------------------
+
+
+def test_heavy_hitters_global(spark):
+    from spark_extension_spark.operators.text import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z"), (3, "q q a")], ["doc_id", "text"]
+    )
+    got = heavy_hitters(docs, k=2).collect()
+    assert [(r["token"], r["n"], r["rank"]) for r in got] == [("a", 5, 1), ("b", 3, 2)]
+
+
+def test_heavy_hitters_per_group_and_ties(spark):
+    from spark_extension_spark.operators.text import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [("en", "x y"), ("en", "y x"), ("de", "w")], ["lang", "text"]
+    )
+    got = heavy_hitters(docs, k=1, by="lang").collect()
+    by = {r["lang"]: (r["token"], r["n"]) for r in got}
+    # x and y tie at 2; token order breaks the tie deterministically
+    assert by == {"en": ("x", 2), "de": ("w", 1)}
+
+
+# -- corpus-duplicated n-gram fraction ---------------------------------------
+
+
+def test_dup_ngram_fraction(spark):
+    from spark_extension_spark.operators.text import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # grams: abg, bgd
+            (2, "alpha beta gamma other words"), # shares abg
+            (3, "nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_fraction(docs, n=3).collect()}
+    assert got[1]["n_ngrams"] == 2 and got[1]["n_dup"] == 1
+    assert got[1]["dup_frac"] == 0.5
+    assert got[2]["n_dup"] == 1
+    assert got[3]["n_dup"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_dup_ngram_fraction_counts_occurrences(spark):
+    from spark_extension_spark.operators.text import dup_ngram_fraction
+
+    # doc 1 repeats the shared gram twice: both occurrences count as dup
+    docs = spark.createDataFrame(
+        [(1, "a b c zz a b c"), (2, "a b c unrelated tail")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_fraction(docs, n=3).collect()}
+    assert got[1]["n_ngrams"] == 5 and got[1]["n_dup"] == 2
+    # short docs with no n-grams are omitted
+    docs2 = spark.createDataFrame([(9, "hi")], ["doc_id", "text"])
+    assert dup_ngram_fraction(docs2, n=3).count() == 0
