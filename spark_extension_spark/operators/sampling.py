@@ -32,6 +32,7 @@ __all__ = [
     "stratified_sample",
     "assign_splits",
     "assign_splits_sql",
+    "resample_to_mix",
 ]
 
 _TWO_32 = float(2**32)
@@ -136,3 +137,95 @@ def assign_splits_sql(
         cumulative += float(weights[name]) / total
         branches.append(f"WHEN {u} < {cumulative!r} THEN '{name}'")
     return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+def resample_to_mix(
+    df: DataFrame,
+    strata_col: Union[str, Column],
+    target_shares: Dict[object, float],
+    id_col: Union[str, Column],
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample to an exact target distribution (data mixing): keep
+    the largest corpus whose strata shares match ``target_shares``.
+
+    With per-stratum counts ``c_g`` and normalized targets ``t_g``, the
+    achievable size is ``N = min_g(c_g / t_g)`` (the binding stratum
+    keeps 100%); every stratum then keeps at rate ``t_g * N / c_g``.
+    Strata absent from ``target_shares`` are dropped.  The draw is the
+    deterministic :func:`hash_uniform`, so the resampled corpus is
+    frozen across runs and partitionings; realized counts are binomial
+    around the exact rates, as with every Bernoulli sampler here.
+
+    Scale shape: one map-side-combined count aggregate over the corpus,
+    a ≤ |strata|-row rate table derived from it, and one broadcast join
+    back — the corpus itself is scanned twice (count + filter) and
+    never shuffled.  Persist upstream if the scan is expensive.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must not be empty")
+    total = float(sum(target_shares.values()))
+    if total <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+    strata = _col(strata_col)
+
+    counts = df.groupBy(strata.alias("__stratum")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    t: Column = F.lit(None).cast("double")
+    for value, share in target_shares.items():
+        t = F.when(F.col("__stratum") == F.lit(value), F.lit(float(share) / total)).otherwise(t)
+    with_t = counts.select("__stratum", "__c", t.alias("__t")).where(
+        F.col("__t").isNotNull()
+    )
+    mn = with_t.agg(
+        F.min(F.col("__c").cast("double") / F.col("__t")).alias("__n")
+    )
+    rates = with_t.crossJoin(F.broadcast(mn)).select(
+        "__stratum",
+        ((F.col("__t") * F.col("__n")) / F.col("__c").cast("double")).alias("__rate"),
+    )
+    joined = df.join(
+        F.broadcast(rates), strata.eqNullSafe(F.col("__stratum")), "inner"
+    )
+    return joined.where(hash_uniform(id_col, seed) < F.col("__rate")).drop(
+        "__stratum", "__rate"
+    )
+
+
+def resample_to_mix_sql(
+    table: str,
+    strata_expr: str,
+    target_shares: Dict[object, float],
+    id_expr: str,
+    seed: int = 42,
+    columns: str = "*",
+) -> str:
+    """DuckDB SELECT in exact lock-step with :func:`resample_to_mix`
+    (same normalized-share literals, same association order, same
+    hash draw) — the oracle-gate companion."""
+    total = float(sum(target_shares.values()))
+    # references the `stratum` alias (we are inside the counts CTE);
+    # explicit DOUBLE casts keep DuckDB from parsing the shares as
+    # DECIMAL literals
+    branches = " ".join(
+        f"WHEN stratum = '{v}' THEN CAST({float(s) / total!r} AS DOUBLE)"
+        for v, s in target_shares.items()
+    )
+    u = hash_uniform_sql(id_expr, seed)
+    return f"""
+WITH counts AS (
+  SELECT {strata_expr} AS stratum, COUNT(*) AS c FROM {table} GROUP BY 1
+),
+with_t AS (
+  SELECT stratum, c, CASE {branches} END AS t FROM counts
+  WHERE CASE {branches} END IS NOT NULL
+),
+mn AS (SELECT MIN(CAST(c AS DOUBLE) / t) AS n FROM with_t),
+rates AS (
+  SELECT stratum, (t * n) / CAST(c AS DOUBLE) AS rate FROM with_t CROSS JOIN mn
+)
+SELECT {columns} FROM {table} d
+JOIN rates r ON d.{strata_expr} IS NOT DISTINCT FROM r.stratum
+WHERE {u} < r.rate
+"""

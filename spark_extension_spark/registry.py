@@ -1875,3 +1875,24 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import dup_ngram_fraction
 
     return dup_ngram_fraction(load(spark, sf_dir, "documents"), n=3, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# target-mix resampling (data mixing)
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import resample_to_mix_sql  # noqa: E402
+
+_MIX_TARGET = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.2}
+
+_RESAMPLE_ORACLE = resample_to_mix_sql(
+    "documents", "lang", _MIX_TARGET, "doc_id", columns="d.doc_id, d.lang"
+)
+
+
+@register("resample_mix_documents", _RESAMPLE_ORACLE)
+def q_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import resample_to_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return resample_to_mix(docs, "lang", _MIX_TARGET, "doc_id").select("doc_id", "lang")

@@ -84,3 +84,44 @@ def test_sample_filter_reaches_scan(docs, spark):
     plan = summarize_plan(hash_sample(docs, 0.5, "doc_id"))
     # a pure projection filter: no shuffle, no join, single scan
     assert plan.joins == [] and plan.exchanges == 0 and plan.scans == 1
+
+
+# -- resample_to_mix ---------------------------------------------------------
+
+
+def test_resample_to_mix_shares(spark):
+    from spark_extension_spark.operators.sampling import resample_to_mix
+
+    rows = (
+        [(i, "en") for i in range(6000)]
+        + [(i + 10000, "de") for i in range(3000)]
+        + [(i + 20000, "fr") for i in range(600)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = resample_to_mix(df, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, "doc_id")
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fr binds: N = 600/0.2 = 3000 -> expect ~1500/900/600 (binomial)
+    assert counts["fr"] == 600  # rate 1.0 keeps everything
+    assert abs(counts["en"] - 1500) < 150
+    assert abs(counts["de"] - 900) < 120
+
+
+def test_resample_to_mix_drops_unlisted_and_is_deterministic(spark):
+    from spark_extension_spark.operators.sampling import resample_to_mix
+
+    rows = [(i, ["en", "de", "zz"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = resample_to_mix(df, "lang", {"en": 0.5, "de": 0.5}, "doc_id")
+    assert {r["lang"] for r in a.select("lang").distinct().collect()} <= {"en", "de"}
+    b = resample_to_mix(df.repartition(13), "lang", {"en": 0.5, "de": 0.5}, "doc_id")
+    assert {r["doc_id"] for r in a.collect()} == {r["doc_id"] for r in b.collect()}
+
+
+def test_resample_to_mix_validation(spark):
+    from spark_extension_spark.operators.sampling import resample_to_mix
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError):
+        resample_to_mix(df, "lang", {}, "doc_id")
+    with pytest.raises(ValueError):
+        resample_to_mix(df, "lang", {"en": -1.0}, "doc_id")
