@@ -54,6 +54,8 @@ __all__ = [
     "ivf_assignments",
     "ivf_centroids",
     "ivf_topk",
+    "semantic_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -488,3 +490,82 @@ def ivf_topk(
     scored = cosine_scored_pairs(candidates, "__qvec", vec_col, [query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: coarse cells -> in-cell near-dup pruning)
+# ---------------------------------------------------------------------------
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[List[List[float]]] = None,
+    max_cell_size: Optional[int] = 100_000,
+) -> DataFrame:
+    """Embedding pairs with cosine ≥ ``threshold`` among vectors sharing
+    a coarse IVF cell (the SemDeDup candidate structure: semantic
+    near-duplicates collapse into the same cell, so the self-join is
+    per-cell, never corpus-wide).
+
+    Recall caveat vs :func:`embedding_near_dup_pairs` (LSH): a pair
+    straddling a cell boundary is missed — standard for the method;
+    raise ``n_cells`` quality by fitting real k-means centroids and
+    passing them in.  ``max_cell_size`` guards degenerate cells exactly
+    like the LSH bucket cap."""
+    cents = centroids or ivf_centroids(df, n_cells, id_col, vec_col)
+    assigned = _cap_buckets(
+        ivf_assignments(df.select(id_col, vec_col), cents, vec_col, n_probes=1),
+        "__cell",
+        max_cell_size,
+    )
+    left = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__vec_a")
+    )
+    right = assigned.select(
+        F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vec_b")
+    )
+    pairs = left.join(right, "__cell").where(F.col("id_a") < F.col("id_b"))
+    return (
+        cosine_scored_pairs(pairs, "__vec_a", "__vec_b", ["id_a", "id_b"])
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[List[List[float]]] = None,
+    max_cell_size: Optional[int] = 100_000,
+) -> DataFrame:
+    """Full semantic-dedup decision per vector: (id, ``cluster_id``,
+    ``keep``) — ``cluster_id`` the smallest id in the vector's
+    near-duplicate component (itself when unique), ``keep`` true for
+    the one representative per cluster.
+
+    Pipeline: coarse cells → in-cell exact cosine pairs (Arrow/numpy
+    kernel) → connected components (min-label propagation) → left join
+    back so unique vectors keep themselves.  Every stage is an
+    equi-join or aggregate keyed by cell / id — nothing quadratic in
+    the corpus, nothing driver-side beyond the ``n_cells`` seed rows."""
+    from .dedup import connected_components
+
+    pairs = semantic_near_dup_pairs(
+        df, threshold, n_cells, id_col, vec_col, centroids, max_cell_size
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )

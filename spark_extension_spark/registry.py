@@ -1896,3 +1896,52 @@ def q_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return resample_to_mix(docs, "lang", _MIX_TARGET, "doc_id").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: coarse cells -> in-cell cosine pairs -> components
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding AS v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY rnk <= 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]) >= 0.99
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       COALESCE(c.cluster_id, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN clusters c ON c.id = e.vec_id
+"""
+
+
+@register("semantic_dedup_embeddings", _SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.99, n_cells=16)

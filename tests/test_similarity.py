@@ -110,3 +110,53 @@ def test_ivf_deterministic(emb):
     r1 = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_centroids=4, n_probes=2).collect()))
     r2 = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_centroids=4, n_probes=2).collect()))
     assert r1 == r2
+
+
+# -- semantic dedup ----------------------------------------------------------
+
+
+def test_semantic_dedup_clusters_and_keeps(spark):
+    from spark_extension_spark.operators.similarity import semantic_dedup
+
+    # seeds (lowest ids) are the two orthogonal cluster axes; 3 and 4
+    # are near-duplicates of them, 5 sits between (its own cluster)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.999, 0.01, 0.0]),   # ~same direction as 1
+        (4, [0.01, 0.999, 0.0]),   # ~same direction as 2
+        (5, [0.577, 0.577, 0.577]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.99, n_cells=2).collect()}
+    assert got[3]["cluster_id"] == 1 and not got[3]["keep"]
+    assert got[4]["cluster_id"] == 2 and not got[4]["keep"]
+    assert got[1]["keep"] and got[2]["keep"] and got[5]["keep"]
+    assert got[5]["cluster_id"] == 5
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    from spark_extension_spark.operators.similarity import semantic_dedup
+
+    # a ~ b, b ~ c but a !~ c: transitivity still groups all three
+    rows = [
+        (10, [1.0, 0.0]),
+        (11, [0.9962, 0.0872]),  # ~5 deg
+        (12, [0.9848, 0.1736]),  # ~10 deg: cos(10deg)=0.985 < t vs 10
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster_id"] for r in
+           semantic_dedup(df, threshold=0.995, n_cells=1).collect()}
+    assert got == {10: 10, 11: 10, 12: 10}
+
+
+def test_semantic_near_dup_pairs_within_cells_only(spark):
+    from spark_extension_spark.operators.similarity import semantic_near_dup_pairs
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [-1.0, 0.0]), (4, [-1.0, -0.001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             semantic_near_dup_pairs(
+                 df, threshold=0.99, centroids=[[1.0, 0.0], [-1.0, 0.0]]
+             ).collect()}
+    assert pairs == {(1, 2), (3, 4)}
