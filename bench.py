@@ -67,6 +67,14 @@ HEADLINE = [
     "repetition_metrics_documents",
     "bucketed_join_orders_customer",
     "near_dup_clusters_documents",
+    "tfidf_documents",
+    "bm25_documents",
+    "decontaminate_documents",
+    "zorder_events",
+    "heavy_hitters_documents",
+    "dup_ngram_fraction_documents",
+    "resample_mix_documents",
+    "semantic_dedup_embeddings",
 ]
 
 

@@ -16,6 +16,15 @@ from .utils import (
     NoopUnpersistHandle,
 )
 from .operators import (
+    bm25_score,
+    contamination_flags,
+    decontaminate,
+    dup_ngram_fraction,
+    heavy_hitters,
+    resample_to_mix,
+    semantic_dedup,
+    semantic_near_dup_pairs,
+    tfidf,
     DiffComparator,
     DiffComparators,
     DiffMode,

@@ -20,9 +20,17 @@ from .sorted_groups import (
     group_by_sorted,
 )
 from .packing import pack_blocks, with_running_total
-from .sampling import assign_splits, hash_sample, hash_uniform, stratified_sample
+from .sampling import (
+    assign_splits,
+    hash_sample,
+    hash_uniform,
+    resample_to_mix,
+    stratified_sample,
+)
 from .text import (
     deterministic_shuffle,
+    dup_ngram_fraction,
+    heavy_hitters,
     scrub_pii,
     with_scrubbed_pii,
     fingerprint,
@@ -47,6 +55,8 @@ from .dedup import (
 )
 from .similarity import (
     brute_force_topk,
+    semantic_dedup,
+    semantic_near_dup_pairs,
     cosine_similarity,
     embedding_near_dup_pairs,
     rp_lsh_topk,
@@ -60,6 +70,8 @@ from .timeseries import (
     time_bucket_rollup,
 )
 from .skew import salted_join, with_salt
+from .ranking import bm25_score, document_frequencies, term_frequencies, tfidf
+from .decontam import contamination_flags, decontaminate
 from .multimodal import (
     blob_metadata,
     decode_images,
@@ -69,6 +81,17 @@ from .multimodal import (
 )
 
 __all__ = [
+    "resample_to_mix",
+    "dup_ngram_fraction",
+    "heavy_hitters",
+    "semantic_dedup",
+    "semantic_near_dup_pairs",
+    "bm25_score",
+    "document_frequencies",
+    "term_frequencies",
+    "tfidf",
+    "contamination_flags",
+    "decontaminate",
     "DiffComparator",
     "DiffComparators",
     "DefaultDiffComparator",

@@ -6,10 +6,14 @@ from .parquet_metadata import (
     parquet_schema,
 )
 from .bucketed import colocated_join, read_bucketed, write_bucketed
+from .layout import with_z_value, write_zordered, z_value
 from .partitioned_write import write_partitioned_by
 
 __all__ = [
     "write_bucketed",
+    "with_z_value",
+    "write_zordered",
+    "z_value",
     "read_bucketed",
     "colocated_join",
     "parquet_block_columns",
