@@ -1188,7 +1188,7 @@ from .operators.skew import salted_join  # noqa: E402
 _SALTED_JOIN_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -1201,9 +1201,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(li, orders, "o_orderkey", salt=8)
+    # decimal sum: order-independent across Spark partial aggregates vs
+    # DuckDB's sequential fold (quantities are integral today, but don't
+    # rely on that)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum("l_quantity").alias("total_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
     )
 
 
@@ -1591,7 +1594,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETED_JOIN_ORACLE = """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(o_totalprice) AS DOUBLE) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -1620,9 +1623,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "sx_gate_orders_b", "sx_gate_customer_b",
         on=F.col("o_custkey") == F.col("c_custkey"),
     )
+    # sum in DECIMAL so the total is independent of Spark's partial-aggregate
+    # order (double addition is not associative; DuckDB folds sequentially)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").cast("double").alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
 
 
