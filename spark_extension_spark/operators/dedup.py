@@ -332,71 +332,199 @@ def simhash(
 # ---------------------------------------------------------------------------
 
 
+def _cc_label_propagation(
+    sym: DataFrame, max_iterations: int, check_every: int
+) -> DataFrame:
+    """Min-label propagation over persisted symmetric edges ``sym``
+    (columns ``src``, ``dst``).  Labels are monotone non-increasing, so
+    "converged" == "no row got a strictly smaller label this batch" — a
+    filter-count over the materialized step output, not a join.
+
+    Each batch ends in ``localCheckpoint(eager=True)``: iterative plans
+    reference the previous state 2× per step, so without lineage
+    truncation the logical plan grows as 2^steps and driver-side plan
+    analysis OOMs long before the data does.  (``persist`` caches data
+    but keeps the full lineage — it does NOT prevent this.)"""
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    steps_done = 0
+    while steps_done < max_iterations:
+        batch = min(check_every, max_iterations - steps_done)
+        # compose `batch` propagation steps lazily; one job materializes
+        # the whole batch at the checkpoint below
+        stepped = labels.withColumn("__old", F.col("label"))
+        for _ in range(batch):
+            neighbour_min = (
+                sym.join(stepped.select("id", "label"),
+                         sym["src"] == F.col("id"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("__nbr_min"))
+            )
+            stepped = (
+                stepped.join(neighbour_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("__nbr_min", F.col("label"))
+                    ).alias("label"),
+                    "__old",
+                )
+            )
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.where(F.col("label") < F.col("__old")).count()
+        labels = stepped
+        steps_done += batch
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        f"iterations — pathological chain graph; use a larger limit "
+        f"or algorithm='star'"
+    )
+
+
+def _cc_star(sym: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").  Converges in
+    O(log^2 n) rounds on ANY graph — the escape hatch for adversarial
+    long-chain graphs where label propagation needs diameter rounds.
+
+    Invariant maintained on the working edge set: edges are kept
+    directed high→low (``src > dst``), so each round is two
+    (aggregate-min + join + filter) passes and a distinct.  Every round
+    ends in ``localCheckpoint(eager=True)`` — each round references the
+    previous edge set ~4×, so without lineage truncation the plan grows
+    as 4^rounds and plan analysis OOMs the driver (``persist`` does not
+    truncate lineage).
+    """
+    # high→low orientation; drop self-loops
+    work = (
+        sym.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    for _ in range(max_iterations):
+        # -- large-star: for every node n, connect strictly-larger
+        #    neighbours to m(n) = min over Γ(n) ∪ {n}
+        nbrs = work.union(work.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", "u").alias("m"))
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # -- small-star on the large-star output (still high→low):
+        #    connect all ≤ neighbours (and self) of n to the minimum
+        lg = (
+            large.where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        smins = lg.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            lg.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the edge set is stable (star edges fixed)
+        delta = (
+            small.join(work, ["u", "v"], "left_anti").limit(1).count()
+            + work.join(small, ["u", "v"], "left_anti").limit(1).count()
+        )
+        work = small
+        if delta == 0:
+            # stars: every non-root points straight at its component
+            # minimum; roots (the minima) have no outgoing edge
+            return (
+                nodes.join(work, nodes["id"] == work["u"], "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("v"), F.col("id")).alias("cluster_id"),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components(star) did not converge in "
+        f"{max_iterations} rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    check_every: int = 2,
+    algorithm: str = "label",
+    unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list: one row per
     node with ``cluster_id`` = the smallest node id reachable from it.
     The step that turns near-duplicate *pairs* (LSH / n-gram Jaccard
     output) into dedup *decisions* (keep one doc per cluster).
 
-    Min-label propagation: each iteration joins current labels to the
-    symmetrized edges, takes the per-node minimum over neighbour labels,
-    and stops when no label changed.  Iterations needed = graph diameter
-    (near-dup graphs are piles of small cliques — single digits), each
-    iteration is one equi-join + one aggregate keyed by node id, and
-    every intermediate is persisted/released — nothing driver-side but
-    the converged-yet? count.  For adversarial long-chain graphs swap in
-    large-star/small-star; the API is the same.
+    ``algorithm='label'`` (default): min-label propagation — each step
+    is one equi-join + one min-aggregate keyed by node id; steps needed
+    = graph diameter (near-dup graphs are piles of small cliques —
+    single digits).  Convergence is detected from a filter-count over
+    the checkpointed step output (labels are monotone non-increasing),
+    and only every ``check_every`` steps, so the per-step driver sync
+    the naive loop pays is amortized away.  Iteration state is
+    ``localCheckpoint``-ed to truncate lineage (exponential-plan
+    guard); on a fault-tolerance-critical cluster job, set a checkpoint
+    dir and swap in reliable ``checkpoint()``.
+
+    ``algorithm='star'``: alternating large-star / small-star
+    contraction, O(log^2 n) rounds on any graph — use for adversarial
+    long-chain graphs where diameter-many label steps would be slow.
+
+    The (possibly expensive) upstream ``edges`` pipeline is persisted
+    and forced ONCE before symmetrization — without that, the union's
+    two branches would each recompute the full pair-generation DAG.
+    The returned labels are persisted (already materialized — reading
+    them costs nothing); pass an ``unpersist_handle`` to release that
+    cache when done, as with the other persisting dedup operators.
     """
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    fwd.count()  # force: upstream pair pipelines are expensive; run once
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
-    )
     try:
-        for _ in range(max_iterations):
-            neighbour_min = (
-                sym.join(labels, sym["src"] == labels["id"])
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("label").alias("__nbr_min"))
-            )
-            new_labels = (
-                labels.join(neighbour_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("__nbr_min", F.col("label"))
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
+        if algorithm == "star":
+            out = _cc_star(sym, max_iterations)
+        elif algorithm == "label":
+            out = _cc_label_propagation(sym, max_iterations, check_every)
         else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} "
-                f"iterations — pathological chain graph; use a larger limit "
-                f"or a star-contraction variant"
+            raise ValueError(
+                f"unknown algorithm {algorithm!r}: expected 'label' or 'star'"
             )
-        return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+        # force the result before releasing the inputs below — otherwise
+        # the caller's first action would recompute the whole upstream
+        # edge pipeline with every cache already dropped
+        out = out.persist()
+        if unpersist_handle is not None:
+            unpersist_handle.set_dataframe(out)
+        out.count()
+        return out
     finally:
+        fwd.unpersist()
         sym.unpersist()
 
 
@@ -405,11 +533,16 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
     """Cluster assignment (``doc_id``, ``cluster_id``) for every document
     appearing in a near-duplicate pair list; ``cluster_id`` is the
     smallest doc id in the component, so "keep the representative" is
     ``WHERE doc_id = cluster_id`` and "drop the rest" is the negation."""
     return connected_components(
-        pairs, src=id_a, dst=id_b, max_iterations=max_iterations
+        pairs,
+        src=id_a,
+        dst=id_b,
+        max_iterations=max_iterations,
+        unpersist_handle=unpersist_handle,
     ).select(F.col("id").alias("doc_id"), "cluster_id")

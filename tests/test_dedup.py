@@ -125,6 +125,68 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_connected_components_star_matches_label(spark):
+    from spark_extension_spark import connected_components
+
+    # chain + clique + isolated pair; both algorithms must agree exactly
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    label = {r["id"]: r["cluster_id"]
+             for r in connected_components(edges, algorithm="label").collect()}
+    star = {r["id"]: r["cluster_id"]
+            for r in connected_components(edges, algorithm="star").collect()}
+    assert label == star
+    assert star[6] == 1 and star[12] == 10 and star[21] == 20
+
+
+def test_connected_components_star_long_chain(spark):
+    from spark_extension_spark import connected_components
+
+    # diameter-100 chain: label propagation would need ~100 steps; star
+    # contraction converges in O(log^2 n) rounds well inside the limit
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
+    )
+    got = connected_components(edges, algorithm="star", max_iterations=15)
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+    assert got.count() == 101
+
+
+def test_connected_components_check_every_batching(spark):
+    from spark_extension_spark import connected_components
+
+    # check_every larger than the diameter: still converges and is exact
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(edges, check_every=5).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_connected_components_unpersist_handle(spark):
+    from spark_extension_spark import connected_components
+    from spark_extension_spark.utils import UnpersistHandle
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    handle = UnpersistHandle()
+    out = connected_components(edges, unpersist_handle=handle)
+    assert out.count() == 2
+    handle()  # releases the persisted labels without error
+
+
+def test_connected_components_bad_algorithm(spark):
+    import pytest
+    from spark_extension_spark import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, algorithm="magic")
+
+
 def test_near_dup_clusters_representative(spark):
     from spark_extension_spark import near_dup_clusters
     from pyspark.sql import functions as F
