@@ -153,7 +153,9 @@ def brute_force_topk(
     """
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).collect()
+    # null query vectors can never score: drop them up front (mirrors the
+    # corpus-side notna() handling) instead of crashing np.stack below
+    qrows = queries.select(id_col, vec_col).where(F.col(vec_col).isNotNull()).collect()
     id_type = corpus.schema[id_col].dataType.simpleString()
     qid_type = queries.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -163,6 +165,13 @@ def brute_force_topk(
         empty = corpus.sparkSession.createDataFrame([], out_schema)
         return empty.withColumn("rank", F.lit(1).cast("int")).where(F.lit(False))
 
+    dims = {len(r[1]) for r in qrows}
+    if len(dims) > 1:
+        offender = next(r[0] for r in qrows if len(r[1]) != len(qrows[0][1]))
+        raise ValueError(
+            f"query vectors have inconsistent dimensions {sorted(dims)} "
+            f"(e.g. {id_col}={offender!r}); embeddings must share one dim"
+        )
     qids = np.asarray([r[0] for r in qrows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorms = np.linalg.norm(Q, axis=1)

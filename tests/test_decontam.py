@@ -55,3 +55,22 @@ def test_short_docs_no_grams(spark, bench):
     docs = spark.createDataFrame([(9, "too short")], ["doc_id", "text"])
     got = contamination_flags(docs, bench, n=3).collect()
     assert got[0]["n_contaminated"] == 0 and not got[0]["contaminated"]
+
+
+def test_count_distinct_false_counts_occurrences(corpus, bench):
+    # doc 3 repeats the contaminated gram twice: occurrence counting
+    # sees 2, distinct counting sees 1; the flag agrees at min_overlap=1
+    occ = {
+        r["doc_id"]: r
+        for r in contamination_flags(
+            corpus, bench, n=3, count_distinct=False
+        ).collect()
+    }
+    assert occ[3]["n_contaminated"] == 2 and occ[3]["contaminated"]
+    assert occ[1]["n_contaminated"] == 1
+    assert not occ[4]["contaminated"]
+    dis = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(corpus, bench, n=3).collect()
+    }
+    assert dis == {d: occ[d]["contaminated"] for d in dis}

@@ -54,6 +54,30 @@ def test_brute_force_topk(emb):
         assert all(r["vec_id"] != q for r in neighbours)
 
 
+def test_brute_force_topk_null_and_ragged_queries(emb, spark):
+    # null query vectors are dropped (mirroring corpus-side handling)
+    # instead of crashing np.stack on the driver
+    queries = spark.createDataFrame(
+        [(0, None), (25, [float(i) for i in range(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    dim = len(emb.first()["embedding"])
+    good = emb.where(F.col("vec_id") == 25).select("vec_id", "embedding")
+    nulls = spark.createDataFrame([(999999,)], "vec_id long").withColumn(
+        "embedding", F.lit(None).cast(f"array<double>")
+    )
+    result = brute_force_topk(emb, good.unionByName(nulls), k=2)
+    assert {r["query_id"] for r in result.collect()} == {25}
+
+    # ragged dims raise a clear error naming the offender
+    ragged = spark.createDataFrame(
+        [(1, [1.0] * dim), (2, [1.0] * (dim + 1))],
+        f"vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="inconsistent dimensions"):
+        brute_force_topk(emb, ragged, k=2)
+
+
 def test_lsh_finds_planted_neighbours(emb, spark):
     scaled = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
