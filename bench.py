@@ -26,10 +26,10 @@ from spark_extension_spark.registry import QUERIES
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Perf-representative set: one query per operator family.  The
-# correctness-gate variants (diff modes/comparator variants, contract
-# queries) exercise the same plans on the same tables and are validated
-# by the t2 oracle gate; timing them would only re-measure these shapes.
+# Every registry/correctness-gate query gets a bench row, so a perf
+# regression anywhere in the surface is visible in BENCH_r{N}.json
+# (the cheap diff-variant / parquet-metadata / contract queries add
+# little wall-clock but make the keysets match).
 HEADLINE = [
     "diff_lineitem",
     "diff_lineitem_stats",
@@ -75,6 +75,17 @@ HEADLINE = [
     "dup_ngram_fraction_documents",
     "resample_mix_documents",
     "semantic_dedup_embeddings",
+    "parquet_blocks_lineitem",
+    "parquet_schema_lineitem",
+    "parquet_block_columns_orders",
+    "diff_sparse_orders",
+    "diff_left_side_orders",
+    "diff_set_nation",
+    "diff_epsilon_orders",
+    "diff_whitespace_documents",
+    "diff_duration_events",
+    "exact_dedup_documents",
+    "row_numbers_contract_customer",
 ]
 
 

@@ -50,9 +50,11 @@ __all__ = [
     "rp_planes",
     "rp_bucket",
     "rp_lsh_topk",
+    "cap_drop_stats",
     "embedding_near_dup_pairs",
     "ivf_assignments",
     "ivf_centroids",
+    "fit_centroids",
     "ivf_topk",
     "semantic_near_dup_pairs",
     "semantic_dedup",
@@ -319,11 +321,38 @@ def _cap_buckets(df: DataFrame, bucket_col: str, cap: Optional[int]) -> DataFram
     zero-vectors, a bad hash) otherwise yields B² candidates in the
     self-join.  The count window partitions by the bucket — the same
     key the following join shuffles on, so Catalyst reuses the exchange
-    and the guard costs no extra shuffle of the postings."""
+    and the guard costs no extra shuffle of the postings.
+
+    The cap trades recall for a blowup bound; :func:`cap_drop_stats`
+    reports what a given cap would exclude (operators expose it via
+    ``with_drop_stats=True``) — the loss is observable, never silent.
+
+    (An ``Observation`` cannot provide this: the capped frame feeds both
+    sides of the near-dup self-joins, duplicating the CollectMetrics
+    node, and AQE's empty-relation propagation deletes the node outright
+    when a cap drops everything — precisely the case that most needs the
+    signal.)"""
     if cap is None:
         return df
     n = F.count(F.lit(1)).over(Window.partitionBy(bucket_col))
     return df.withColumn("__bucket_n", n).where(F.col("__bucket_n") <= cap).drop("__bucket_n")
+
+
+def cap_drop_stats(df: DataFrame, bucket_col: str, cap: Optional[int]) -> DataFrame:
+    """One-row accounting of what :func:`_cap_buckets` excludes at
+    ``cap``: ``(input_rows, dropped_rows, dropped_buckets)``.
+
+    A deliberate separate (cheap) aggregate job — two map-side-combined
+    aggregations keyed by bucket, shuffling one long per distinct
+    bucket — rather than metrics piggybacked on the main query, so the
+    numbers exist even when the cap drops every row."""
+    sizes = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = F.col("__n") > F.lit(cap if cap is not None else None)
+    return sizes.agg(
+        F.sum("__n").cast("long").alias("input_rows"),
+        F.coalesce(F.sum(F.when(over, F.col("__n"))), F.lit(0)).cast("long").alias("dropped_rows"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).cast("long").alias("dropped_buckets"),
+    )
 
 
 def rp_lsh_topk(
@@ -372,18 +401,21 @@ def embedding_near_dup_pairs(
     dim: Optional[int] = None,
     seed: int = 42,
     max_bucket_size: Optional[int] = 10_000,
-) -> DataFrame:
+    with_drop_stats: bool = False,
+):
     """Vector pairs with cosine ≥ threshold, via exact-bucket LSH
     collision + exact verification.  Near-identical directions land in
     identical buckets, so recall at thresholds ≈1 is high.
 
     ``max_bucket_size`` drops degenerate buckets before the self-join
-    (see :func:`_cap_buckets`); ``None`` disables the guard."""
+    (see :func:`_cap_buckets`); ``None`` disables the guard.  With
+    ``with_drop_stats=True`` returns ``(pairs, stats)`` where ``stats``
+    is the one-row :func:`cap_drop_stats` frame accounting for the
+    recall the cap costs — check it whenever a cap is in play."""
     dim = dim or len(df.select(vec_col).head()[0])
     planes = rp_planes(num_planes, dim, seed)
-    bucketed = _cap_buckets(
-        _with_buckets(df, vec_col, planes, probes=0), "__bucket", max_bucket_size
-    )
+    raw = _with_buckets(df, vec_col, planes, probes=0)
+    bucketed = _cap_buckets(raw, "__bucket", max_bucket_size)
 
     left = bucketed.select(
         F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__vec_a")
@@ -392,11 +424,14 @@ def embedding_near_dup_pairs(
         F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vec_b")
     )
     pairs = left.join(right, "__bucket").where(F.col("id_a") < F.col("id_b"))
-    return (
+    result = (
         cosine_scored_pairs(pairs, "__vec_a", "__vec_b", ["id_a", "id_b"])
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+    if with_drop_stats:
+        return result, cap_drop_stats(raw, "__bucket", max_bucket_size)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -457,12 +492,46 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> List[List[float]]:
     """Deterministic coarse centroids: the ``n_centroids`` lowest-id
-    corpus vectors (a data-independent seed choice; swap in k-means||
-    from ``pyspark.ml`` for production recall)."""
+    corpus vectors (a data-independent seed choice, reproducible for
+    oracle comparison; for production recall fit real cluster centers
+    with :func:`fit_centroids` and pass them via ``centroids=``)."""
     rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def fit_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: Optional[float] = None,
+) -> List[List[float]]:
+    """k-means|| cluster centers from ``pyspark.ml`` — the production
+    centroid source for :func:`ivf_topk` / :func:`semantic_dedup`
+    (``centroids=`` hook).  Unlike the lowest-id seeds of
+    :func:`ivf_centroids`, fitted centers put one centroid per real
+    data mode, so cells align with clusters and probe recall is high.
+
+    The fit is distributed (Lloyd iterations over the corpus; only the
+    k centers come back to the driver).  On a huge corpus pass
+    ``sample_fraction`` to fit on a uniform sample — centroid quality
+    degrades slowly with sampling while each iteration's cost drops
+    linearly."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).where(F.col("features").isNotNull())
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    return [[float(x) for x in center] for center in model.clusterCenters()]
 
 
 def ivf_topk(
@@ -506,31 +575,48 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _derive_n_cells(n_rows: int, target_cell_size: int) -> int:
+    """``n_cells ≈ N / target_cell_size`` (≥ 1): the in-cell self-join
+    is O(cell²), so the cell count must grow linearly with the corpus
+    to keep per-cell work constant — a fixed cell count that is fine at
+    gate scale silently turns quadratic at 100× the data."""
+    return max(1, -(-n_rows // target_cell_size))
+
+
 def semantic_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: Optional[List[List[float]]] = None,
-    max_cell_size: Optional[int] = 100_000,
-) -> DataFrame:
+    max_cell_size: Optional[int] = 10_000,
+    target_cell_size: int = 4096,
+    with_drop_stats: bool = False,
+):
     """Embedding pairs with cosine ≥ ``threshold`` among vectors sharing
     a coarse IVF cell (the SemDeDup candidate structure: semantic
     near-duplicates collapse into the same cell, so the self-join is
     per-cell, never corpus-wide).
 
+    Cell sizing is the scale knob: the in-cell self-join is O(cell²),
+    so ``n_cells`` must track corpus size.  With ``n_cells=None``
+    (default) it is derived as ``ceil(N / target_cell_size)`` from one
+    count job; pass an explicit ``n_cells`` to pin it (reproducible
+    oracles).  ``max_cell_size`` hard-bounds degenerate cells exactly
+    like the LSH bucket cap; ``with_drop_stats=True`` returns
+    ``(pairs, stats)`` with the one-row :func:`cap_drop_stats` frame
+    accounting for what that bound excluded (no silent recall loss).
+
     Recall caveat vs :func:`embedding_near_dup_pairs` (LSH): a pair
     straddling a cell boundary is missed — standard for the method;
-    raise ``n_cells`` quality by fitting real k-means centroids and
-    passing them in.  ``max_cell_size`` guards degenerate cells exactly
-    like the LSH bucket cap."""
+    raise cell quality by fitting real centers with
+    :func:`fit_centroids` and passing them in."""
+    if centroids is None and n_cells is None:
+        n_cells = _derive_n_cells(df.count(), target_cell_size)
     cents = centroids or ivf_centroids(df, n_cells, id_col, vec_col)
-    assigned = _cap_buckets(
-        ivf_assignments(df.select(id_col, vec_col), cents, vec_col, n_probes=1),
-        "__cell",
-        max_cell_size,
-    )
+    raw = ivf_assignments(df.select(id_col, vec_col), cents, vec_col, n_probes=1)
+    assigned = _cap_buckets(raw, "__cell", max_cell_size)
     left = assigned.select(
         F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__vec_a")
     )
@@ -538,20 +624,23 @@ def semantic_near_dup_pairs(
         F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vec_b")
     )
     pairs = left.join(right, "__cell").where(F.col("id_a") < F.col("id_b"))
-    return (
-        cosine_scored_pairs(pairs, "__vec_a", "__vec_b", ["id_a", "id_b"])
-        .where(F.col("cosine") >= threshold)
+    result = cosine_scored_pairs(pairs, "__vec_a", "__vec_b", ["id_a", "id_b"]).where(
+        F.col("cosine") >= threshold
     )
+    if with_drop_stats:
+        return result, cap_drop_stats(raw, "__cell", max_cell_size)
+    return result
 
 
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.99,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: Optional[List[List[float]]] = None,
-    max_cell_size: Optional[int] = 100_000,
+    max_cell_size: Optional[int] = 10_000,
+    target_cell_size: int = 4096,
 ) -> DataFrame:
     """Full semantic-dedup decision per vector: (id, ``cluster_id``,
     ``keep``) — ``cluster_id`` the smallest id in the vector's
@@ -562,11 +651,13 @@ def semantic_dedup(
     kernel) → connected components (min-label propagation) → left join
     back so unique vectors keep themselves.  Every stage is an
     equi-join or aggregate keyed by cell / id — nothing quadratic in
-    the corpus, nothing driver-side beyond the ``n_cells`` seed rows."""
+    the corpus, nothing driver-side beyond the ``n_cells`` seed rows.
+    Cell sizing / cap accounting as in :func:`semantic_near_dup_pairs`."""
     from .dedup import connected_components
 
     pairs = semantic_near_dup_pairs(
-        df, threshold, n_cells, id_col, vec_col, centroids, max_cell_size
+        df, threshold, n_cells, id_col, vec_col, centroids, max_cell_size,
+        target_cell_size,
     )
     labels = connected_components(pairs, src="id_a", dst="id_b")
     return (

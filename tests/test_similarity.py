@@ -184,3 +184,106 @@ def test_semantic_near_dup_pairs_within_cells_only(spark):
                  df, threshold=0.99, centroids=[[1.0, 0.0], [-1.0, 0.0]]
              ).collect()}
     assert pairs == {(1, 2), (3, 4)}
+
+
+def test_derive_n_cells_tracks_corpus_size():
+    from spark_extension_spark.operators.similarity import _derive_n_cells
+
+    assert _derive_n_cells(100, 4096) == 1
+    assert _derive_n_cells(4096, 4096) == 1
+    assert _derive_n_cells(4097, 4096) == 2
+    # linear in N: 100x corpus -> 100x cells, per-cell work constant
+    assert _derive_n_cells(4096 * 1000, 4096) == 1000
+
+
+def test_semantic_dedup_derives_cells_when_unpinned(spark):
+    from spark_extension_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.999, 0.01, 0.0]),
+        (4, [0.01, 0.999, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_cells=None: derived from one count job (ceil(4/4096) = 1 cell)
+    got = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.99).collect()}
+    assert got[3]["cluster_id"] == 1 and not got[3]["keep"]
+    assert got[4]["cluster_id"] == 2 and not got[4]["keep"]
+
+
+def test_cap_buckets_drop_accounting(spark):
+    from spark_extension_spark.operators.similarity import semantic_near_dup_pairs
+
+    # 12 copies of one direction overflow a cap of 10: the whole cell is
+    # dropped and the stats frame reports every excluded row — the cap
+    # must never lose recall silently
+    rows = [(i, [1.0, 0.0]) for i in range(12)] + [(100, [0.0, 1.0]), (101, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs, stats = semantic_near_dup_pairs(
+        df,
+        threshold=0.99,
+        centroids=[[1.0, 0.0], [0.0, 1.0]],
+        max_cell_size=10,
+        with_drop_stats=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}  # the over-cap cell produced no pairs
+    s = stats.collect()[0]
+    assert (s["input_rows"], s["dropped_rows"], s["dropped_buckets"]) == (14, 12, 1)
+
+    # everything-dropped still reports (an Observation would vanish here:
+    # AQE's empty-relation propagation deletes the metrics node)
+    pairs2, stats2 = semantic_near_dup_pairs(
+        df,
+        threshold=0.99,
+        centroids=[[1.0, 0.0], [0.0, 1.0]],
+        max_cell_size=1,
+        with_drop_stats=True,
+    )
+    assert pairs2.count() == 0
+    s2 = stats2.collect()[0]
+    assert (s2["input_rows"], s2["dropped_rows"], s2["dropped_buckets"]) == (14, 14, 2)
+
+    # cap=None: guard off, nothing dropped
+    from spark_extension_spark.operators.similarity import cap_drop_stats
+
+    s3 = cap_drop_stats(df.withColumn("__cell", F.lit(0)), "__cell", None).collect()[0]
+    assert (s3["input_rows"], s3["dropped_rows"], s3["dropped_buckets"]) == (14, 0, 0)
+
+
+def test_fit_centroids_beats_lowest_id_seeds(spark):
+    """Planted clusters where the lowest-id seeds are degenerate (all in
+    one cluster): k-means|| recovers one centroid per real mode, so
+    single-probe IVF recall is near-exact; the id seeds scatter the
+    other clusters across arbitrary cells."""
+    import numpy as np
+
+    from spark_extension_spark.operators.similarity import (
+        fit_centroids,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per_cluster = 8, 30
+    axes = np.eye(3, dim)  # three orthogonal cluster directions
+    rows = []
+    for i in range(3 * per_cluster):
+        c = i // per_cluster  # ids 0..29 cluster 0: lowest-id seeds all cluster 0
+        v = axes[c] + rng.normal(0, 0.05, dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 10 == 3)
+
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(df, queries, k=5).collect()}
+
+    def recall(centroids):
+        approx = ivf_topk(df, queries, k=5, n_probes=1, centroids=centroids)
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        return len(exact & a) / len(exact)
+
+    fitted = recall(fit_centroids(df, n_centroids=3, seed=1))
+    seeded = recall(ivf_centroids(df, n_centroids=3))
+    assert fitted >= 0.9
+    assert fitted > seeded
