@@ -86,6 +86,7 @@ HEADLINE = [
     "diff_duration_events",
     "exact_dedup_documents",
     "row_numbers_contract_customer",
+    "doc_logprob_documents",
 ]
 
 

@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
-__all__ = ["term_frequencies", "document_frequencies", "tfidf", "bm25_score"]
+__all__ = [
+    "term_frequencies",
+    "document_frequencies",
+    "tfidf",
+    "bm25_score",
+    "unigram_lm",
+    "doc_logprob",
+]
 
 _TOKEN_PATTERN = "[a-z0-9]+"
 
@@ -183,3 +190,85 @@ def bm25_score(
     return grouped.select(
         F.col(id_col), score.alias("score"), F.col("n_matched")
     ).orderBy(F.col("score").desc(), F.col(id_col))
+
+
+def unigram_lm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """(token, logp) — add-``k`` smoothed unigram log-probabilities
+    fitted on ``df``: ``ln((c + k) / (total + k·(V + 1)))`` with ``V``
+    the vocabulary size (the ``+ 1`` reserves mass for unseen tokens:
+    ``ln(k / (total + k·(V+1)))`` is the consistent ``unk_logp`` to
+    score out-of-vocabulary tokens in :func:`doc_logprob`).
+
+    One explode + one map-side-combined count per token; the corpus
+    totals are a 1-row broadcast.  The result is vocabulary-sized —
+    typically small enough to broadcast into the scoring join."""
+    counts = (
+        _tokens(df, id_col, text_col).groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__vocab"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log(
+            (F.col("c").cast("double") + F.lit(float(k)))
+            / (F.col("__total") + F.lit(float(k)) * (F.col("__vocab") + F.lit(1.0)))
+        ).alias("logp"),
+    )
+
+
+def doc_logprob(
+    df: DataFrame,
+    lm: DataFrame = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_logp: float = None,
+) -> DataFrame:
+    """Per-document unigram log-likelihood — the CCNet-style quality
+    signal (documents whose token distribution is atypical for the
+    corpus score low; perplexity is ``exp(-avg_logp)``):
+    (id, ``n_tokens``, ``sum_logp``, ``avg_logp``).
+
+    ``lm`` is a (token, logp) frame — fit one with :func:`unigram_lm`
+    on a reference corpus, or leave ``None`` to self-score against
+    ``df``'s own unigram distribution (then no token is unseen).  With
+    an external ``lm``, out-of-vocabulary tokens take ``unk_logp``
+    (use the reserved-mass constant from :func:`unigram_lm`'s
+    docstring); if unset they propagate NULL into the document's score
+    — visibly, never silently.
+
+    Scale shape: tokenize once, one map-side-combined (doc, token, tf)
+    aggregate, an equi-join with the vocabulary-sized ``lm``, one
+    final per-doc aggregate.  The per-doc float sum runs in
+    DECIMAL(38,15) — decimal addition is order-independent, so scores
+    are reproducible across partitionings and engines (the same
+    discipline as the BM25 fixed-order sum, generalized to unbounded
+    vocabularies; doubles summed in shuffle-arrival order are not)."""
+    if lm is None:
+        lm = unigram_lm(df, id_col, text_col)
+    tf = term_frequencies(df, id_col, text_col)
+    logp = F.col("logp") if unk_logp is None else F.coalesce(F.col("logp"), F.lit(float(unk_logp)))
+    per_doc = (
+        tf.join(lm, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum((F.col("tf").cast("double") * logp).cast("decimal(38,15)")).alias("__s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.col("__s").cast("double").alias("sum_logp"),
+            (F.col("__s").cast("double") / F.col("n_tokens").cast("double")).alias("avg_logp"),
+        )
+    )

@@ -1950,3 +1950,44 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
     return semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.99, n_cells=16)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM log-likelihood (CCNet-style corpus-typicality quality score)
+# ---------------------------------------------------------------------------
+
+# per-doc sums run in DECIMAL(38,15) on both engines: decimal addition is
+# order-independent, so Spark's partial-aggregate order and DuckDB's fold
+# produce bit-identical scores (the bucketed_join/BM25 float-sum lesson,
+# generalized to unbounded per-doc token sets)
+_DOC_LOGPROB_ORACLE = f"""
+WITH toks AS ({_RANK_TOKS_SQL}),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS DOUBLE) AS vocab
+        FROM counts),
+lm AS (
+  SELECT token,
+         ln((CAST(c AS DOUBLE) + 1.0) / (total + 1.0 * (vocab + 1.0))) AS logp
+  FROM counts CROSS JOIN tot
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(CAST(CAST(tf AS DOUBLE) * logp AS DECIMAL(38,15))) AS s
+  FROM tf JOIN lm USING (token) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       CAST(per.s AS DOUBLE) AS sum_logp,
+       CAST(per.s AS DOUBLE) / CAST(per.n_tokens AS DOUBLE) AS avg_logp
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("doc_logprob_documents", _DOC_LOGPROB_ORACLE)
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import doc_logprob
+
+    return doc_logprob(load(spark, sf_dir, "documents"))

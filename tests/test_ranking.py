@@ -82,3 +82,62 @@ def test_bm25_deterministic_across_partitionings(docs):
     a = bm25_score(docs, ["the", "fox", "dog"]).collect()
     b = bm25_score(docs.repartition(7), ["the", "fox", "dog"]).collect()
     assert {(r["doc_id"], r["score"]) for r in a} == {(r["doc_id"], r["score"]) for r in b}
+
+
+# -- unigram LM / doc log-likelihood ----------------------------------------
+
+
+def test_unigram_lm_probabilities_sum_below_one(docs):
+    from spark_extension_spark.operators.ranking import unigram_lm
+
+    lm = {r["token"]: r["logp"] for r in unigram_lm(docs, k=1.0).collect()}
+    total_mass = sum(math.exp(lp) for lp in lm.values())
+    assert 0.9 < total_mass < 1.0  # reserved mass for unseen tokens
+    # "the" (8 occurrences) is the most probable token
+    assert max(lm, key=lm.get) == "the"
+
+
+def test_doc_logprob_self_scored(docs):
+    from spark_extension_spark.operators.ranking import doc_logprob, unigram_lm
+
+    got = {r["doc_id"]: r for r in doc_logprob(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["n_tokens"] == 9
+    # hand-check doc 2: sum over tokens of ln((c+1)/(total + vocab+1))
+    lm = {r["token"]: r["logp"] for r in unigram_lm(docs).collect()}
+    expect = sum(lm[t] for t in "the quick red fox".split())
+    assert got[2]["sum_logp"] == pytest.approx(expect, rel=1e-12)
+    assert got[2]["avg_logp"] == pytest.approx(expect / 4, rel=1e-12)
+    # the lorem doc shares no tokens with the rest: most atypical
+    assert got[3]["avg_logp"] == min(r["avg_logp"] for r in got.values())
+
+
+def test_doc_logprob_external_lm_and_unk(docs, spark):
+    from spark_extension_spark.operators.ranking import doc_logprob, unigram_lm
+
+    ref = docs.where(F.col("doc_id") != 3)  # LM never saw lorem-ipsum tokens
+    lm = unigram_lm(ref)
+    # without unk_logp, OOV tokens poison the score visibly (NULL)
+    got = {r["doc_id"]: r for r in doc_logprob(docs, lm=lm).collect()}
+    assert got[3]["sum_logp"] is None
+    assert got[1]["sum_logp"] is not None
+    # with unk_logp, OOV tokens take the floor and the score exists
+    got2 = {r["doc_id"]: r for r in doc_logprob(docs, lm=lm, unk_logp=-20.0).collect()}
+    assert got2[3]["sum_logp"] == pytest.approx(-20.0 * 5)
+
+
+def test_doc_logprob_empty_doc(spark):
+    from spark_extension_spark.operators.ranking import doc_logprob
+
+    docs = spark.createDataFrame([(1, "only punctuation ..."), (2, "...")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in doc_logprob(docs).collect()}
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["sum_logp"] is None and got[2]["avg_logp"] is None
+
+
+def test_doc_logprob_partitioning_independent(docs):
+    from spark_extension_spark.operators.ranking import doc_logprob
+
+    a = {r["doc_id"]: r["sum_logp"] for r in doc_logprob(docs.coalesce(1)).collect()}
+    b = {r["doc_id"]: r["sum_logp"] for r in doc_logprob(docs.repartition(7)).collect()}
+    assert a == b  # decimal sums: bit-identical under any partitioning
