@@ -87,6 +87,8 @@ HEADLINE = [
     "exact_dedup_documents",
     "row_numbers_contract_customer",
     "doc_logprob_documents",
+    "cap_per_source_documents",
+    "quality_rules_documents",
 ]
 
 

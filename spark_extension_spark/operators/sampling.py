@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Dict, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -33,6 +33,8 @@ __all__ = [
     "assign_splits",
     "assign_splits_sql",
     "resample_to_mix",
+    "cap_per_group",
+    "cap_per_group_sql",
 ]
 
 _TWO_32 = float(2**32)
@@ -191,6 +193,69 @@ def resample_to_mix(
     return joined.where(hash_uniform(id_col, seed) < F.col("__rate")).drop(
         "__stratum", "__rate"
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: Union[str, Column],
+    cap: int,
+    id_col: Union[str, Column],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the per-domain/per-source
+    quota of web-scale curation (no single site may dominate the mix).
+    Within an over-quota group the kept rows are the ``cap`` smallest
+    deterministic hash draws (ties broken by id), so the selection is a
+    uniform sample frozen across runs, partitionings, and engines —
+    not "whichever rows arrived first".
+
+    Scale shape: one map-side-combined count per group finds the
+    over-quota groups (usually a tiny minority); rows of under-quota
+    groups pass through via a **broadcast** anti-join — no shuffle, no
+    sort.  Only the over-quota slice shuffles into per-group windows.
+    The residual skew risk is a single group so large its window sort
+    dominates one task — at that point cap/|group| is tiny, and
+    :func:`hash_sample` at a slightly generous rate is the cheap
+    pre-filter to compose in front."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    group = _col(group_col)
+    over = (
+        df.groupBy(group.alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > cap)
+        .select("__g")
+    )
+    small = df.join(F.broadcast(over), group.eqNullSafe(F.col("__g")), "left_anti")
+    big = df.join(F.broadcast(over), group.eqNullSafe(F.col("__g")), "left_semi")
+    w = Window.partitionBy(group).orderBy(
+        hash_uniform(id_col, seed).asc(), _col(id_col).asc()
+    )
+    capped = (
+        big.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= cap)
+        .drop("__rank")
+    )
+    return small.unionByName(capped)
+
+
+def cap_per_group_sql(
+    table: str,
+    group_expr: str,
+    cap: int,
+    id_expr: str,
+    seed: int = 42,
+    columns: str = "*",
+) -> str:
+    """DuckDB SELECT in lock-step with :func:`cap_per_group` (same draw,
+    same tie-break) — the oracle-gate companion."""
+    u = hash_uniform_sql(id_expr, seed)
+    return f"""
+SELECT {columns} FROM {table}
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY {group_expr} ORDER BY {u} ASC, {id_expr} ASC
+) <= {int(cap)}
+"""
 
 
 def resample_to_mix_sql(

@@ -25,6 +25,8 @@ __all__ = [
     "deterministic_shuffle",
     "heavy_hitters",
     "dup_ngram_fraction",
+    "gopher_rules",
+    "apply_quality_rules",
 ]
 
 
@@ -88,6 +90,60 @@ def quality_metrics(text) -> Dict[str, Column]:
 def with_quality_metrics(df: DataFrame, text: str = "text", prefix: str = "q_") -> DataFrame:
     cols = quality_metrics(text)
     return df.select("*", *[c.alias(prefix + name) for name, c in cols.items()])
+
+
+def gopher_rules(
+    text="text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_digit_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.6,
+) -> Dict[str, Column]:
+    """Gopher-style document quality rules as named *pass* predicates
+    over :func:`quality_metrics` (each value is a boolean Column that is
+    true when the document passes; the key names the failure).  Pure
+    projections — compose aggregation-based signals (e.g. join
+    :func:`repetition_metrics` first) by adding entries to the dict
+    before handing it to :func:`apply_quality_rules`."""
+    m = quality_metrics(text)
+    return {
+        "too_few_tokens": m["n_tokens"] >= min_tokens,
+        "too_many_tokens": m["n_tokens"] <= max_tokens,
+        "mean_token_too_short": m["mean_token_len"] >= min_mean_token_len,
+        "mean_token_too_long": m["mean_token_len"] <= max_mean_token_len,
+        "too_many_digits": m["digit_ratio"] <= max_digit_ratio,
+        "not_enough_letters": m["alpha_ratio"] >= min_alpha_ratio,
+    }
+
+
+def apply_quality_rules(
+    df: DataFrame,
+    rules: Dict[str, Column],
+    kept_col: str = "kept",
+    reasons_col: str = "failed_rules",
+) -> DataFrame:
+    """Evaluate named pass-predicates and annotate every row with
+    ``kept`` (all rules pass) and ``failed_rules`` (comma-joined names
+    of the rules it failed, rule order, empty when kept) — filtering
+    with *reasons*, so a 100 TB curation run can report exactly why
+    each share of the corpus was dropped instead of silently shrinking.
+
+    A NULL predicate (e.g. NULL text) counts as a failure — nothing
+    slips through on three-valued logic.  The whole evaluation is one
+    codegen projection: zero shuffles, zero UDFs; ``concat_ws`` skips
+    the NULLs of passing rules, so no array materializes either."""
+    if not rules:
+        raise ValueError("rules must not be empty")
+    oks = {name: F.coalesce(pred, F.lit(False)) for name, pred in rules.items()}
+    kept: Column = None
+    for ok in oks.values():
+        kept = ok if kept is None else (kept & ok)
+    failed = [F.when(~ok, F.lit(name)) for name, ok in oks.items()]
+    return df.select(
+        "*", kept.alias(kept_col), F.concat_ws(",", *failed).alias(reasons_col)
+    )
 
 
 def repetition_metrics(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:

@@ -1991,3 +1991,80 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import doc_logprob
 
     return doc_logprob(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# per-source quota capping (web-scale "no domain dominates" rule)
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import cap_per_group_sql as _cap_sql  # noqa: E402
+
+_CAP_PER_SOURCE_ORACLE = _cap_sql(
+    "documents", "source", 10, "doc_id", columns="doc_id, source"
+)
+
+
+@register("cap_per_source_documents", _CAP_PER_SOURCE_ORACLE)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", 10, "doc_id").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# quality-rule filtering with reasons (Gopher-style, nothing dropped silently)
+# ---------------------------------------------------------------------------
+
+# lock-step with operators.text.quality_metrics / gopher_rules defaults
+_QUALITY_RULES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         len(regexp_replace(text, '[^ \t\n]', '', 'g')) AS spaces
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_tokens > 0 THEN CAST(n_chars - spaces AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+         n_tokens
+  FROM m
+),
+v AS (
+  SELECT doc_id,
+         n_tokens >= 50 AS ok_few,
+         n_tokens <= 100000 AS ok_many,
+         mean_token_len >= 3.0 AS ok_short,
+         mean_token_len <= 10.0 AS ok_long,
+         digit_ratio <= 0.2 AS ok_digit,
+         alpha_ratio >= 0.6 AS ok_alpha
+  FROM r
+)
+SELECT doc_id,
+       (ok_few AND ok_many AND ok_short AND ok_long AND ok_digit AND ok_alpha) AS kept,
+       concat_ws(',',
+         CASE WHEN NOT ok_few THEN 'too_few_tokens' END,
+         CASE WHEN NOT ok_many THEN 'too_many_tokens' END,
+         CASE WHEN NOT ok_short THEN 'mean_token_too_short' END,
+         CASE WHEN NOT ok_long THEN 'mean_token_too_long' END,
+         CASE WHEN NOT ok_digit THEN 'too_many_digits' END,
+         CASE WHEN NOT ok_alpha THEN 'not_enough_letters' END
+       ) AS failed_rules
+FROM v
+"""
+
+
+@register("quality_rules_documents", _QUALITY_RULES_ORACLE)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import apply_quality_rules, gopher_rules
+
+    docs = load(spark, sf_dir, "documents")
+    return apply_quality_rules(docs, gopher_rules("text")).select(
+        "doc_id", "kept", "failed_rules"
+    )

@@ -94,3 +94,27 @@ def test_text_stats_no_shuffle(spark):
     # per-row transform: no exchange at all
     assert plan.exchanges == 0
     assert plan.joins == []
+
+
+def test_cap_per_group_quota_joins_are_broadcast(spark):
+    plan = summarize_plan(QUERIES["cap_per_source_documents"](spark, SF))
+    # the over-quota group list is tiny: both the pass-through anti-join
+    # and the over-quota semi-join must broadcast it — the corpus never
+    # shuffles to discover which rows bypass the window
+    assert not plan.has_cartesian
+    broadcast = [j for j in plan.joins if "Broadcast" in j]
+    assert len(broadcast) >= 2
+
+
+def test_quality_rules_no_shuffle(spark):
+    plan = summarize_plan(QUERIES["quality_rules_documents"](spark, SF))
+    # rule evaluation is one codegen projection: no joins, no exchanges
+    assert plan.joins == []
+    assert plan.exchanges == 0
+
+
+def test_doc_logprob_lm_is_vocab_sized_equi_join(spark):
+    plan = summarize_plan(QUERIES["doc_logprob_documents"](spark, SF))
+    # token stream joins the vocabulary-sized lm + docs left join:
+    # equi-joins only, never a nested-loop over the corpus
+    assert not plan.has_cartesian

@@ -125,3 +125,49 @@ def test_resample_to_mix_validation(spark):
         resample_to_mix(df, "lang", {}, "doc_id")
     with pytest.raises(ValueError):
         resample_to_mix(df, "lang", {"en": -1.0}, "doc_id")
+
+
+# -- per-group quota capping -------------------------------------------------
+
+
+def test_cap_per_group_caps_only_over_quota(spark):
+    from spark_extension_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = cap_per_group(df, "source", 5, "doc_id").collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_group["big"]) == 5
+    assert sorted(by_group["small"]) == [100, 101, 102]  # under quota: untouched
+
+
+def test_cap_per_group_deterministic_and_partitioning_independent(spark):
+    from spark_extension_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted(r["doc_id"] for r in cap_per_group(df.coalesce(1), "source", 7, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in cap_per_group(df.repartition(13), "source", 7, "doc_id").collect())
+    assert a == b and len(a) == 21
+    # different seed selects a different (but equally sized) subset
+    c = sorted(r["doc_id"] for r in cap_per_group(df, "source", 7, "doc_id", seed=7).collect())
+    assert len(c) == 21 and c != a
+
+
+def test_cap_per_group_null_group_and_zero_cap(spark):
+    from spark_extension_spark.operators.sampling import cap_per_group
+
+    rows = [(1, None), (2, None), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_group(df, "source", 1, "doc_id").collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_group[None]) == 1 and by_group["x"] == [3]
+
+    assert cap_per_group(df, "source", 0, "doc_id").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap must be >= 0"):
+        cap_per_group(df, "source", -1, "doc_id")

@@ -242,3 +242,43 @@ def test_dup_ngram_fraction_counts_occurrences(spark):
     # short docs with no n-grams are omitted
     docs2 = spark.createDataFrame([(9, "hi")], ["doc_id", "text"])
     assert dup_ngram_fraction(docs2, n=3).count() == 0
+
+
+# -- quality rules with reasons ---------------------------------------------
+
+
+def test_apply_quality_rules_reasons(spark):
+    from spark_extension_spark.operators.text import apply_quality_rules, gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "word " * 60),                      # passes everything
+            (2, "short text"),                      # too few tokens
+            (3, "1234 5678 " * 40),                 # digits + no letters (+ short means ok)
+            (4, None),                              # null text: fails everything, visibly
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           apply_quality_rules(docs, gopher_rules("text")).collect()}
+    assert got[1]["kept"] and got[1]["failed_rules"] == ""
+    assert not got[2]["kept"] and "too_few_tokens" in got[2]["failed_rules"]
+    assert "too_many_digits" in got[3]["failed_rules"]
+    assert "not_enough_letters" in got[3]["failed_rules"]
+    assert not got[4]["kept"]  # NULL predicates count as failures
+    assert "too_few_tokens" in got[4]["failed_rules"]
+
+
+def test_apply_quality_rules_custom_and_empty(spark):
+    from pyspark.sql import functions as F
+    from spark_extension_spark.operators.text import apply_quality_rules
+
+    docs = spark.createDataFrame([(1, "en"), (2, "xx")], ["doc_id", "lang"])
+    rules = {"bad_lang": F.col("lang").isin("en", "es", "de")}
+    got = {r["doc_id"]: r for r in apply_quality_rules(docs, rules).collect()}
+    assert got[1]["kept"] and not got[2]["kept"]
+    assert got[2]["failed_rules"] == "bad_lang"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rules must not be empty"):
+        apply_quality_rules(docs, {})
