@@ -89,6 +89,8 @@ HEADLINE = [
     "doc_logprob_documents",
     "cap_per_source_documents",
     "quality_rules_documents",
+    "dedup_against_documents",
+    "near_dedup_against_documents",
 ]
 
 

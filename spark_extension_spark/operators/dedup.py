@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..utils import UnpersistHandle
 from .similarity import _cap_buckets
-from .text import normalize_text
+from .text import fingerprint, normalize_text
 
 __all__ = [
     "exact_dedup",
@@ -36,6 +36,8 @@ __all__ = [
     "simhash",
     "connected_components",
     "near_dup_clusters",
+    "dedup_against",
+    "near_dedup_against",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -288,6 +290,112 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a new batch against an already-accepted corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``new`` whose normalized text does not occur anywhere in
+    ``seen`` — the incremental form of :func:`exact_dedup` for rolling
+    ingestion (today's crawl against the accepted corpus), where
+    re-deduplicating the full history per batch would rescan 100 TB.
+
+    One md5 fingerprint projection per side + an anti-join keyed by the
+    fingerprint: ``seen`` contributes only its distinct fingerprints
+    (16 bytes/doc), never its text, and with a small batch AQE turns
+    the probe into a broadcast.  Duplicates *within* ``new`` survive —
+    compose :func:`exact_dedup` on the batch first."""
+    seen_fp = seen.select(fingerprint(text_col).alias("__fp")).distinct()
+    return (
+        new.withColumn("__fp", fingerprint(text_col))
+        .join(seen_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
+def near_dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: Optional[int] = 10_000,
+    new_unpersist_handle: Optional[UnpersistHandle] = None,
+    seen_unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Rows of ``new`` with no MinHash near-duplicate in ``seen`` — the
+    incremental form of :func:`minhash_lsh_pairs`: candidates meet
+    through banded-signature buckets (equi-join keyed by bucket, new ×
+    seen instead of self×self), agreement-verified at ``threshold``,
+    and any ``new`` row with a confirmed match is dropped.
+
+    Both corpora hash with the same fixed seeds (:func:`minhash_params`)
+    so signatures are comparable across batches — and persistable:
+    at steady state the ``seen`` side's signatures/buckets should be
+    precomputed once and reused per batch (pass the signature frame
+    through ``seen`` is not needed — persist upstream; the handles
+    release this call's caches).  ``max_bucket_size`` caps both sides'
+    degenerate buckets (a boilerplate bucket of B_new × B_seen members
+    otherwise dominates the join).  Near-duplicates *within* ``new``
+    survive — compose :func:`minhash_lsh_pairs` on the batch first."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    rows = num_hashes // bands
+
+    sig_new = minhash_signatures(new, id_col, text_col, n, num_hashes).persist()
+    sig_seen = minhash_signatures(seen, id_col, text_col, n, num_hashes).persist()
+    if new_unpersist_handle is not None:
+        new_unpersist_handle.set_dataframe(sig_new)
+    if seen_unpersist_handle is not None:
+        seen_unpersist_handle.set_dataframe(sig_seen)
+
+    band_cols = [
+        F.md5(F.concat_ws("_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
+        .alias("bucket")
+        for b in range(bands)
+    ]
+
+    def buckets_of(sig: DataFrame, out_id: str) -> DataFrame:
+        return _cap_buckets(
+            sig.select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.array(*band_cols)).alias("bucket"),
+            ).distinct(),
+            "bucket",
+            max_bucket_size,
+        )
+
+    candidates = (
+        buckets_of(sig_new, "__new_id")
+        .join(buckets_of(sig_seen, "__seen_id"), "bucket")
+        .select("__new_id", "__seen_id")
+        .distinct()
+    )
+
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    new_sigs = sig_new.select(F.col(id_col).alias("__new_id"), sig_arr.alias("__sig_n"))
+    seen_sigs = sig_seen.select(F.col(id_col).alias("__seen_id"), sig_arr.alias("__sig_s"))
+    agree = F.size(
+        F.filter(F.zip_with("__sig_n", "__sig_s", lambda a, b: a == b), lambda x: x)
+    )
+    dirty = (
+        candidates.join(new_sigs, "__new_id")
+        .join(seen_sigs, "__seen_id")
+        .where(agree / F.lit(num_hashes) >= threshold)
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(dirty, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -2068,3 +2068,121 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_quality_rules(docs, gopher_rules("text")).select(
         "doc_id", "kept", "failed_rules"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs already-accepted corpus
+# ---------------------------------------------------------------------------
+
+# planted batch: identical copies (cross-corpus exact dups) + suffixed
+# copies (near dups) of the accepted corpus
+_NEW_BATCH_SQL = """
+SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 400000 AS doc_id, text || ' zz7 qq9 extra suffix tokens' AS text
+FROM documents WHERE doc_id % 7 = 1
+"""
+
+
+def _new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    identical = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    suffixed = docs.where(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz7 qq9 extra suffix tokens")).alias("text"),
+    )
+    return identical.unionAll(suffixed)
+
+
+_DEDUP_AGAINST_ORACLE = f"""
+WITH newdocs AS ({_NEW_BATCH_SQL})
+SELECT doc_id FROM newdocs
+WHERE md5({_NORM_SQL}) NOT IN (
+  SELECT DISTINCT md5({_NORM_SQL}) FROM documents
+)
+"""
+
+
+@register("dedup_against_documents", _DEDUP_AGAINST_ORACLE)
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.dedup_against(_new_batch(spark, sf_dir), docs).select("doc_id")
+
+
+def _minhash_sig_cte(corpus_cte: str, prefix: str, num_hashes: int) -> str:
+    """Signature CTEs over an arbitrary corpus CTE — the
+    `_minhash_oracle` pipeline, parameterized for cross-corpus use."""
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_dedup.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(_dedup.minhash_params(num_hashes))
+    )
+    return f"""{prefix}_toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM {corpus_cte}
+),
+{prefix}_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM {prefix}_toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+{prefix}_hashed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483648 AS h
+  FROM {prefix}_sh
+),
+{prefix}_sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM {prefix}_hashed
+  GROUP BY doc_id
+)"""
+
+
+def _band_bucket_cte(sig_cte: str, prefix: str, num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    buckets = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join([str(b)] + [f"mh_{b * rows + r}" for r in range(rows)])
+        + "))"
+        for b in range(bands)
+    )
+    return f"""{prefix}_buckets AS (
+  SELECT DISTINCT doc_id, bucket
+  FROM (SELECT doc_id, unnest([{buckets}]) AS bucket FROM {sig_cte})
+)"""
+
+
+def _near_dedup_against_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    agree = " + ".join(
+        f"CASE WHEN ns.mh_{i} = ss.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH newdocs AS ({_NEW_BATCH_SQL}),
+{_minhash_sig_cte('newdocs', 'n', num_hashes)},
+{_minhash_sig_cte('documents', 's', num_hashes)},
+{_band_bucket_cte('n_sig', 'n', num_hashes, bands)},
+{_band_bucket_cte('s_sig', 's', num_hashes, bands)},
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, sb.doc_id AS seen_id
+  FROM n_buckets nb JOIN s_buckets sb USING (bucket)
+),
+dirty AS (
+  SELECT DISTINCT cand.new_id
+  FROM cand
+  JOIN n_sig ns ON ns.doc_id = cand.new_id
+  JOIN s_sig ss ON ss.doc_id = cand.seen_id
+  WHERE ({agree}) / {float(num_hashes)!r} >= {float(threshold)!r}
+)
+SELECT doc_id FROM newdocs
+WHERE doc_id NOT IN (SELECT new_id FROM dirty)
+"""
+
+
+@register("near_dedup_against_documents", _near_dedup_against_oracle(8, 4, 0.9))
+def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.near_dedup_against(
+        _new_batch(spark, sf_dir), docs, num_hashes=8, bands=4, threshold=0.9
+    ).select("doc_id")

@@ -197,3 +197,70 @@ def test_near_dup_clusters_representative(spark):
     assert {r["doc_id"] for r in reps.collect()} == {3, 20}
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id"))
     assert {r["doc_id"] for r in drop.collect()} == {7, 9, 21}
+
+
+# -- incremental dedup vs an accepted corpus ---------------------------------
+
+
+def test_dedup_against_drops_cross_corpus_exact_dups(spark):
+    from spark_extension_spark.operators.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "The QUICK brown fox!"),   # normalized dup of 1
+            (11, "hello world"),            # exact dup of 2
+            (12, "completely fresh text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
+    assert got == [12]
+    # duplicates within the batch survive (documented: compose exact_dedup)
+    batch_dups = spark.createDataFrame(
+        [(20, "same twice"), (21, "same twice")], ["doc_id", "text"]
+    )
+    assert dedup_against(batch_dups, seen).count() == 2
+
+
+def test_near_dedup_against_drops_near_dups_keeps_fresh(spark):
+    from spark_extension_spark.operators.dedup import near_dedup_against
+
+    # 50 distinct tokens: the 2-token suffix leaves true jaccard ~48/51
+    base = " ".join(f"word{i}" for i in range(50))
+    seen = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (10, base),                              # identical: est jaccard 1
+            (11, base + " tiny suffix"),             # near dup
+            (12, "totally different words entirely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup_against(new, seen, num_hashes=8, bands=4, threshold=0.6).collect()
+    )
+    assert got == [12]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        near_dedup_against(new, seen, num_hashes=8, bands=3)
+
+
+def test_near_dedup_against_unpersist_handles(spark):
+    from spark_extension_spark.operators.dedup import near_dedup_against
+    from spark_extension_spark.utils import UnpersistHandle
+
+    seen = spark.createDataFrame([(1, "one two three four five six")], ["doc_id", "text"])
+    new = spark.createDataFrame([(2, "seven eight nine ten eleven twelve")], ["doc_id", "text"])
+    hn, hs = UnpersistHandle(), UnpersistHandle()
+    out = near_dedup_against(
+        new, seen, num_hashes=8, bands=4,
+        new_unpersist_handle=hn, seen_unpersist_handle=hs,
+    )
+    assert out.count() == 1
+    hn()  # handles are callables, matching the reference's API
+    hs()
