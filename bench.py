@@ -91,6 +91,8 @@ HEADLINE = [
     "quality_rules_documents",
     "dedup_against_documents",
     "near_dedup_against_documents",
+    "token_budget_documents",
+    "mix_report_documents",
 ]
 
 

@@ -35,6 +35,8 @@ __all__ = [
     "resample_to_mix",
     "cap_per_group",
     "cap_per_group_sql",
+    "take_token_budget",
+    "take_token_budget_sql",
 ]
 
 _TWO_32 = float(2**32)
@@ -255,6 +257,66 @@ SELECT {columns} FROM {table}
 QUALIFY ROW_NUMBER() OVER (
   PARTITION BY {group_expr} ORDER BY {u} ASC, {id_expr} ASC
 ) <= {int(cap)}
+"""
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: Union[str, Column],
+    id_col: Union[str, Column],
+    group_col: Union[str, Column] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministically fill a token budget: keep documents, in hash-draw
+    order, while the running token total stays ≤ ``budget`` ("give me
+    1B tokens of this corpus", reproducibly).  With ``group_col`` the
+    budget applies per group ("1B tokens per language").
+
+    The kept set is a prefix of the frozen hash order, so it is stable
+    across runs/partitionings, and growing the budget only ever *adds*
+    documents — successive curation rounds are supersets, never
+    reshuffles.  The first over-budget document is excluded (strict
+    prefix), so the result can undershoot but never overshoot.
+
+    Scale shape: one window (cumulative sum over the draw order) —
+    per-group windows parallelize over groups; the ungrouped form is a
+    single global ordering (use groups at corpus scale, exactly like
+    global sorts anywhere)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    part = [_col(group_col)] if group_col is not None else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(hash_uniform(id_col, seed).asc(), _col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(_col(tokens_col).cast("long")).over(w)
+    return (
+        df.withColumn("__running", running)
+        .where(F.col("__running") <= budget)
+        .drop("__running")
+    )
+
+
+def take_token_budget_sql(
+    table: str,
+    budget: int,
+    tokens_expr: str,
+    id_expr: str,
+    group_expr: str = None,
+    seed: int = 42,
+    columns: str = "*",
+) -> str:
+    """DuckDB SELECT in lock-step with :func:`take_token_budget`."""
+    u = hash_uniform_sql(id_expr, seed)
+    part = f"PARTITION BY {group_expr} " if group_expr else ""
+    return f"""
+SELECT {columns} FROM {table}
+QUALIFY SUM(CAST({tokens_expr} AS BIGINT)) OVER (
+  {part}ORDER BY {u} ASC, {id_expr} ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+) <= {int(budget)}
 """
 
 

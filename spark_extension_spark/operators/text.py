@@ -27,6 +27,7 @@ __all__ = [
     "dup_ngram_fraction",
     "gopher_rules",
     "apply_quality_rules",
+    "mix_report",
 ]
 
 
@@ -90,6 +91,39 @@ def quality_metrics(text) -> Dict[str, Column]:
 def with_quality_metrics(df: DataFrame, text: str = "text", prefix: str = "q_") -> DataFrame:
     cols = quality_metrics(text)
     return df.select("*", *[c.alias(prefix + name) for name, c in cols.items()])
+
+
+def mix_report(
+    df: DataFrame,
+    strata_col,
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-composition report per stratum (language, source, split —
+    whatever the mix is steered by): ``(stratum, n_docs, doc_share,
+    n_tokens, token_share, n_chars)``.  The observability companion to
+    :func:`~spark_extension_spark.operators.sampling.resample_to_mix` /
+    ``take_token_budget``: what a mixing decision *did* to the corpus,
+    measured, not assumed.
+
+    One map-side-combined aggregate (shuffle = one row per stratum) plus
+    a 1-row broadcast of the totals; long/long division is double in
+    every engine, so the shares hash-match an ANSI oracle."""
+    agg = df.groupBy(_col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text).cast("long")).alias("n_tokens"),
+        F.sum(F.length(_col(text)).cast("long")).alias("n_chars"),
+    )
+    totals = agg.agg(
+        F.sum("n_docs").alias("__td"), F.sum("n_tokens").alias("__tt")
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "stratum",
+        "n_docs",
+        (F.col("n_docs") / F.col("__td")).alias("doc_share"),
+        "n_tokens",
+        (F.col("n_tokens") / F.col("__tt")).alias("token_share"),
+        "n_chars",
+    )
 
 
 def gopher_rules(

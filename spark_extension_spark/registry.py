@@ -2186,3 +2186,56 @@ def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.near_dedup_against(
         _new_batch(spark, sf_dir), docs, num_hashes=8, bands=4, threshold=0.9
     ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# token-budget subsetting + corpus mix report
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import take_token_budget_sql as _budget_sql  # noqa: E402
+
+_TOKENS_EXPR = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+_TOKEN_BUDGET_ORACLE = _budget_sql(
+    "documents", 5000, _TOKENS_EXPR, "doc_id", group_expr="lang",
+    columns="doc_id, lang",
+)
+
+
+@register("token_budget_documents", _TOKEN_BUDGET_ORACLE)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import take_token_budget
+    from .operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return take_token_budget(
+        docs, 5000, token_count("text"), "doc_id", group_col="lang"
+    ).select("doc_id", "lang")
+
+
+_MIX_REPORT_ORACLE = f"""
+WITH agg AS (
+  SELECT lang AS stratum,
+         COUNT(*) AS n_docs,
+         CAST(SUM({_TOKENS_EXPR}) AS BIGINT) AS n_tokens,
+         CAST(SUM(len(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td, CAST(SUM(n_tokens) AS BIGINT) AS tt FROM agg)
+SELECT stratum, n_docs,
+       n_docs / td AS doc_share,
+       n_tokens,
+       n_tokens / tt AS token_share,
+       n_chars
+FROM agg CROSS JOIN tot
+"""
+
+
+@register("mix_report_documents", _MIX_REPORT_ORACLE)
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import mix_report
+
+    return mix_report(load(spark, sf_dir, "documents"), "lang")

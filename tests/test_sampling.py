@@ -171,3 +171,49 @@ def test_cap_per_group_null_group_and_zero_cap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cap must be >= 0"):
         cap_per_group(df, "source", -1, "doc_id")
+
+
+# -- token-budget subsetting -------------------------------------------------
+
+
+def test_take_token_budget_prefix_and_monotone(spark):
+    from spark_extension_spark.operators.sampling import take_token_budget
+    from pyspark.sql import functions as F
+
+    rows = [(i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    small = sorted(r["doc_id"] for r in take_token_budget(df, 200, "n_tok", "doc_id").collect())
+    big = sorted(r["doc_id"] for r in take_token_budget(df, 500, "n_tok", "doc_id").collect())
+    assert len(small) == 20 and len(big) == 50
+    assert set(small) <= set(big)  # growing the budget only adds documents
+
+    # partitioning-independent
+    alt = sorted(r["doc_id"] for r in
+                 take_token_budget(df.repartition(9), 200, "n_tok", "doc_id").collect())
+    assert alt == small
+
+
+def test_take_token_budget_never_overshoots(spark):
+    from spark_extension_spark.operators.sampling import take_token_budget
+
+    rows = [(1, 60), (2, 60), (3, 60)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    kept = take_token_budget(df, 100, "n_tok", "doc_id").collect()
+    assert sum(r["n_tok"] for r in kept) <= 100
+    assert len(kept) == 1  # strict prefix: the over-budget doc is excluded
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget must be >= 0"):
+        take_token_budget(df, -1, "n_tok", "doc_id")
+
+
+def test_take_token_budget_per_group(spark):
+    from spark_extension_spark.operators.sampling import take_token_budget
+
+    rows = [(i, 10, f"g{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "lang"])
+    kept = take_token_budget(df, 50, "n_tok", "doc_id", group_col="lang").collect()
+    per = {}
+    for r in kept:
+        per[r["lang"]] = per.get(r["lang"], 0) + r["n_tok"]
+    assert per == {"g0": 50, "g1": 50}  # budget applies per group

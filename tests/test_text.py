@@ -282,3 +282,18 @@ def test_apply_quality_rules_custom_and_empty(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="rules must not be empty"):
         apply_quality_rules(docs, {})
+
+
+def test_mix_report_shares(spark):
+    from spark_extension_spark.operators.text import mix_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "en"), (3, "f g h i j", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["stratum"]: r for r in mix_report(docs, "lang").collect()}
+    assert got["en"]["n_docs"] == 2 and got["de"]["n_docs"] == 1
+    assert got["en"]["n_tokens"] == 5 and got["de"]["n_tokens"] == 5
+    assert got["en"]["doc_share"] == pytest.approx(2 / 3)
+    assert got["en"]["token_share"] == pytest.approx(0.5)
+    assert abs(sum(r["token_share"] for r in got.values()) - 1.0) < 1e-12
