@@ -19,6 +19,7 @@ from ..operators.text import normalize_text
 
 __all__ = [
     "streaming_exact_dedup",
+    "streaming_dedup_against",
     "streaming_histogram",
     "streaming_quality_monitor",
     "streaming_sessionize",
@@ -43,6 +44,33 @@ def streaming_exact_dedup(
         ["__content_hash"]
     )
     return deduped.drop("__content_hash")
+
+
+def streaming_dedup_against(
+    stream: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    seen_text_col: str = None,
+) -> DataFrame:
+    """Streaming ingestion against an accepted corpus: drop stream rows
+    whose normalized content hash occurs in the static ``seen`` table —
+    the streaming analogue of
+    :func:`~spark_extension_spark.operators.dedup.dedup_against`,
+    expressed as a stream-static left-anti join (supported natively by
+    Structured Streaming; the static side is re-read per micro-batch,
+    so point it at the *fingerprint* table, not 100 TB of text, and
+    refresh it out-of-band).  Compose :func:`streaming_exact_dedup`
+    after it to also dedup within the stream's watermark horizon."""
+    from ..operators.text import fingerprint
+
+    seen_fp = seen.select(
+        fingerprint(seen_text_col or text_col).alias("__fp")
+    ).distinct()
+    return (
+        stream.withColumn("__fp", fingerprint(text_col))
+        .join(seen_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
 
 
 def streaming_histogram(

@@ -146,3 +146,20 @@ def test_streaming_sessionize(spark, tmp_path_factory):
         (r["user_id"], r["n_events"]): (r["t_first"], r["t_last"]) for r in out.collect()
     }
     assert bounds[(1, 2)] == (T0, T0 + datetime.timedelta(minutes=5))
+
+
+def test_streaming_dedup_against(spark, stream_source):
+    from spark_extension_spark.streaming import streaming_dedup_against
+
+    seen = spark.createDataFrame(
+        [(100, "HELLO world"), (101, "never streamed")], ["doc_id", "text"]
+    )
+    stream = _read_stream(spark, stream_source)
+    out = _run(
+        spark,
+        streaming_dedup_against(stream, seen),
+        "dedup_against_sink",
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # 1, 2, 4 normalize to "hello world" = seen doc 100; only 3 survives
+    assert got == [3]
