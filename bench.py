@@ -93,6 +93,7 @@ HEADLINE = [
     "near_dedup_against_documents",
     "token_budget_documents",
     "mix_report_documents",
+    "chunk_documents",
 ]
 
 

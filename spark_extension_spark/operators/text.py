@@ -28,6 +28,7 @@ __all__ = [
     "gopher_rules",
     "apply_quality_rules",
     "mix_report",
+    "chunk_documents",
 ]
 
 
@@ -91,6 +92,55 @@ def quality_metrics(text) -> Dict[str, Column]:
 def with_quality_metrics(df: DataFrame, text: str = "text", prefix: str = "q_") -> DataFrame:
     cols = quality_metrics(text)
     return df.select("*", *[c.alias(prefix + name) for name, c in cols.items()])
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping context windows of
+    ``chunk_tokens`` whitespace tokens — the training-prep step that
+    turns long documents into model-sized sequences: one output row per
+    chunk, ``(id, chunk_id, text, n_tokens)``, chunk *i* starting at
+    token ``i·(chunk_tokens − overlap)``.  The final chunk may be
+    shorter; blank/empty documents produce no chunks; original token
+    text is preserved (inter-token whitespace collapses to single
+    spaces — the only reversible normalization a token split allows).
+
+    Pure column algebra: tokenize once, generate chunk starts with
+    ``sequence``, slice/join per start, one ``posexplode`` — zero
+    shuffles, zero UDFs, scan-speed at any scale.  Output size is
+    ``n/stride`` rows per document, exactly what the math says, skew-free
+    (a long document fans out within its input partition)."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap} vs {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    t = F.trim(_col(text_col))
+    tokens = F.split(t, r"\s+")
+    n = F.size(tokens)
+    # guard: sequence(0, -1) would generate a DESCENDING sequence
+    starts = F.when(t == "", F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride))
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(tokens, s + 1, chunk_tokens), " ")
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.col("__chunk").alias(text_col),
+        F.size(F.split(F.col("__chunk"), r"\s+")).alias("n_tokens"),
+    )
 
 
 def mix_report(

@@ -2239,3 +2239,30 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import mix_report
 
     return mix_report(load(spark, sf_dir, "documents"), "lang")
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window splitting with overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s / 48 AS INT) AS chunk_id,
+         array_to_string(t[s + 1 : s + 64], ' ') AS text,
+         CAST(len(t[s + 1 : s + 64]) AS INT) AS n_tokens
+  FROM toks, UNNEST(generate_series(0, len(t) - 1, 48)) AS u(s)
+)
+SELECT doc_id, chunk_id, text, n_tokens FROM chunks
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    return chunk_documents(load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)

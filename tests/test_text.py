@@ -297,3 +297,37 @@ def test_mix_report_shares(spark):
     assert got["en"]["doc_share"] == pytest.approx(2 / 3)
     assert got["en"]["token_share"] == pytest.approx(0.5)
     assert abs(sum(r["token_share"] for r in got.values()) - 1.0) < 1e-12
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from spark_extension_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, words), (2, "short"), (3, "  ")], ["doc_id", "text"])
+    got = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # stride 3: starts 0,3,6,9 -> 4 chunks, last is the lone tail token
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    assert by_doc[1][0]["text"] == "w0 w1 w2 w3"
+    assert by_doc[1][1]["text"] == "w3 w4 w5 w6"   # one-token overlap
+    assert by_doc[1][3]["text"] == "w9" and by_doc[1][3]["n_tokens"] == 1
+    assert by_doc[2][0]["text"] == "short"
+    assert 3 not in by_doc  # blank docs produce no chunks
+
+    # reconstruction: stripping each chunk's overlap prefix rebuilds the doc
+    rebuilt = by_doc[1][0]["text"].split()
+    for i in (1, 2, 3):
+        rebuilt += by_doc[1][i]["text"].split()[1:]
+    assert rebuilt == words.split()
+
+
+def test_chunk_documents_validation(spark):
+    from spark_extension_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="chunk_tokens must be positive"):
+        chunk_documents(docs, 0)
+    with pytest.raises(ValueError, match="overlap must be in"):
+        chunk_documents(docs, 4, overlap=4)
