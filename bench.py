@@ -94,6 +94,7 @@ HEADLINE = [
     "token_budget_documents",
     "mix_report_documents",
     "chunk_documents",
+    "top_per_group_documents",
 ]
 
 

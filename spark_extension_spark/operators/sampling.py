@@ -37,6 +37,8 @@ __all__ = [
     "cap_per_group_sql",
     "take_token_budget",
     "take_token_budget_sql",
+    "top_per_group",
+    "top_per_group_sql",
 ]
 
 _TWO_32 = float(2**32)
@@ -221,7 +223,14 @@ def cap_per_group(
     pre-filter to compose in front."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
-    group = _col(group_col)
+    order = [hash_uniform(id_col, seed).asc(), _col(id_col).asc()]
+    return _keep_per_group(df, _col(group_col), cap, order)
+
+
+def _keep_per_group(df: DataFrame, group: Column, cap: int, order) -> DataFrame:
+    """Shared skew-split quota core: under-quota groups bypass the
+    window via a broadcast anti-join; only the over-quota slice shuffles
+    and sorts."""
     over = (
         df.groupBy(group.alias("__g"))
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -230,15 +239,55 @@ def cap_per_group(
     )
     small = df.join(F.broadcast(over), group.eqNullSafe(F.col("__g")), "left_anti")
     big = df.join(F.broadcast(over), group.eqNullSafe(F.col("__g")), "left_semi")
-    w = Window.partitionBy(group).orderBy(
-        hash_uniform(id_col, seed).asc(), _col(id_col).asc()
-    )
+    w = Window.partitionBy(group).orderBy(*order)
     capped = (
         big.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= cap)
         .drop("__rank")
     )
     return small.unionByName(capped)
+
+
+def top_per_group(
+    df: DataFrame,
+    group_col: Union[str, Column],
+    k: int,
+    score_col: Union[str, Column],
+    id_col: Union[str, Column],
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the ``k`` best rows per group by ``score_col`` (quality
+    score, log-likelihood, relevance) — :func:`cap_per_group` with a
+    merit order instead of the uniform hash draw: "the 10k highest
+    quality documents per source".  Ties break on id, so the selection
+    is total-ordered and reproducible.  Same skew-split execution:
+    groups already within quota never shuffle."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    score = _col(score_col)
+    order = [score.desc() if descending else score.asc(), _col(id_col).asc()]
+    return _keep_per_group(df, _col(group_col), k, order)
+
+
+def top_per_group_sql(
+    table: str,
+    group_expr: str,
+    k: int,
+    score_expr: str,
+    id_expr: str,
+    descending: bool = True,
+    columns: str = "*",
+) -> str:
+    """DuckDB SELECT in lock-step with :func:`top_per_group` (explicit
+    NULLS placement: Spark's desc is NULLS LAST / asc NULLS FIRST,
+    DuckDB defaults to NULLS LAST for both)."""
+    direction = "DESC NULLS LAST" if descending else "ASC NULLS FIRST"
+    return f"""
+SELECT {columns} FROM {table}
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY {group_expr} ORDER BY {score_expr} {direction}, {id_expr} ASC
+) <= {int(k)}
+"""
 
 
 def cap_per_group_sql(

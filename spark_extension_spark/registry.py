@@ -2266,3 +2266,25 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import chunk_documents
 
     return chunk_documents(load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)
+
+
+# ---------------------------------------------------------------------------
+# merit-ordered per-group selection
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import top_per_group_sql as _top_sql  # noqa: E402
+
+_TOP_PER_GROUP_ORACLE = _top_sql(
+    "documents", "lang", 20, "n_chars", "doc_id",
+    columns="doc_id, lang, n_chars",
+)
+
+
+@register("top_per_group_documents", _TOP_PER_GROUP_ORACLE)
+def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import top_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return top_per_group(docs, "lang", 20, "n_chars", "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )

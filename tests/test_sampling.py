@@ -217,3 +217,21 @@ def test_take_token_budget_per_group(spark):
     for r in kept:
         per[r["lang"]] = per.get(r["lang"], 0) + r["n_tok"]
     assert per == {"g0": 50, "g1": 50}  # budget applies per group
+
+
+def test_top_per_group_merit_order(spark):
+    from spark_extension_spark.operators.sampling import top_per_group
+
+    rows = [(i, "g", float(i)) for i in range(10)] + [(100, "h", 1.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "score"])
+    best = sorted(r["doc_id"] for r in top_per_group(df, "grp", 3, "score", "doc_id").collect())
+    assert best == [7, 8, 9, 100]  # top-3 of g by score; h under quota
+    worst = sorted(
+        r["doc_id"]
+        for r in top_per_group(df, "grp", 3, "score", "doc_id", descending=False).collect()
+    )
+    assert worst == [0, 1, 2, 100]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be >= 0"):
+        top_per_group(df, "grp", -1, "score", "doc_id")
