@@ -95,6 +95,7 @@ HEADLINE = [
     "mix_report_documents",
     "chunk_documents",
     "top_per_group_documents",
+    "project_embeddings",
 ]
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "rp_lsh_topk",
     "cap_drop_stats",
     "embedding_near_dup_pairs",
+    "project_embeddings",
     "ivf_assignments",
     "ivf_centroids",
     "fit_centroids",
@@ -432,6 +433,64 @@ def embedding_near_dup_pairs(
     if with_drop_stats:
         return result, cap_drop_stats(raw, "__bucket", max_bucket_size)
     return result
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    seed: int = 42,
+    out_col: str = None,
+) -> DataFrame:
+    """Random-projection dimensionality reduction: multiply each vector
+    by a deterministic ±1 plane matrix (the :func:`rp_planes` family)
+    scaled by ``1/√out_dim`` — the Achlioptas/JL construction, so
+    pairwise distances are preserved in expectation and a 1024-dim
+    corpus can run ANN/clustering at 64 dims for ~16× less compute and
+    shuffle volume.
+
+    Arrow-batched kernel; the reduction over input dims runs as a
+    fixed left-to-right loop of vectorized fused adds, NOT one matmul —
+    float addition is not associative, and the fixed order makes the
+    output bit-identical across batch sizes, partitionings, and a
+    sequential-fold SQL oracle (a BLAS matmul's pairwise summation is
+    none of those).  64 vectorized adds per batch ≈ matmul speed for
+    the dims that matter here."""
+    import numpy as np
+
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    dim = dim or len(df.select(vec_col).head()[0])
+    planes = np.asarray(rp_planes(out_dim, dim, seed), dtype=np.float64).T  # (dim, out)
+    scale = 1.0 / float(np.sqrt(out_dim))
+    vec_name, out_name = vec_col, out_col or vec_col
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != out_name
+    )
+    out_schema = f"{fields}, `{out_name}` array<double>" if fields else f"`{out_name}` array<double>"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.drop(columns=[out_name], errors="ignore")
+            if len(pdf) == 0:
+                out[out_name] = pd.Series(dtype="object")
+                yield out
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_name]])
+            acc = np.zeros((len(pdf), planes.shape[1]), dtype=np.float64)
+            for d in range(planes.shape[0]):  # fixed-order fold over input dims
+                acc += V[:, d, None] * planes[d]
+            acc *= scale
+            out[out_name] = list(acc)
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -2288,3 +2288,37 @@ def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_per_group(docs, "lang", 20, "n_chars", "doc_id").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# random-projection dimensionality reduction
+# ---------------------------------------------------------------------------
+
+# the gate emits scalar columns p_0..p_7 (array-typed result cells break
+# the driver's pandas canonicalizer, as with parquet_block_columns)
+def _project_oracle(out_dim: int, dim: int, seed: int = 42) -> str:
+    from .operators.similarity import rp_planes
+
+    planes = rp_planes(out_dim, dim, seed)
+    cols = ",\n       ".join(
+        "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+        + "ARRAY[" + ", ".join(f"{float(w)!r}" for w in planes[j]) + "]::DOUBLE[]"
+        + f"), x -> x[1] * x[2])) * (1.0 / sqrt({float(out_dim)!r})) AS p_{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+SELECT vec_id,
+       {cols}
+FROM embeddings
+"""
+
+
+@register("project_embeddings", _project_oracle(8, 64))
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import project_embeddings
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = project_embeddings(emb, out_dim=8, out_col="__p")
+    return proj.select(
+        "vec_id", *[F.col("__p")[i].alias(f"p_{i}") for i in range(8)]
+    )

@@ -287,3 +287,48 @@ def test_fit_centroids_beats_lowest_id_seeds(spark):
     seeded = recall(ivf_centroids(df, n_centroids=3))
     assert fitted >= 0.9
     assert fitted > seeded
+
+
+def test_project_embeddings_deterministic_and_shape(emb):
+    from spark_extension_spark.operators.similarity import project_embeddings
+
+    a = {r["vec_id"]: r["embedding"] for r in
+         project_embeddings(emb.coalesce(1), out_dim=8).collect()}
+    b = {r["vec_id"]: r["embedding"] for r in
+         project_embeddings(emb.repartition(7), out_dim=8).collect()}
+    assert a == b  # fixed-order fold: bit-identical under any partitioning
+    assert all(len(v) == 8 for v in a.values())
+
+
+def test_project_embeddings_preserves_geometry(emb, spark):
+    """JL property: distances survive in expectation — near-identical
+    vectors stay near-identical after projection, orthogonal-ish pairs
+    stay far, at 64 -> 16 dims."""
+    import math
+
+    from spark_extension_spark.operators.similarity import project_embeddings
+
+    def cos(u, v):
+        dot = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return dot / (nu * nv)
+
+    rows = emb.limit(30).collect()
+    proj = {r["vec_id"]: r["embedding"] for r in
+            project_embeddings(emb.limit(30), out_dim=16).collect()}
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    ids = sorted(orig)
+    errs = [
+        abs(cos(orig[i], orig[j]) - cos(proj[i], proj[j]))
+        for n, i in enumerate(ids)
+        for j in ids[n + 1:]
+    ]
+    assert sum(errs) / len(errs) < 0.25  # coarse but real geometry preservation
+
+
+def test_project_embeddings_validation(emb):
+    from spark_extension_spark.operators.similarity import project_embeddings
+
+    with pytest.raises(ValueError, match="out_dim must be positive"):
+        project_embeddings(emb, out_dim=0)
