@@ -118,3 +118,21 @@ def test_doc_logprob_lm_is_vocab_sized_equi_join(spark):
     # token stream joins the vocabulary-sized lm + docs left join:
     # equi-joins only, never a nested-loop over the corpus
     assert not plan.has_cartesian
+
+
+def test_chunk_documents_no_shuffle(spark):
+    plan = summarize_plan(QUERIES["chunk_documents"](spark, SF))
+    # sequence/slice/posexplode is pure projection: fan-out stays inside
+    # the input partition
+    assert plan.joins == [] and plan.exchanges == 0
+
+
+def test_project_embeddings_no_shuffle(spark):
+    plan = summarize_plan(QUERIES["project_embeddings"](spark, SF))
+    assert plan.joins == [] and plan.exchanges == 0
+
+
+def test_top_per_group_quota_joins_are_broadcast(spark):
+    plan = summarize_plan(QUERIES["top_per_group_documents"](spark, SF))
+    broadcast = [j for j in plan.joins if "Broadcast" in j]
+    assert len(broadcast) >= 2 and not plan.has_cartesian
