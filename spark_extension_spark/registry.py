@@ -41,11 +41,30 @@ def register(name: str, oracle: str = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4
-        # refuses by default; read it as raw nanosecond longs instead
-        # (lossless — Spark's TimestampType would truncate to µs anyway)
+        # events.ts has shipped as INT64 TIMESTAMP(NANOS) in some testdata
+        # generations (which Spark 4 refuses by default — read as raw
+        # nanosecond longs) and as TIMESTAMP(MICROS) in others (which Spark
+        # reads as TIMESTAMP/TIMESTAMP_NTZ).  Normalize every variant to
+        # the library contract: ts = nanoseconds since the epoch, as LONG.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "timestamp_ntz":
+            # timestampdiff is timezone-independent on NTZ values, matching
+            # DuckDB's epoch_us() on the same (naive) parquet timestamps;
+            # an ntz->timestamp cast would shift by the session timezone.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+                * F.lit(1000),
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return df
 
 
 # ---------------------------------------------------------------------------
