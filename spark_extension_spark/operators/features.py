@@ -1,0 +1,122 @@
+"""Feature engineering over event/document tables: categorical pivot
+matrices and per-group winsorization (percentile clipping).
+
+Both are single-exchange plans: the pivot is one hash aggregate with
+map-side partials over a fixed column set; winsorize is one per-group
+window pass to locate the clip bounds plus a broadcast join back —
+no per-group ``collect_list`` materialization, so a group larger than
+executor memory is never a problem.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pivot_counts",
+    "winsorize",
+]
+
+
+def pivot_counts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Optional[Column] = None,
+) -> DataFrame:
+    """Wide categorical feature matrix: one row per key, one column per
+    ``values`` entry of ``pivot_col`` holding the per-key count (or the
+    supplied aggregate) of rows with that category.
+
+    ``values`` is required, not discovered: an explicit category list
+    (a) skips the extra collect-distinct job Spark's ``pivot`` runs
+    when values are omitted — at 100 TB that is a full extra scan —
+    and (b) pins the output schema, which downstream training
+    pipelines need stable regardless of which categories a given data
+    slice happens to contain.
+
+    The plan is a single hash aggregate: Catalyst rewrites pivot into
+    one ``groupBy(key)`` with a case-filtered aggregate per category,
+    all map-side combined — same cost as any per-key count, carrying
+    ``len(values)`` counters per key.  Absent categories yield 0.
+    """
+    out = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .pivot(pivot_col, list(values))
+        .agg(agg if agg is not None else F.count(F.lit(1)))
+    )
+    return out.fillna(0, subset=[c for c in out.columns if c in set(values)])
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    lower: float = 0.05,
+    upper: float = 0.95,
+    tiebreak: Sequence[str] = (),
+    clipped_col: Optional[str] = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group discrete percentiles — the
+    standard outlier guard before scaling/aggregating a heavy-tailed
+    feature (docs-per-domain, tokens-per-doc, price).
+
+    Bounds are *discrete* percentiles (``percentile_disc``: the
+    smallest group value whose cumulative fraction reaches ``p``, i.e.
+    the value at 1-based sorted index ``max(1, ceil(p * n))``).
+    Discrete — an actual data value, located by integer rank — rather
+    than interpolated, so the result is exact, engine-replayable
+    arithmetic with no float interpolation to drift.
+
+    Plan shape, chosen to survive groups of any size:
+
+    1. one window pass (``row_number`` + ``count`` over the group)
+       tags each row with its sorted rank — one exchange on ``by``;
+    2. the two boundary rows per group are filtered out and aggregated
+       to a tiny ``(group, lo, hi)`` frame — at most 2 rows per group
+       survive the filter;
+    3. the bounds broadcast-join back onto the full input and the clip
+       is a pure projection.
+
+    Nothing ever materializes a whole group in memory (no
+    ``collect_list``), and the only full-size shuffle is the window's
+    — which AQE reuses if downstream operations group on the same key.
+
+    ``tiebreak`` columns totalize the sort when values repeat; bounds
+    are value-based, so ties never change the result, only make ranks
+    deterministic for the boundary filter.
+
+    Returns the input rows plus ``clipped_col`` (default
+    ``{value_col}_winsorized``).
+    """
+    if not (0.0 <= lower <= upper <= 1.0):
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    clipped_col = clipped_col or f"{value_col}_winsorized"
+    v = F.col(value_col)
+    order = [v.asc(), *[F.col(c).asc() for c in tiebreak]]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    wn = Window.partitionBy(*[F.col(c) for c in by])
+    ranked = df.select(
+        *[F.col(c) for c in by],
+        v.alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    lo_idx = F.greatest(F.lit(1), F.ceil(F.lit(lower) * F.col("__n")))
+    hi_idx = F.greatest(F.lit(1), F.ceil(F.lit(upper) * F.col("__n")))
+    bounds = (
+        ranked.where((F.col("__rn") == lo_idx) | (F.col("__rn") == hi_idx))
+        .groupBy(*[F.col(c) for c in by])
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(by), "left")
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return joined.withColumn(clipped_col, clipped).drop("__lo", "__hi")

@@ -53,6 +53,7 @@ __all__ = [
     "cap_drop_stats",
     "embedding_near_dup_pairs",
     "project_embeddings",
+    "quantize_embeddings",
     "ivf_assignments",
     "ivf_centroids",
     "fit_centroids",
@@ -491,6 +492,68 @@ def project_embeddings(
             yield out
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    levels: int = 256,
+    out_col: str = "embedding_q",
+) -> DataFrame:
+    """Scalar (per-dimension min-max) quantization of an embedding
+    column to ``levels`` integer codes — 4× smaller than float32 at
+    ``levels=256``, which at 100 TB of embeddings is the difference
+    between a corpus that fits the cluster's storage tier and one that
+    doesn't.  Codes are ``round((v - min_d) / (max_d - min_d) *
+    (levels-1))`` with per-dimension bounds computed over the whole
+    input.
+
+    Plan: per-dimension bounds via ``posexplode`` + one map-side-
+    combined hash aggregate (shuffle = ``dim`` rows), re-packed to two
+    array literals in a 1-row frame that broadcasts onto the input; the
+    quantization itself is a pure JVM ``transform`` projection — no
+    Python, no second shuffle, input scanned exactly twice (once for
+    bounds, once to quantize — persist upstream if the source is
+    recomputed).
+
+    Arithmetic is elementwise (no reductions), so results are exact and
+    independent of partitioning; a constant dimension (max == min)
+    quantizes to 0.  Ties round half-up via ``floor(x + 0.5)`` to pin
+    cross-engine reproducibility (banker's rounding differs by engine).
+
+    Returns the input plus ``out_col`` (``array<int>``) — compose with
+    :func:`ivf_assignments` / Hamming-style filters downstream.
+    """
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
+    v = F.col(vec_col)
+    dims = (
+        df.select(F.posexplode(v).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    )
+    bounds = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lo"))).alias("__los"),
+        F.array_sort(F.collect_list(F.struct("pos", "hi"))).alias("__his"),
+    ).select(
+        F.transform("__los", lambda s: s["lo"]).alias("__lo"),
+        F.transform("__his", lambda s: s["hi"]).alias("__hi"),
+    )
+    scale = float(levels - 1)
+    quant = F.transform(
+        v,
+        lambda x, i: F.when(
+            F.element_at("__hi", i + 1) == F.element_at("__lo", i + 1), F.lit(0)
+        ).otherwise(
+            F.floor(
+                (x.cast("double") - F.element_at("__lo", i + 1))
+                / (F.element_at("__hi", i + 1) - F.element_at("__lo", i + 1))
+                * F.lit(scale)
+                + F.lit(0.5)
+            ).cast("int")
+        ),
+    )
+    return df.crossJoin(F.broadcast(bounds)).withColumn(out_col, quant).drop("__lo", "__hi")
 
 
 # ---------------------------------------------------------------------------

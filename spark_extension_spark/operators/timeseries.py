@@ -23,7 +23,24 @@ __all__ = [
     "range_join_bands",
     "sessionize",
     "session_summary",
+    "rolling_aggregates",
 ]
+
+
+def _epoch_axis(df: DataFrame, ts_col: str, unit_seconds: int):
+    """(epoch axis column, units-per-``unit_seconds``) for a timestamp,
+    TIMESTAMP_NTZ, or raw-numeric time column.  NTZ diffs against the
+    NTZ epoch literal — a plain cast would shift by the session
+    timezone."""
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(F.col(ts_col)), int(unit_seconds) * 1_000_000
+    if isinstance(dtype, T.TimestampNTZType):
+        axis = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+        return axis, int(unit_seconds) * 1_000_000
+    return F.col(ts_col).cast("long"), int(unit_seconds)
 
 
 def time_bucket(ts: Union[str, Column], width_seconds: int) -> Column:
@@ -81,12 +98,7 @@ def sessionize(
     ``gap`` never split a session, but the emitted running ordinal is
     order-sensitive).
     """
-    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
-        axis = F.unix_micros(F.col(ts_col))
-        gap_units = int(gap) * 1_000_000
-    else:
-        axis = F.col(ts_col).cast("long")
-        gap_units = int(gap)
+    axis, gap_units = _epoch_axis(df, ts_col, gap)
     order = [axis.asc(), *[F.col(c).asc() for c in tiebreak]]
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     prev = F.lag(axis).over(w)
@@ -113,6 +125,50 @@ def session_summary(
         F.min(ts_col).alias("t_first"),
         F.max(ts_col).alias("t_last"),
     )
+
+
+def rolling_aggregates(
+    df: DataFrame,
+    ts_col: str,
+    window_seconds: int,
+    aggregates: Dict[str, Column],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key trailing-window features: for every row, aggregate the
+    key's rows whose timestamp lies in ``(ts - window, ts]`` — the
+    time-based sliding window behind rate features, trailing averages,
+    and burst detection.
+
+    Implemented as one window spec with a ``RANGE BETWEEN`` frame over
+    the epoch axis — Spark evaluates all aggregates in a single pass
+    over each partition with a sliding frame, so the cost at any scale
+    is exactly one hash exchange on ``by`` plus a per-partition sort
+    (the same exchange any per-key operation needs; AQE reuses it for
+    downstream same-key operations).  No self-join: the naive
+    formulation ``events e1 JOIN events e2 ON e2.ts BETWEEN e1.ts - w
+    AND e1.ts`` is O(rows × window density) and is exactly what this
+    operator exists to avoid.
+
+    ``aggregates`` maps output-column name -> aggregate Column built on
+    the input columns (e.g. ``{"n_1h": F.count(F.lit(1)),
+    "sum_1h": F.sum("value")}``).
+
+    ``ts_col`` may be a timestamp (``window_seconds`` in seconds) or a
+    raw numeric epoch column (``window_seconds`` in the column's unit).
+    Rows with equal timestamps share a frame (RANGE, not ROWS
+    semantics), which keeps results independent of tie order — and
+    therefore of partitioning.
+    """
+    axis, width = _epoch_axis(df, ts_col, window_seconds)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(axis.asc())
+        .rangeBetween(-(width - 1), Window.currentRow)
+    )
+    out = df
+    for name, expr in aggregates.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
 
 
 def range_join_bands(

@@ -1,0 +1,202 @@
+"""Pivot feature matrices, winsorization, rolling window aggregates,
+fuzzy levenshtein joins, embedding quantization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import load
+
+from spark_extension_spark.operators.features import pivot_counts, winsorize
+from spark_extension_spark.operators.fuzzy import (
+    deletion_variants,
+    fuzzy_dedup_pairs,
+    fuzzy_join_levenshtein,
+)
+from spark_extension_spark.operators.similarity import quantize_embeddings
+from spark_extension_spark.operators.timeseries import rolling_aggregates
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load(spark, sf_dir, "events")
+
+
+class TestPivotCounts:
+    def test_matches_groupby(self, events):
+        types = ["click", "view", "purchase"]
+        wide = pivot_counts(events, ["user_id"], "event_type", types)
+        assert wide.columns == ["user_id", "click", "view", "purchase"]
+        tall = {
+            (r["user_id"], r["event_type"]): r["n"]
+            for r in events.where(F.col("event_type").isin(types))
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for row in wide.collect():
+            for t in types:
+                assert row[t] == tall.get((row["user_id"], t), 0)
+
+    def test_absent_category_zero_not_null(self, events):
+        wide = pivot_counts(events, ["user_id"], "event_type", ["click", "no-such-type"])
+        assert wide.where(F.col("no-such-type") != 0).count() == 0
+
+    def test_custom_aggregate(self, events):
+        wide = pivot_counts(
+            events, ["user_id"], "event_type", ["click"], agg=F.sum("value")
+        )
+        truth = (
+            events.where(F.col("event_type") == "click")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("s"))
+        )
+        got = {r["user_id"]: r["click"] for r in wide.collect()}
+        for r in truth.collect():
+            assert abs(got[r["user_id"]] - r["s"]) < 1e-9
+
+
+class TestWinsorize:
+    def test_bounds_are_group_percentiles(self, events):
+        out = winsorize(events, "value", by=["event_type"], lower=0.1, upper=0.9)
+        for etype in ["click", "view"]:
+            vals = sorted(
+                r["value"]
+                for r in events.where(F.col("event_type") == etype).collect()
+            )
+            n = len(vals)
+            # discrete percentile: value at 1-based index ceil(p*n)
+            import math
+
+            lo = vals[max(1, math.ceil(0.1 * n)) - 1]
+            hi = vals[max(1, math.ceil(0.9 * n)) - 1]
+            got = out.where(F.col("event_type") == etype).collect()
+            assert min(r["value_winsorized"] for r in got) == lo
+            assert max(r["value_winsorized"] for r in got) == hi
+            # everything clipped into [lo, hi]
+            for r in got:
+                assert lo <= r["value_winsorized"] <= hi
+                if lo <= r["value"] <= hi:
+                    assert r["value_winsorized"] == r["value"]
+
+    def test_degenerate_and_validation(self, spark):
+        df = spark.createDataFrame([(1, 5.0)], ["g", "v"])
+        out = winsorize(df, "v", by=["g"]).collect()
+        assert out[0]["v_winsorized"] == 5.0
+        with pytest.raises(ValueError):
+            winsorize(df, "v", lower=0.9, upper=0.1)
+
+    def test_partitioning_independent(self, events):
+        a = winsorize(events, "value", by=["event_type"]).groupBy("event_type").agg(
+            F.sum(F.col("value_winsorized").cast("decimal(18,2)")).alias("s")
+        )
+        b = winsorize(events.repartition(17, "user_id"), "value", by=["event_type"]).groupBy(
+            "event_type"
+        ).agg(F.sum(F.col("value_winsorized").cast("decimal(18,2)")).alias("s"))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestRollingAggregates:
+    def test_matches_self_join(self, events):
+        ra = rolling_aggregates(
+            events,
+            "ts",
+            3600,
+            {"n_1h": F.count(F.lit(1))},
+            by=["user_id"],
+        )
+        # oracle: per-row count of same-user events in (ts - 1h, ts]
+        e = events.select("event_id", "user_id", F.col("ts").alias("t0"))
+        other = events.select("user_id", F.col("ts").alias("t1"))
+        truth = (
+            e.join(other, "user_id")
+            .where(
+                (F.col("t1") <= F.col("t0"))
+                & (F.col("t1") > F.col("t0") - F.expr("INTERVAL 1 HOUR"))
+            )
+            .groupBy("event_id")
+            .agg(F.count("*").alias("n"))
+        )
+        got = {r["event_id"]: r["n_1h"] for r in ra.collect()}
+        for r in truth.collect():
+            assert got[r["event_id"]] == r["n"]
+
+    def test_ties_share_frame(self, spark):
+        df = spark.createDataFrame(
+            [(1, 100, 1.0), (2, 100, 2.0), (3, 150, 4.0)], ["id", "t", "v"]
+        )
+        out = rolling_aggregates(df, "t", 100, {"s": F.sum("v")})
+        got = {r["id"]: r["s"] for r in out.collect()}
+        # rows 1,2 tie at t=100: both see both (RANGE frame)
+        assert got[1] == 3.0 and got[2] == 3.0
+        # row 3 at t=150 sees (50, 150] -> all three
+        assert got[3] == 7.0
+
+
+class TestFuzzy:
+    def test_deletion_variants(self, spark):
+        df = spark.createDataFrame([("abc",)], ["s"])
+        got = sorted(df.select(deletion_variants("s", 2).alias("v")).collect()[0]["v"])
+        assert got == sorted({"abc", "ab", "ac", "bc", "a", "b", "c"})
+
+    def test_dedup_pairs_match_brute_force(self, spark, sf_dir):
+        part = load(spark, sf_dir, "part").select("p_partkey", "p_name").limit(300)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_dedup_pairs(part, "p_partkey", "p_name", 2).collect()
+        }
+        rows = [(r["p_partkey"], r["p_name"]) for r in part.collect()]
+        a = part.select(F.col("p_partkey").alias("ia"), F.col("p_name").alias("sa"))
+        b = part.select(F.col("p_partkey").alias("ib"), F.col("p_name").alias("sb"))
+        truth = {
+            (r["ia"], r["ib"])
+            for r in a.crossJoin(b)
+            .where((F.col("ia") < F.col("ib")) & (F.levenshtein("sa", "sb") <= 2))
+            .collect()
+        }
+        assert got == truth
+
+    def test_join_two_sided(self, spark):
+        left = spark.createDataFrame([(1, "hello"), (2, "spark")], ["id", "s"])
+        right = spark.createDataFrame([(10, "helo"), (11, "sparkle"), (12, "zzz")], ["id", "s"])
+        got = {
+            (r["left_id"], r["right_id"], r["distance"])
+            for r in fuzzy_join_levenshtein(left, right, "s", "s", 2, "id", "id").collect()
+        }
+        assert got == {(1, 10, 1), (2, 11, 2)}
+
+    def test_rejects_bad_distance(self, spark):
+        df = spark.createDataFrame([("x",)], ["s"])
+        with pytest.raises(ValueError):
+            df.select(deletion_variants("s", 3))
+
+
+class TestQuantize:
+    def test_codes_span_and_reconstruct(self, spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        q = quantize_embeddings(emb, levels=256)
+        stats = q.select(
+            F.min(F.array_min("embedding_q")).alias("lo"),
+            F.max(F.array_max("embedding_q")).alias("hi"),
+        ).collect()[0]
+        assert stats["lo"] == 0 and stats["hi"] == 255
+        # reconstruction error bounded by half a quantization step per dim
+        row = q.select("embedding", "embedding_q").first()
+        import numpy as np
+
+        v = np.array(row["embedding"], dtype=np.float64)
+        dims = emb.select(F.posexplode("embedding").alias("pos", "val")).groupBy("pos").agg(
+            F.min("val").alias("lo"), F.max("val").alias("hi")
+        )
+        b = {r["pos"]: (r["lo"], r["hi"]) for r in dims.collect()}
+        for i, code in enumerate(row["embedding_q"]):
+            lo, hi = b[i]
+            recon = lo + code * (hi - lo) / 255.0
+            assert abs(recon - v[i]) <= (hi - lo) / 255.0 * 0.5 + 1e-9
+
+    def test_constant_dim_and_validation(self, spark):
+        df = spark.createDataFrame([(1, [1.0, 5.0]), (2, [1.0, 7.0])], ["id", "embedding"])
+        q = {r["id"]: r["embedding_q"] for r in quantize_embeddings(df, levels=4).collect()}
+        assert q[1][0] == 0 and q[2][0] == 0  # constant dim -> 0
+        assert q[1][1] == 0 and q[2][1] == 3  # span maps to [0, levels-1]
+        with pytest.raises(ValueError):
+            quantize_embeddings(df, levels=1)
