@@ -104,6 +104,15 @@ HEADLINE = [
     "chunk_documents",
     "top_per_group_documents",
     "project_embeddings",
+    "kmv_distinct_events",
+    "hll_distinct_events",
+    "cms_counts_documents",
+    "bloom_prune_orders",
+    "rolling_events",
+    "pivot_events",
+    "winsorize_events",
+    "fuzzy_pairs_part",
+    "quantize_embeddings",
 ]
 
 

@@ -81,6 +81,27 @@ def deletion_variants(text, max_deletes: int = 2) -> Column:
     return F.array_distinct(F.concat(base, d1, d2))
 
 
+def _string_pairs(
+    left_strings: DataFrame, right_strings: DataFrame, max_distance: int
+) -> DataFrame:
+    """Verified (``__ls``, ``__rs``, ``distance``) pairs between two
+    one-column frames of **distinct** strings.  The variant equi-join
+    runs at string level, so duplicate keys in the original data never
+    multiply candidates — two identical strings share *all* their
+    variants, and without this dedup a group of n copies would meet
+    n² × variants times before ``distinct`` could collapse it."""
+    lv = left_strings.select(
+        F.col("__ls"), F.explode(deletion_variants("__ls", max_distance)).alias("__variant")
+    )
+    rv = right_strings.select(
+        F.col("__rs"), F.explode(deletion_variants("__rs", max_distance)).alias("__variant")
+    )
+    cands = lv.join(rv, "__variant").select("__ls", "__rs").distinct()
+    return cands.withColumn("distance", F.levenshtein("__ls", "__rs")).where(
+        F.col("distance") <= max_distance
+    )
+
+
 def fuzzy_join_levenshtein(
     left: DataFrame,
     right: DataFrame,
@@ -94,29 +115,33 @@ def fuzzy_join_levenshtein(
     Levenshtein distance ``max_distance`` — exact result, computed via
     symmetric-delete blocking (module docstring).
 
+    Candidate generation and verification run over each side's
+    *distinct strings*; row ids re-attach afterwards by equi-join on
+    the string.  Levenshtein therefore runs once per distinct string
+    pair no matter how many rows share a value (web-scale key columns
+    are heavily duplicated), and the id expansion is exactly
+    output-sized.
+
     Returns ``left_id, right_id, left_col, right_col, distance``.
     """
     left_id = left_id or left.columns[0]
     right_id = right_id or right.columns[0]
-    lv = left.select(
-        F.col(left_id).alias("left_id"),
-        F.col(left_col).alias("__ls"),
-        F.explode(deletion_variants(left_col, max_distance)).alias("__variant"),
+    sp = _string_pairs(
+        left.select(F.col(left_col).alias("__ls")).distinct(),
+        right.select(F.col(right_col).alias("__rs")).distinct(),
+        max_distance,
     )
-    rv = right.select(
-        F.col(right_id).alias("right_id"),
-        F.col(right_col).alias("__rs"),
-        F.explode(deletion_variants(right_col, max_distance)).alias("__variant"),
-    )
-    cands = lv.join(rv, "__variant").select("left_id", "right_id", "__ls", "__rs").distinct()
+    lm = left.select(F.col(left_id).alias("left_id"), F.col(left_col).alias("__ls"))
+    rm = right.select(F.col(right_id).alias("right_id"), F.col(right_col).alias("__rs"))
+    right_out = right_col if right_col != left_col else f"{right_col}_right"
     return (
-        cands.withColumn("distance", F.levenshtein("__ls", "__rs"))
-        .where(F.col("distance") <= max_distance)
+        sp.join(lm, "__ls")
+        .join(rm, "__rs")
         .select(
             "left_id",
             "right_id",
             F.col("__ls").alias(left_col),
-            F.col("__rs").alias(right_col),
+            F.col("__rs").alias(right_out),
             "distance",
         )
     )
@@ -130,26 +155,33 @@ def fuzzy_dedup_pairs(
 ) -> DataFrame:
     """Self-join form: unordered pairs (id_a < id_b) of rows whose
     strings are within ``max_distance`` edits — near-duplicate keys,
-    misspelled entity names, OCR variants.  Same blocking/verification
-    as :func:`fuzzy_join_levenshtein`, keeping each unordered pair
-    once.
+    misspelled entity names, OCR variants.
+
+    String-level pairs are computed once over *distinct* values with
+    the unordered constraint applied at string level (``__ls <=
+    __rs``), then expanded to id pairs; rows sharing an identical
+    string pair via the degenerate ``distance = 0`` string pair, so
+    exact-duplicate groups cost one levenshtein call, not n².
 
     Returns ``id_a, id_b, distance``.
     """
-    pairs = fuzzy_join_levenshtein(
-        df.select(F.col(id_col), F.col(text_col)),
-        df.select(F.col(id_col), F.col(text_col)),
-        text_col,
-        text_col,
-        max_distance,
-        left_id=id_col,
-        right_id=id_col,
+    strings = df.select(F.col(text_col).alias("__ls")).distinct()
+    sp = _string_pairs(
+        strings, strings.select(F.col("__ls").alias("__rs")), max_distance
+    ).where(F.col("__ls") <= F.col("__rs"))
+    members_a = df.select(F.col(id_col).alias("__ia"), F.col(text_col).alias("__ls"))
+    members_b = df.select(F.col(id_col).alias("__ib"), F.col(text_col).alias("__rs"))
+    expanded = sp.join(members_a, "__ls").join(members_b, "__rs")
+    # distinct-string pairs (__ls < __rs) carry each member pair once but
+    # in string order, which may oppose id order — normalize with
+    # least/greatest; identical-string pairs enumerate both orientations,
+    # so keep the strict filter there (requires unique ids)
+    kept = expanded.where(
+        ((F.col("__ls") < F.col("__rs")) & (F.col("__ia") != F.col("__ib")))
+        | ((F.col("__ls") == F.col("__rs")) & (F.col("__ia") < F.col("__ib")))
     )
-    return (
-        pairs.where(F.col("left_id") < F.col("right_id"))
-        .select(
-            F.col("left_id").alias("id_a"),
-            F.col("right_id").alias("id_b"),
-            "distance",
-        )
+    return kept.select(
+        F.least("__ia", "__ib").alias("id_a"),
+        F.greatest("__ia", "__ib").alias("id_b"),
+        "distance",
     )

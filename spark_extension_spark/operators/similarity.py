@@ -536,8 +536,10 @@ def quantize_embeddings(
         F.array_sort(F.collect_list(F.struct("pos", "lo"))).alias("__los"),
         F.array_sort(F.collect_list(F.struct("pos", "hi"))).alias("__his"),
     ).select(
-        F.transform("__los", lambda s: s["lo"]).alias("__lo"),
-        F.transform("__his", lambda s: s["hi"]).alias("__hi"),
+        # double arithmetic end-to-end: a float32 (hi - lo) would round
+        # differently from the replaying engine's double subtraction
+        F.transform("__los", lambda s: s["lo"].cast("double")).alias("__lo"),
+        F.transform("__his", lambda s: s["hi"].cast("double")).alias("__hi"),
     )
     scale = float(levels - 1)
     quant = F.transform(

@@ -78,29 +78,32 @@ def kmv_distinct(
     exact (the sketch saw everything).
 
     Plan: distinct on (group, hash) — one shuffle bounded by distinct
-    values, same as exact count-distinct — then ``min_by``-style top-k
-    via ``sort_array(collect_set())`` truncation per group.  The
-    per-group state is ``k`` longs; the final shuffle carries only
-    that.  At 100 TB the (group, hash) distinct is the dominant cost;
-    for a pure streaming-mergeable form, cap ``collect_set`` growth by
-    pre-aggregating per partition (Catalyst's partial aggregate already
-    does this — the set never exceeds k after each partial).
+    values, the same cost Spark's exact count-distinct pays — then the
+    k smallest hashes per group are located by a window ``row_number``
+    (one per-group sort, no arrays: a ``collect_set`` formulation
+    would carry the whole distinct set as a single aggregate value and
+    die on a billion-distinct group) and reduced to ``(count, k-th
+    hash)`` by an ordinary map-side-combined aggregate.
 
     Returns ``by... , n_distinct_est (double), n_exact_capped (long)``
     where ``n_exact_capped`` is the number of sketch entries retained
     (== true distinct count when < k).
     """
+    from pyspark.sql import Window
+
     by = list(by or [])
     hashed = df.select(*by, _hash64(_col(value_col), "kmv").alias("__h")).dropDuplicates(
         by + ["__h"]
     )
-    # per-group: k smallest hashes (sorted set, truncated)
-    sk = hashed.groupBy(*by).agg(
-        F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("__sketch")
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.col("__h").asc())
+    ranked = hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    sk = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
     )
-    size = F.size("__sketch")
-    kth = F.element_at("__sketch", k).cast("double") / F.lit(_HASH_SPACE)
-    est = F.when(size < k, size.cast("double")).otherwise((F.lit(float(k - 1))) / kth)
+    size = F.col("__sz")
+    kth = F.col("__kth").cast("double") / F.lit(_HASH_SPACE)
+    est = F.when(size < k, size.cast("double")).otherwise(F.lit(float(k - 1)) / kth)
     return sk.select(
         *by,
         F.round(est, 4).alias("n_distinct_est"),

@@ -2341,3 +2341,290 @@ def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", *[F.col("__p")[i].alias(f"p_{i}") for i in range(8)]
     )
+
+
+# ---------------------------------------------------------------------------
+# sketches: KMV / HLL distinct estimation, count-min, Bloom prune
+# ---------------------------------------------------------------------------
+
+# shared md5-derived 60-bit hash, replayed verbatim by every sketch oracle
+_H64 = "CAST(CONCAT('0x', substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_H64.format(salt='kmv', col='event_id')} AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS sz, MAX(CASE WHEN rn = 32 THEN h END) AS kth
+  FROM ranked WHERE rn <= 32 GROUP BY 1
+)
+SELECT event_type,
+       ROUND(CASE WHEN sz < 32 THEN CAST(sz AS DOUBLE)
+                  ELSE 31.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END,
+             4) AS n_distinct_est,
+       CAST(sz AS BIGINT) AS n_exact_capped
+FROM agg
+"""
+
+
+@register("kmv_distinct_events", _KMV_ORACLE)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_distinct
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id")
+    return kmv_distinct(ev, "event_id", by=["event_type"], k=32)
+
+
+def _hll_oracle(bucket_bits: int) -> str:
+    m = 1 << bucket_bits
+    width = 60 - bucket_bits
+    maxrho = width + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m
+    scale = float(1 << maxrho)
+    h = _H64.format(salt="hll", col="event_id")
+    return f"""
+WITH rho AS (
+  SELECT event_type,
+         ({h}) % {m} AS b,
+         CASE WHEN ({h}) >> {bucket_bits} = 0 THEN {maxrho}
+              ELSE {maxrho} - LENGTH(bin(({h}) >> {bucket_bits}))
+         END AS r
+  FROM events
+),
+regs AS (SELECT event_type, b, MAX(r) AS reg FROM rho GROUP BY 1, 2),
+summed AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << ({maxrho} - reg)) AS ssum,
+         COUNT(*) AS nregs
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       ROUND({num!r} / ((CAST(ssum AS DOUBLE)
+                         + CAST({m} - nregs AS DOUBLE) * {scale!r}) / {scale!r}),
+             4) AS n_distinct_est,
+       CAST(nregs AS BIGINT) AS n_registers
+FROM summed
+"""
+
+
+@register("hll_distinct_events", _hll_oracle(8))
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_distinct
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id")
+    return hll_distinct(ev, "event_id", by=["event_type"], bucket_bits=8)
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+')) AS token
+  FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+keys AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 10),
+ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+cells AS (
+  SELECT d,
+         CAST(CONCAT('0x', substr(md5('cms' || CAST(d AS VARCHAR) || token), 1, 15)) AS BIGINT) % 1024 AS b,
+         COUNT(*) AS n
+  FROM toks CROSS JOIN ds GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, d,
+         CAST(CONCAT('0x', substr(md5('cms' || CAST(d AS VARCHAR) || token), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM keys CROSS JOIN ds
+)
+SELECT p.token, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est_count
+FROM probes p LEFT JOIN cells c USING (d, b)
+GROUP BY p.token
+"""
+
+
+@register("cms_counts_documents", _CMS_ORACLE)
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.sketches import cms_counts
+    from .operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(F.col("__n").desc(), F.col("token").asc())
+    keys = counts.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= 10).select("token")
+    return cms_counts(toks, "token", keys, depth=4, width=1024)
+
+
+_BLOOM_ORACLE = f"""
+WITH pos AS (
+  SELECT DISTINCT
+         CAST(CONCAT('0x', substr(md5('bloom' || CAST(i AS VARCHAR) || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS p
+  FROM customer CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i)
+  WHERE c_mktsegment = 'BUILDING'
+)
+SELECT o.* FROM orders o
+WHERE CAST(CONCAT('0x', substr(md5('bloom0' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 IN (SELECT p FROM pos)
+  AND CAST(CONCAT('0x', substr(md5('bloom1' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 IN (SELECT p FROM pos)
+  AND CAST(CONCAT('0x', substr(md5('bloom2' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 IN (SELECT p FROM pos)
+"""
+
+
+@register("bloom_prune_orders", _BLOOM_ORACLE)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import bloom_prune
+
+    orders = load(spark, sf_dir, "orders")
+    dim = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return bloom_prune(orders, dim, "o_custkey", "c_custkey", num_bits=1 << 16, num_hashes=3)
+
+
+# ---------------------------------------------------------------------------
+# rolling window features / pivot matrix / winsorization
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_events", _ROLLING_ORACLE)
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import rolling_aggregates
+
+    ev = load(spark, sf_dir, "events")  # ts normalized to epoch nanoseconds
+    out = rolling_aggregates(
+        ev,
+        "ts",
+        3_600_000_000_000,  # 1h in the column's unit (ns)
+        {
+            "n_1h": F.count(F.lit(1)),
+            "sum_1h": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        by=["user_id"],
+    )
+    return out.select("event_id", "n_1h", F.col("sum_1h").cast("double").alias("sum_1h"))
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@register("pivot_events", _PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import pivot_counts
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    return pivot_counts(ev, ["user_id"], "event_type", ["click", "error", "purchase", "signup", "view"])
+
+
+_WINSORIZE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT)) THEN value END) AS lo,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN value END) AS hi
+  FROM ranked GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE) AS wsum
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("winsorize_events", _WINSORIZE_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import winsorize
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = winsorize(ev, "value", by=["event_type"], lower=0.05, upper=0.95, tiebreak=["event_id"])
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value_winsorized").cast("decimal(18,2)")).cast("double").alias("wsum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy levenshtein dedup + embedding quantization
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register("fuzzy_pairs_part", _FUZZY_ORACLE)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fuzzy import fuzzy_dedup_pairs
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return fuzzy_dedup_pairs(part, "p_partkey", "p_name", max_distance=2)
+
+
+# scalar digest of the quantized vector (array-typed result cells break
+# the driver's pandas canonicalizer, as with parquet_block_columns)
+_QUANTIZE_ORACLE = """
+WITH vals AS (
+  SELECT vec_id, embedding[i] AS val, i AS ord
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+dims AS (SELECT ord, MIN(val) AS lo, MAX(val) AS hi FROM vals GROUP BY 1),
+codes AS (
+  SELECT vec_id, ord,
+         CASE WHEN d.hi = d.lo THEN 0
+              ELSE CAST(FLOOR((CAST(v.val AS DOUBLE) - CAST(d.lo AS DOUBLE))
+                              / (CAST(d.hi AS DOUBLE) - CAST(d.lo AS DOUBLE))
+                              * 255.0 + 0.5) AS INT)
+         END AS c
+  FROM vals v JOIN dims d USING (ord)
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN ord = 1 THEN c END) AS INT) AS q_0,
+       CAST(MAX(CASE WHEN ord = 2 THEN c END) AS INT) AS q_1,
+       CAST(MAX(CASE WHEN ord = 3 THEN c END) AS INT) AS q_2,
+       CAST(MAX(CASE WHEN ord = 4 THEN c END) AS INT) AS q_3,
+       CAST(SUM(c) AS BIGINT) AS q_sum
+FROM codes GROUP BY vec_id
+"""
+
+
+@register("quantize_embeddings", _QUANTIZE_ORACLE)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import quantize_embeddings
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(emb, levels=256, out_col="__q")
+    return q.select(
+        "vec_id",
+        *[F.col("__q")[i].alias(f"q_{i}") for i in range(4)],
+        F.aggregate("__q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+    )
