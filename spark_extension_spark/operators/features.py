@@ -26,7 +26,7 @@ def pivot_counts(
     key_cols: Sequence[str],
     pivot_col: str,
     values: Sequence[str],
-    agg: Optional[Column] = None,
+    agg=None,
 ) -> DataFrame:
     """Wide categorical feature matrix: one row per key, one column per
     ``values`` entry of ``pivot_col`` holding the per-key count (or the
@@ -39,17 +39,24 @@ def pivot_counts(
     pipelines need stable regardless of which categories a given data
     slice happens to contain.
 
-    The plan is a single hash aggregate: Catalyst rewrites pivot into
-    one ``groupBy(key)`` with a case-filtered aggregate per category,
-    all map-side combined — same cost as any per-key count, carrying
-    ``len(values)`` counters per key.  Absent categories yield 0.
+    Built as ONE ``groupBy(key)`` with a case-filtered aggregate per
+    category (``sum(case when pivot = v …)``), not ``DataFrame.pivot``
+    — Spark plans pivot as *two* aggregate pairs (a (key, category)
+    pre-aggregate, then ``pivotfirst``), i.e. two shuffles; the CASE
+    form is a single partial+final aggregate carrying ``len(values)``
+    counters per key.  Absent categories yield 0.
+
+    ``agg`` customizes the measure: a callable taking the category's
+    boolean mask Column and returning an aggregate Column, e.g.
+    ``lambda m: F.sum(F.when(m, F.col("value")))`` for per-category
+    value sums (default: row count).
     """
-    out = (
-        df.groupBy(*[F.col(c) for c in key_cols])
-        .pivot(pivot_col, list(values))
-        .agg(agg if agg is not None else F.count(F.lit(1)))
-    )
-    return out.fillna(0, subset=[c for c in out.columns if c in set(values)])
+    mask_agg = agg or (lambda m: F.sum(F.when(m, 1).otherwise(0)).cast("long"))
+    cols = [
+        mask_agg(F.col(pivot_col) == F.lit(v)).alias(str(v)) for v in values
+    ]
+    out = df.groupBy(*[F.col(c) for c in key_cols]).agg(*cols)
+    return out.fillna(0, subset=[str(v) for v in values])
 
 
 def winsorize(

@@ -43,7 +43,11 @@ class TestPivotCounts:
 
     def test_custom_aggregate(self, events):
         wide = pivot_counts(
-            events, ["user_id"], "event_type", ["click"], agg=F.sum("value")
+            events,
+            ["user_id"],
+            "event_type",
+            ["click"],
+            agg=lambda m: F.sum(F.when(m, F.col("value"))),
         )
         truth = (
             events.where(F.col("event_type") == "click")

@@ -136,3 +136,63 @@ def test_top_per_group_quota_joins_are_broadcast(spark):
     plan = summarize_plan(QUERIES["top_per_group_documents"](spark, SF))
     broadcast = [j for j in plan.joins if "Broadcast" in j]
     assert len(broadcast) >= 2 and not plan.has_cartesian
+
+
+def test_bloom_prune_fact_side_no_exchange(spark):
+    plan = summarize_plan(QUERIES["bloom_prune_orders"](spark, SF))
+    # the dim's position set broadcasts (nested-loop on a 1-row side is
+    # fine); the fact table itself must never shuffle
+    assert "BroadcastNestedLoopJoin" in plan.joins or "BroadcastHashJoin" in plan.joins
+    # only the dim-side collect_set aggregate exchanges (tiny); the
+    # orders scan flows straight into the filter
+    assert plan.exchanges <= 1
+
+
+def test_rolling_single_exchange(spark):
+    plan = summarize_plan(QUERIES["rolling_events"](spark, SF))
+    # one hash exchange on user_id feeding a single window pass; the
+    # self-join formulation this replaces would show a join here
+    assert plan.joins == []
+    assert plan.exchanges == 1
+
+
+def test_pivot_is_single_aggregate_no_join(spark):
+    plan = summarize_plan(QUERIES["pivot_events"](spark, SF))
+    assert plan.joins == []
+    # partial+final agg pair -> exactly one exchange, regardless of the
+    # number of pivot categories
+    assert plan.exchanges == 1
+    assert plan.read_columns() == [["user_id", "event_type"]]
+
+
+def test_winsorize_bounds_join_is_broadcast(spark):
+    plan = summarize_plan(QUERIES["winsorize_events"](spark, SF))
+    # the (group, lo, hi) bounds frame must broadcast back onto the
+    # input - shuffling the input a second time would double the cost
+    assert "BroadcastHashJoin" in plan.joins
+    assert not plan.has_cartesian
+
+
+def test_fuzzy_join_is_equi_join_no_cartesian(spark):
+    plan = summarize_plan(QUERIES["fuzzy_pairs_part"](spark, SF))
+    # symmetric-delete blocking turns the fuzzy join into equi-joins
+    # (variant meet + id re-attach); a cartesian here means the
+    # blocking fell through
+    assert not plan.has_cartesian
+    assert "SortMergeJoin" in plan.joins or "ShuffledHashJoin" in plan.joins or "BroadcastHashJoin" in plan.joins
+
+
+def test_quantize_is_projection_with_broadcast_bounds(spark):
+    plan = summarize_plan(QUERIES["quantize_embeddings"](spark, SF))
+    # per-dim bounds arrive via a 1-row broadcast; the embeddings scan
+    # is projected in place - no shuffle of the vectors themselves
+    assert "BroadcastNestedLoopJoin" in plan.joins
+    assert plan.read_columns() == [["vec_id", "embedding"], ["embedding"]]
+
+
+def test_hll_two_aggregates_no_join(spark):
+    plan = summarize_plan(QUERIES["hll_distinct_events"](spark, SF))
+    assert plan.joins == []
+    # (group, bucket) max + group sum: two partial+final pairs
+    assert plan.exchanges == 2
+    assert plan.read_columns() == [["event_id", "event_type"]]
