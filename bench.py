@@ -113,6 +113,7 @@ HEADLINE = [
     "winsorize_events",
     "fuzzy_pairs_part",
     "quantize_embeddings",
+    "sparse_cosine_documents",
 ]
 
 

@@ -409,19 +409,26 @@ def simhash(
     """Per-document SimHash: tokens hashed to ``bits``-bit values, each
     bit position majority-voted across tokens.  Explode + one aggregate
     with ``bits`` conditional sums (all map-side combined)."""
+    # two md5-derived 32-bit halves give 64 deterministic bits; hashed
+    # ONCE in the projection — referencing the md5 expression from all
+    # `bits` vote sums would inline it `bits` times into the aggregate
+    # (Catalyst does no CSE across aggregate expressions), exploding
+    # codegen size and compile time
+    hi = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
     tokens = (
         df.select(
             F.col(id_col),
             F.explode(F.split(normalize_text(text_col), " ")).alias("token"),
         )
         .where(F.col("token") != "")
+        .select(F.col(id_col), hi.alias("__hi"), lo.alias("__lo"))
     )
-    # two md5-derived 32-bit halves give 64 deterministic bits
-    hi = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
     votes = [
         F.sum(
-            F.when(F.shiftright(hi if i < 32 else lo, i % 32) % 2 == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("__hi") if i < 32 else F.col("__lo"), i % 32) % 2 == 1, 1
+            ).otherwise(-1)
         ).alias(f"bit_{i}")
         for i in range(bits)
     ]

@@ -40,6 +40,7 @@ __all__ = [
     "bm25_score",
     "unigram_lm",
     "doc_logprob",
+    "sparse_cosine_pairs",
 ]
 
 _TOKEN_PATTERN = "[a-z0-9]+"
@@ -271,4 +272,72 @@ def doc_logprob(
             F.col("__s").cast("double").alias("sum_logp"),
             (F.col("__s").cast("double") / F.col("n_tokens").cast("double")).alias("avg_logp"),
         )
+    )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.5,
+    min_df: int = 1,
+    max_token_df: int = None,
+) -> DataFrame:
+    """Document near-duplicate pairs by *sparse* (TF-IDF) cosine
+    similarity — the lexical complement to the embedding-space
+    operators in ``similarity.py``: no model required, robust to
+    paraphrase-free boilerplate, and the weights are interpretable.
+
+    Candidates meet through an inverted-index equi-join on shared
+    tokens (never an all-pairs product): documents with no common
+    token have dot product 0 and are never enumerated.  ``min_df``
+    drops hapax noise; ``max_token_df`` drops stop-like tokens whose
+    postings lists dominate the join (a token in B documents
+    contributes B² candidate pairs — cap it; the cap changes the
+    token space, so it is part of the operator's *definition* here,
+    mirrored exactly in the oracle, not a silent truncation).
+
+    Per-pair dot products and per-doc norms are summed in
+    DECIMAL(38,12): the number of shared tokens varies per pair, so
+    a fixed-order float sum is impossible — decimal addition is
+    order-independent, making similarities bit-stable across
+    partitionings and engines.  The final ``sqrt``/``/``/``*`` are
+    IEEE correctly-rounded doubles.
+
+    Plan: tokenize once → tfidf (two map-side aggregates + vocab join)
+    → postings self-join keyed by token → per-pair aggregate → two
+    norm joins → filter.  Shuffle volume is postings + surviving
+    pairs.
+
+    Returns ``id_a, id_b, cosine_sim`` (``id_a < id_b``,
+    ``cosine_sim >= min_sim``).
+    """
+    w = tfidf(df, id_col, text_col, min_df=min_df)
+    if max_token_df is not None:
+        w = w.where(F.col("df") <= max_token_df)
+    w = w.select(F.col(id_col).alias("__id"), "token", F.col("tfidf").alias("__w"))
+    norms = w.groupBy("__id").agg(
+        F.sqrt(F.sum((F.col("__w") * F.col("__w")).cast("decimal(38,12)")).cast("double")).alias(
+            "__norm"
+        )
+    )
+    a = w.select(F.col("__id").alias("id_a"), "token", F.col("__w").alias("__wa"))
+    b = w.select(F.col("__id").alias("id_b"), "token", F.col("__w").alias("__wb"))
+    dots = (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("__wa") * F.col("__wb")).cast("decimal(38,12)")).alias("__dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__norm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= F.lit(float(min_sim)))
     )

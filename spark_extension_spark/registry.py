@@ -2628,3 +2628,51 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("__q")[i].alias(f"q_{i}") for i in range(4)],
         F.aggregate("__q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse (TF-IDF) cosine document similarity — inverted-index pairs
+# ---------------------------------------------------------------------------
+
+# decimal(38,12) pair/norm sums: shared-token counts vary per pair, so a
+# fixed-order float sum is impossible — decimal addition is order-free
+_SPARSE_COSINE_ORACLE = f"""
+WITH toks AS ({_RANK_TOKS_SQL}),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= 40
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
+  FROM w a JOIN w b USING (token)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine_sim
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.8
+"""
+
+
+@register("sparse_cosine_documents", _SPARSE_COSINE_ORACLE)
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import sparse_cosine_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(docs, min_sim=0.8, min_df=2, max_token_df=40)

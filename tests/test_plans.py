@@ -140,12 +140,12 @@ def test_top_per_group_quota_joins_are_broadcast(spark):
 
 def test_bloom_prune_fact_side_no_exchange(spark):
     plan = summarize_plan(QUERIES["bloom_prune_orders"](spark, SF))
-    # the dim's position set broadcasts (nested-loop on a 1-row side is
-    # fine); the fact table itself must never shuffle
-    assert "BroadcastNestedLoopJoin" in plan.joins or "BroadcastHashJoin" in plan.joins
-    # only the dim-side collect_set aggregate exchanges (tiny); the
-    # orders scan flows straight into the filter
-    assert plan.exchanges <= 1
+    # every probe is a broadcast hash semi-join (O(1) lookup per row);
+    # the fact table itself must never shuffle — the only exchanges are
+    # the tiny dim-side position-set distincts
+    assert set(plan.joins) == {"BroadcastHashJoin"}
+    assert plan.exchanges <= 3
+    assert not plan.has_cartesian
 
 
 def test_rolling_single_exchange(spark):

@@ -141,3 +141,58 @@ def test_doc_logprob_partitioning_independent(docs):
     a = {r["doc_id"]: r["sum_logp"] for r in doc_logprob(docs.coalesce(1)).collect()}
     b = {r["doc_id"]: r["sum_logp"] for r in doc_logprob(docs.repartition(7)).collect()}
     assert a == b  # decimal sums: bit-identical under any partitioning
+
+
+class TestSparseCosine:
+    def test_matches_dense_formulation(self, spark):
+        # tiny corpus: verify against numpy dense cosine of the same
+        # tf-idf weights
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple cherry"),
+                (2, "apple banana cherry"),
+                (3, "dog cat mouse"),
+                (4, "dog cat mouse dog"),
+                (5, "zebra"),
+            ],
+            ["doc_id", "text"],
+        )
+        from spark_extension_spark.operators.ranking import sparse_cosine_pairs, tfidf
+
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in sparse_cosine_pairs(docs, min_sim=0.0).collect()
+        }
+        import numpy as np
+
+        w = tfidf(docs).collect()
+        vocab = sorted({r["token"] for r in w})
+        vecs = {}
+        for r in w:
+            vecs.setdefault(r["doc_id"], np.zeros(len(vocab)))[vocab.index(r["token"])] = r["tfidf"]
+        for (a, b), sim in got.items():
+            va, vb = vecs[a], vecs[b]
+            want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            assert abs(sim - want) < 1e-9
+        # docs 1-2 similar, 3-4 similar, no cross pairs, 5 isolated
+        assert (1, 2) in got and (3, 4) in got
+        assert (1, 3) not in got and not any(5 in p for p in got)
+
+    def test_disjoint_docs_never_enumerated(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+        )
+        from spark_extension_spark.operators.ranking import sparse_cosine_pairs
+
+        assert sparse_cosine_pairs(docs, min_sim=0.0).count() == 0
+
+    def test_partitioning_independent(self, spark, sf_dir):
+        from conftest import load
+        from spark_extension_spark.operators.ranking import sparse_cosine_pairs
+
+        docs = load(spark, sf_dir, "documents")
+        a = sparse_cosine_pairs(docs, min_sim=0.8, min_df=2, max_token_df=40)
+        b = sparse_cosine_pairs(
+            docs.repartition(13, "lang"), min_sim=0.8, min_df=2, max_token_df=40
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
