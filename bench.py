@@ -114,6 +114,7 @@ HEADLINE = [
     "fuzzy_pairs_part",
     "quantize_embeddings",
     "sparse_cosine_documents",
+    "json_extract_events",
 ]
 
 

@@ -2676,3 +2676,22 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return sparse_cosine_pairs(docs, min_sim=0.8, min_df=2, max_token_df=40)
+
+
+# ---------------------------------------------------------------------------
+# semi-structured JSON field extraction
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id, event_type,
+       CAST(props::JSON->>'k' AS INTEGER) AS k
+FROM events
+"""
+
+
+@register("json_extract_events", _JSON_ORACLE)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.semistructured import extract_json_fields
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    return extract_json_fields(ev, "props", {"k": "int"}).select("event_id", "event_type", "k")

@@ -1,5 +1,5 @@
 """Pivot feature matrices, winsorization, rolling window aggregates,
-fuzzy levenshtein joins, embedding quantization."""
+fuzzy levenshtein joins, embedding quantization, JSON extraction."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -204,3 +204,33 @@ class TestQuantize:
         assert q[1][1] == 0 and q[2][1] == 3  # span maps to [0, levels-1]
         with pytest.raises(ValueError):
             quantize_embeddings(df, levels=1)
+
+
+class TestExtractJson:
+    def test_typed_fields_and_malformed_null(self, spark):
+        from spark_extension_spark.operators.semistructured import extract_json_fields
+
+        df = spark.createDataFrame(
+            [
+                (1, '{"k": 7, "name": "a", "tags": ["x", "y"]}'),
+                (2, '{"k": "not-an-int"}'),
+                (3, "not json at all"),
+                (4, None),
+            ],
+            ["id", "props"],
+        )
+        out = extract_json_fields(
+            df, "props", {"k": "int", "name": "string", "tags": "array<string>"}
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["k"] == 7 and rows[1]["name"] == "a" and rows[1]["tags"] == ["x", "y"]
+        assert rows[2]["k"] is None  # type mismatch -> null, not failure
+        assert rows[3]["k"] is None and rows[4]["k"] is None
+
+    def test_no_shuffle(self, spark, sf_dir):
+        from spark_extension_spark.operators.semistructured import extract_json_fields
+        from spark_extension_spark.plans import summarize_plan
+
+        ev = load(spark, sf_dir, "events").select("event_id", "props")
+        plan = summarize_plan(extract_json_fields(ev, "props", {"k": "int"}))
+        assert plan.exchanges == 0 and plan.joins == []
