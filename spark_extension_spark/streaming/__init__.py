@@ -22,6 +22,7 @@ __all__ = [
     "streaming_dedup_against",
     "streaming_histogram",
     "streaming_quality_monitor",
+    "streaming_rolling_counts",
     "streaming_sessionize",
     "foreach_batch_diff",
 ]
@@ -127,6 +128,39 @@ def streaming_quality_monitor(
             F.avg(F.length(t)).alias("mean_chars"),
             F.sum(F.when(F.trim(t) == "", 1).otherwise(0)).alias("n_empty"),
         )
+    )
+
+
+def streaming_rolling_counts(
+    stream: DataFrame,
+    by: Sequence[str] = (),
+    event_time_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    aggregates: dict = None,
+) -> DataFrame:
+    """Per-key sliding-window aggregates over a stream — the streaming
+    analogue of
+    :func:`~spark_extension_spark.operators.timeseries.rolling_aggregates`
+    (rate features, burst detection) built on Spark's native sliding
+    ``window()``: each event lands in ``window/slide`` overlapping
+    windows and state is bounded per (key, window), evicted once the
+    watermark passes.
+
+    Batch `rolling_aggregates` gives an exact per-*row* trailing frame;
+    a stream cannot (that frame never closes), so this trades frame
+    granularity for the ``slide_duration`` grid — the standard
+    streaming formulation.  Default aggregates: event count.
+    """
+    aggs = aggregates or {"n_events": F.count(F.lit(1))}
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.window(event_time_col, window_duration, slide_duration).alias("window"),
+            *[F.col(c) for c in by],
+        )
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
     )
 
 

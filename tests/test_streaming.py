@@ -163,3 +163,30 @@ def test_streaming_dedup_against(spark, stream_source):
     got = sorted(r["doc_id"] for r in out.collect())
     # 1, 2, 4 normalize to "hello world" = seen doc 100; only 3 survives
     assert got == [3]
+
+
+def test_streaming_rolling_counts(spark, stream_source):
+    from spark_extension_spark.streaming import streaming_rolling_counts
+
+    stream = _read_stream(spark, stream_source)
+    out = _run(
+        spark,
+        streaming_rolling_counts(
+            stream,
+            window_duration="1 minute",
+            slide_duration="30 seconds",
+            watermark="1 minute",
+        ),
+        "rolling_sink",
+        mode="complete",
+    ).collect()
+    got = {
+        (r["window"]["start"].strftime("%H:%M:%S"), r["n_events"]) for r in out
+    }
+    # events at t=0s,10s,20s,90s; 1-minute windows sliding every 30s:
+    # [23:59:30, 00:00:30) -> 3, [00:00:00, 00:01:00) -> 3,
+    # [00:00:30, 00:01:30) -> 1, [00:01:00, 00:02:00) -> 1
+    assert ("00:00:00", 3) in got
+    assert ("00:01:00", 1) in got
+    # each event contributes to exactly window/slide = 2 windows
+    assert sum(n for _, n in got) == 8
