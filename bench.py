@@ -115,6 +115,7 @@ HEADLINE = [
     "quantize_embeddings",
     "sparse_cosine_documents",
     "json_extract_events",
+    "heavy_keys_events",
 ]
 
 

@@ -23,7 +23,40 @@ from pyspark.sql import functions as F
 
 from ..utils import distinct_prefix_for
 
-__all__ = ["salted_join", "with_salt"]
+__all__ = ["salted_join", "with_salt", "heavy_keys"]
+
+
+def heavy_keys(df: DataFrame, keys: Sequence[str], k: int = 10) -> DataFrame:
+    """The diagnostic that decides whether :func:`salted_join` (or a
+    bucket cap, or AQE skew handling) is needed at all: the ``k``
+    heaviest join/group keys with their row counts and share of the
+    table.
+
+    Plan: one map-side-combined count aggregate keyed by ``keys``, a
+    global top-k via ``row_number`` over the *aggregated* (per-key)
+    rows, and a 1-row total **broadcast** for the share — the input is
+    scanned once and shuffles only (key, count) pairs.  Share divides
+    two longs in double precision (exact for realistic counts), rank
+    ties break by key for determinism.
+
+    Returns ``keys..., n_rows (long), share (double), rank (int)``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*[F.col(c) for c in keys]).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in keys])
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total").cast("double")).alias("share"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
 
 
 def with_salt(df: DataFrame, buckets: int, salt_col: str) -> DataFrame:

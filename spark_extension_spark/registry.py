@@ -2695,3 +2695,26 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "props")
     return extract_json_fields(ev, "props", {"k": "int"}).select("event_id", "event_type", "k")
+
+
+# ---------------------------------------------------------------------------
+# heavy-key skew diagnostic
+# ---------------------------------------------------------------------------
+
+_HEAVY_KEYS_ORACLE = """
+WITH counts AS (SELECT user_id, event_type, COUNT(*) AS n_rows FROM events GROUP BY 1, 2),
+total AS (SELECT COUNT(*) AS t FROM events)
+SELECT user_id, event_type, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id, event_type) AS INT) AS rank
+FROM counts CROSS JOIN total
+QUALIFY rank <= 15
+"""
+
+
+@register("heavy_keys_events", _HEAVY_KEYS_ORACLE)
+def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import heavy_keys
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    return heavy_keys(ev, ["user_id", "event_type"], k=15)

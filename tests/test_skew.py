@@ -40,3 +40,26 @@ def test_salt_scatters_hot_key(skewed):
 def test_unsupported_join_type(skewed, dim):
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(skewed, dim, "k", how="full")
+
+
+class TestHeavyKeys:
+    def test_counts_share_and_rank(self, spark):
+        from spark_extension_spark.operators.skew import heavy_keys
+
+        df = spark.createDataFrame(
+            [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]], ["k"]
+        )
+        rows = heavy_keys(df, ["k"], k=3).orderBy("rank").collect()
+        assert [(r["k"], r["n_rows"], r["rank"]) for r in rows] == [
+            ("a", 5, 1),
+            ("b", 3, 2),
+            ("c", 2, 3),
+        ]
+        assert abs(rows[0]["share"] - 5 / 11) < 1e-12
+
+    def test_tie_breaks_deterministic(self, spark):
+        from spark_extension_spark.operators.skew import heavy_keys
+
+        df = spark.createDataFrame([("x",), ("y",)], ["k"])
+        rows = heavy_keys(df, ["k"], k=2).orderBy("rank").collect()
+        assert [r["k"] for r in rows] == ["x", "y"]
