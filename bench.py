@@ -116,6 +116,7 @@ HEADLINE = [
     "sparse_cosine_documents",
     "json_extract_events",
     "heavy_keys_events",
+    "group_quantiles_events",
 ]
 
 

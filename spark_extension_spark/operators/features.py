@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "pivot_counts",
     "winsorize",
+    "group_quantiles",
 ]
 
 
@@ -127,3 +128,58 @@ def winsorize(
     )
     clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
     return joined.withColumn(clipped_col, clipped).drop("__lo", "__hi")
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Exact per-group discrete quantiles, one output column per
+    requested quantile (named ``q25``, ``q50``, … from the fraction) —
+    the distribution summary behind length filters, latency SLOs and
+    skew triage.
+
+    Same machinery as :func:`winsorize`: each quantile is the value at
+    1-based sorted index ``max(1, ceil(p * n))`` (``percentile_disc``
+    semantics — an actual data value located by integer rank, no float
+    interpolation, so results replay exactly in any engine).  One
+    window pass ranks the group (one exchange on ``by``, external
+    sort), then the ≤ ``len(quantiles)`` boundary rows per group
+    collapse in a map-side-combined conditional aggregate.  Unlike
+    ``percentile_approx`` there is no error bound to reason about, and
+    unlike a ``sort_array(collect_list())`` formulation no group ever
+    materializes in memory.
+
+    Returns ``by..., n (long), q25, q50, ... (value_col's type)``.
+    """
+    qs = list(quantiles)
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be within [0, 1], got {qs}")
+    v = F.col(value_col)
+    order = [v.asc(), *[F.col(c).asc() for c in tiebreak]]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    wn = Window.partitionBy(*[F.col(c) for c in by])
+    ranked = df.select(
+        *[F.col(c) for c in by],
+        v.alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    def idx(p: float):
+        return F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("__n")))
+
+    # keep only rows that are some quantile's boundary, then collapse
+    keep = None
+    for q in qs:
+        cond = F.col("__rn") == idx(q)
+        keep = cond if keep is None else (keep | cond)
+    aggs = [F.max("__n").alias("n")] + [
+        F.max(F.when(F.col("__rn") == idx(q), F.col("__v"))).alias(
+            "q" + str(q).replace("0.", "").ljust(2, "0") if q < 1 else "q100"
+        )
+        for q in qs
+    ]
+    return ranked.where(keep).groupBy(*[F.col(c) for c in by]).agg(*aggs)

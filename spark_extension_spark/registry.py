@@ -2718,3 +2718,39 @@ def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_type")
     return heavy_keys(ev, ["user_id", "event_type"], k=15)
+
+
+# ---------------------------------------------------------------------------
+# exact per-group quantile vectors
+# ---------------------------------------------------------------------------
+
+_QUANTILES_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) THEN value END) AS q25,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) THEN value END) AS q50,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT)) THEN value END) AS q75,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN value END) AS q95
+FROM ranked
+WHERE rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT))
+   OR rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+   OR rn = GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT))
+   OR rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))
+GROUP BY event_type
+"""
+
+
+@register("group_quantiles_events", _QUANTILES_ORACLE)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import group_quantiles
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return group_quantiles(
+        ev, "value", by=["event_type"], quantiles=[0.25, 0.5, 0.75, 0.95], tiebreak=["event_id"]
+    )

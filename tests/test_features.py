@@ -234,3 +234,33 @@ class TestExtractJson:
         ev = load(spark, sf_dir, "events").select("event_id", "props")
         plan = summarize_plan(extract_json_fields(ev, "props", {"k": "int"}))
         assert plan.exchanges == 0 and plan.joins == []
+
+
+class TestGroupQuantiles:
+    def test_exact_vs_python(self, events):
+        from spark_extension_spark.operators.features import group_quantiles
+        import math
+
+        got = {
+            r["event_type"]: r
+            for r in group_quantiles(
+                events, "value", by=["event_type"], quantiles=[0.5, 0.95]
+            ).collect()
+        }
+        for etype in ["click", "error"]:
+            vals = sorted(
+                r["value"] for r in events.where(F.col("event_type") == etype).collect()
+            )
+            n = len(vals)
+            assert got[etype]["n"] == n
+            assert got[etype]["q50"] == vals[max(1, math.ceil(0.5 * n)) - 1]
+            assert got[etype]["q95"] == vals[max(1, math.ceil(0.95 * n)) - 1]
+
+    def test_extremes_and_validation(self, spark):
+        from spark_extension_spark.operators.features import group_quantiles
+
+        df = spark.createDataFrame([(1, float(v)) for v in [5, 1, 3]], ["g", "v"])
+        row = group_quantiles(df, "v", by=["g"], quantiles=[0.0, 1.0]).collect()[0]
+        assert row["q00"] == 1.0 and row["q100"] == 5.0
+        with pytest.raises(ValueError):
+            group_quantiles(df, "v", quantiles=[1.5])
