@@ -117,6 +117,7 @@ HEADLINE = [
     "json_extract_events",
     "heavy_keys_events",
     "group_quantiles_events",
+    "hilbert_events",
 ]
 
 

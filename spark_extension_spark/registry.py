@@ -2754,3 +2754,61 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles(
         ev, "value", by=["event_type"], quantiles=[0.25, 0.5, 0.75, 0.95], tiebreak=["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout index
+# ---------------------------------------------------------------------------
+
+def _hilbert_oracle(bits: int) -> str:
+    """Chained one-CTE-per-level replica of the per-level quadrant walk
+    in sources.layout.with_hilbert_value (exact integer arithmetic)."""
+    scale = (1 << bits) - 1
+    n = 1 << bits
+    ctes = [
+        f"""l{bits} AS (
+  SELECT event_id, user_id,
+         (user_id - mnu) * {scale} // GREATEST(mxu - mnu, 1) AS x,
+         (event_id - mne) * {scale} // GREATEST(mxe - mne, 1) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events CROSS JOIN stats
+)"""
+    ]
+    for level in reversed(range(bits)):
+        s = 1 << level
+        prev = f"l{level + 1}"
+        ctes.append(
+            f"""l{level} AS (
+  SELECT event_id, user_id,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - y ELSE y END) ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - x ELSE x END) ELSE y END AS y,
+         d + {s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS d
+  FROM (
+    SELECT event_id, user_id, x, y, d,
+           CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+           CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+    FROM {prev}
+  )
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH stats AS (
+  SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+         MIN(event_id) AS mne, MAX(event_id) AS mxe
+  FROM events
+),
+{chain}
+SELECT event_id, user_id, d AS h_value FROM l0
+"""
+
+
+_HILBERT_BITS = 10
+
+
+@register("hilbert_events", _hilbert_oracle(_HILBERT_BITS))
+def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.layout import with_hilbert_value
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    return with_hilbert_value(ev, ["user_id", "event_id"], bits=_HILBERT_BITS)

@@ -69,3 +69,63 @@ def test_write_zordered_disjoint_file_ranges(spark, tmp_path):
     # both axes; z-clustering must beat that on average
     avg_span = sum((r[2] - r[1]) + (r[4] - r[3]) for r in per_file) / len(per_file)
     assert avg_span < 62
+
+
+class TestHilbert:
+    def test_true_hilbert_curve(self, spark):
+        # 8x8 grid: the index must be a permutation of 0..63 AND every
+        # consecutive pair of curve positions must be grid-adjacent
+        # (the property that distinguishes Hilbert from Morton)
+        from spark_extension_spark.sources.layout import with_hilbert_value
+
+        rows = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+        got = {
+            (r["x"], r["y"]): r["h_value"]
+            for r in with_hilbert_value(df, ["x", "y"], bits=3).collect()
+        }
+        assert sorted(got.values()) == list(range(64))
+        inv = {d: xy for xy, d in got.items()}
+        assert all(
+            abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+            for d in range(63)
+        )
+
+    def test_locality_beats_zorder(self, spark):
+        # total grid distance along the curve: Hilbert is strictly
+        # better than Morton (which jumps diagonally between quadrants)
+        from spark_extension_spark.sources.layout import with_hilbert_value, with_z_value
+
+        rows = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+
+        def total_jump(col):
+            if col == "h":
+                out = with_hilbert_value(df, ["x", "y"], bits=4, out_col="v")
+            else:
+                out = with_z_value(df, ["x", "y"], bits=4, out_col="v")
+            inv = {r["v"]: (r["x"], r["y"]) for r in out.collect()}
+            ds = sorted(inv)
+            return sum(
+                abs(inv[a][0] - inv[b][0]) + abs(inv[a][1] - inv[b][1])
+                for a, b in zip(ds, ds[1:])
+            )
+
+        assert total_jump("h") < total_jump("z")
+
+    def test_validation_and_write(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from spark_extension_spark.sources.layout import (
+            with_hilbert_value,
+            write_hilbert,
+        )
+
+        df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "c"])
+        with _pytest.raises(ValueError):
+            with_hilbert_value(df, ["a", "b", "c"])
+        with _pytest.raises(ValueError):
+            with_hilbert_value(df, ["a", "b"], bits=40)
+        path = str(tmp_path / "hilbert")
+        write_hilbert(df.select("a", "b"), path, ["a", "b"], bits=4)
+        assert spark.read.parquet(path).count() == 1
