@@ -111,3 +111,103 @@ def test_shingle_count_law(spark, text, n):
     expected = max(len(tokens) - n + 1, 0)
     got = shingles(df, n=n, distinct=False).count()
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators: fuzzy join and sketch laws
+# ---------------------------------------------------------------------------
+
+WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=0, max_size=6),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(words=WORDS, d=st.integers(min_value=1, max_value=2))
+@SETTINGS
+def test_fuzzy_dedup_equals_brute_force(spark, words, d):
+    from spark_extension_spark.operators.fuzzy import fuzzy_dedup_pairs
+
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows or [], "id int, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_dedup_pairs(df, "id", "s", d).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and _lev(a, b) <= d
+    }
+    assert got == want
+
+
+@given(values=st.lists(st.integers(min_value=0, max_value=30), max_size=40))
+@SETTINGS
+def test_kmv_exact_below_capacity(spark, values):
+    from spark_extension_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(v,) for v in values] or [], "v int")
+    if not values:
+        # ungrouped = global aggregate: one zero row on empty input
+        # (same as SELECT COUNT(*) FROM empty), never an error
+        row = kmv_distinct(df, "v", k=64).collect()[0]
+        assert (row["n_distinct_est"], row["n_exact_capped"]) == (0.0, 0)
+        return
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    # <= 31 distinct values, k = 64: the sketch saw everything -> exact
+    assert row["n_distinct_est"] == float(len(set(values)))
+    assert row["n_exact_capped"] == len(set(values))
+
+
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=10 ** 6), min_size=1, max_size=40),
+    splits=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_hll_merge_invariance(spark, values, splits):
+    # the register sketch must give the SAME estimate no matter how the
+    # input is partitioned (mergeability = max is associative)
+    from spark_extension_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([(v,) for v in values], "v int")
+    a = hll_distinct(df, "v", bucket_bits=4).collect()[0]
+    b = hll_distinct(df.repartition(splits), "v", bucket_bits=4).collect()[0]
+    assert a == b
+
+
+@given(words=WORDS)
+@SETTINGS
+def test_cms_dominates_truth(spark, words):
+    from pyspark.sql import functions as F
+
+    from spark_extension_spark.operators.sketches import cms_counts
+
+    df = spark.createDataFrame([(w,) for w in words if w] or [], "token string")
+    if df.count() == 0:
+        return
+    keys = df.select("token").distinct()
+    est = {
+        r["token"]: r["est_count"]
+        for r in cms_counts(df, "token", keys, depth=2, width=8).collect()
+    }
+    truth = {
+        r["token"]: r["n"]
+        for r in df.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    # CMS never undercounts, even at an adversarially tiny width
+    assert set(est) == set(truth)
+    for t, n in truth.items():
+        assert est[t] >= n
