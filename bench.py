@@ -118,6 +118,7 @@ HEADLINE = [
     "heavy_keys_events",
     "group_quantiles_events",
     "hilbert_events",
+    "kmv_overlap_orders_customer",
 ]
 
 

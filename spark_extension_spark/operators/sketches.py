@@ -43,6 +43,7 @@ __all__ = [
     "hll_distinct",
     "cms_counts",
     "bloom_prune",
+    "kmv_overlap",
 ]
 
 
@@ -296,3 +297,97 @@ def bloom_prune(
         pos_i = positions.select(F.col("pos").alias(f"__pos_{i}"))
         out = out.join(F.broadcast(pos_i), probe == F.col(f"__pos_{i}"), "left_semi")
     return out
+
+
+def kmv_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: Optional[str] = None,
+    k: int = 256,
+) -> DataFrame:
+    """Estimate two key columns' distinct-count overlap — union,
+    Jaccard, intersection — from KMV sketches alone, without joining
+    the tables: the planner-aid that answers "how selective would this
+    join be?" / "how much does corpus B add to corpus A?" at sketch
+    cost (each side scanned once, everything after the per-side
+    distinct is k-row arithmetic).
+
+    The classic KMV set-operation estimators (Beyer et al., SIGMOD'07):
+    both sides hash with the SAME function, so their sketches are
+    comparable; the k smallest hashes of the sketch union are a valid
+    KMV sketch of A ∪ B, and the fraction of those union-min hashes
+    present in *both* side sketches estimates the Jaccard similarity.
+    Then ``|A ∩ B| ≈ jaccard × |A ∪ B|``.
+
+    Exactness: any side (or the union) with fewer than ``k`` distinct
+    hashes is estimated exactly, so small-corpus results equal the
+    true counts.
+
+    Returns one row: ``est_distinct_left, est_distinct_right,
+    est_union, jaccard_est, est_intersection (all double),
+    k_used (long)``.
+    """
+    from pyspark.sql import Window
+
+    right_col = right_col or left_col
+
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        hashed = df.select(_hash64(_col(col), "kmv").alias("__h")).dropDuplicates(["__h"])
+        w = Window.orderBy(F.col("__h").asc())
+        return hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+
+    sa = sketch(left, left_col).select("__h", "__rn")
+    sb = sketch(right, right_col).select("__h", "__rn")
+
+    def estimate(sk: DataFrame):
+        return sk.agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("kth"),
+        ).select(
+            F.when(
+                F.col("sz") < k, F.col("sz").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(_HASH_SPACE))
+            ).alias("est"),
+        )
+
+    # union sketch: k smallest of the merged hash sets, membership flags
+    wu = Window.orderBy(F.col("__h").asc())
+    union = (
+        sa.select("__h").withColumn("__in_a", F.lit(1))
+        .join(sb.select("__h").withColumn("__in_b", F.lit(1)), "__h", "full_outer")
+        .select(
+            "__h",
+            F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
+            F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+        )
+        .withColumn("__rn", F.row_number().over(wu))
+        .where(F.col("__rn") <= k)
+    )
+    union_stats = union.agg(
+        F.count(F.lit(1)).alias("usz"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("ukth"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).alias("both"),
+    ).select(
+        F.when(
+            F.col("usz") < k, F.col("usz").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) / (F.col("ukth").cast("double") / F.lit(_HASH_SPACE))
+        ).alias("est_union"),
+        (F.col("both").cast("double") / F.col("usz").cast("double")).alias("jaccard_est"),
+    )
+    ea = estimate(sa).select(F.col("est").alias("est_distinct_left"))
+    eb = estimate(sb).select(F.col("est").alias("est_distinct_right"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(union_stats)
+        .select(
+            F.round("est_distinct_left", 4).alias("est_distinct_left"),
+            F.round("est_distinct_right", 4).alias("est_distinct_right"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round("jaccard_est", 6).alias("jaccard_est"),
+            F.round(F.col("jaccard_est") * F.col("est_union"), 4).alias("est_intersection"),
+            F.lit(k).cast("long").alias("k_used"),
+        )
+    )

@@ -2812,3 +2812,65 @@ def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     return with_hilbert_value(ev, ["user_id", "event_id"], bits=_HILBERT_BITS)
+
+
+# ---------------------------------------------------------------------------
+# KMV overlap / join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+_KMV_OVERLAP_ORACLE = """
+WITH ha AS (
+  SELECT DISTINCT CAST(CONCAT('0x', substr(md5('kmv' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders
+),
+hb AS (
+  SELECT DISTINCT CAST(CONCAT('0x', substr(md5('kmv' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM customer
+),
+sa AS (SELECT h, rn FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 256),
+sb AS (SELECT h, rn FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 256),
+ua AS (
+  SELECT COALESCE(sa.h, sb.h) AS h,
+         CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+),
+su AS (
+  SELECT h, in_a, in_b, rn
+  FROM (SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ua)
+  WHERE rn <= 256
+),
+ea AS (
+  SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 255.0 / (CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE) / 1152921504606846976.0)
+         END AS est FROM sa
+),
+eb AS (
+  SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 255.0 / (CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE) / 1152921504606846976.0)
+         END AS est FROM sb
+),
+eu AS (
+  SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 255.0 / (CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE) / 1152921504606846976.0)
+         END AS est_union,
+         CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard_est
+  FROM su
+)
+SELECT ROUND(ea.est, 4) AS est_distinct_left,
+       ROUND(eb.est, 4) AS est_distinct_right,
+       ROUND(eu.est_union, 4) AS est_union,
+       ROUND(eu.jaccard_est, 6) AS jaccard_est,
+       ROUND(eu.jaccard_est * eu.est_union, 4) AS est_intersection,
+       CAST(256 AS BIGINT) AS k_used
+FROM ea CROSS JOIN eb CROSS JOIN eu
+"""
+
+
+@register("kmv_overlap_orders_customer", _KMV_OVERLAP_ORACLE)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_overlap
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    return kmv_overlap(orders, cust, "o_custkey", "c_custkey", k=256)

@@ -143,3 +143,41 @@ class TestBloomPrune:
         orders = load(spark, sf_dir, "orders")
         dim = load(spark, sf_dir, "customer").limit(5)
         assert bloom_prune(orders, dim, "o_custkey", "c_custkey").columns == orders.columns
+
+
+class TestKMVOverlap:
+    def test_exact_below_capacity(self, spark):
+        from spark_extension_spark.operators.sketches import kmv_overlap
+
+        a = spark.createDataFrame([(v,) for v in range(0, 30)], ["k"])
+        b = spark.createDataFrame([(v,) for v in range(20, 50)], ["k"])
+        r = kmv_overlap(a, b, "k", "k", k=256).collect()[0]
+        # everything below sketch capacity -> exact set arithmetic
+        assert r["est_distinct_left"] == 30.0
+        assert r["est_distinct_right"] == 30.0
+        assert r["est_union"] == 50.0
+        assert r["est_intersection"] == 10.0
+        assert abs(r["jaccard_est"] - 10 / 50) < 1e-9
+
+    def test_estimates_bounded_error(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from spark_extension_spark.operators.sketches import kmv_overlap
+
+        orders = load(spark, sf_dir, "orders").select("o_custkey")
+        cust = load(spark, sf_dir, "customer").select("c_custkey")
+        r = kmv_overlap(orders, cust, "o_custkey", "c_custkey", k=64).collect()[0]
+        truth_b = cust.distinct().count()
+        truth_i = orders.distinct().join(
+            cust.distinct(), orders.o_custkey == F.col("c_custkey"), "left_semi"
+        ).count()
+        assert abs(r["est_distinct_right"] - truth_b) / truth_b < 0.4
+        assert abs(r["est_intersection"] - truth_i) / max(truth_i, 1) < 0.5
+
+    def test_disjoint_sets(self, spark):
+        from spark_extension_spark.operators.sketches import kmv_overlap
+
+        a = spark.createDataFrame([(1,), (2,)], ["k"])
+        b = spark.createDataFrame([(9,), (10,)], ["k"])
+        r = kmv_overlap(a, b, "k", "k").collect()[0]
+        assert r["jaccard_est"] == 0.0 and r["est_intersection"] == 0.0
