@@ -555,4 +555,7 @@ def diff_with(
     options: Optional[DiffOptions] = None,
     ignore_columns: Optional[Iterable[str]] = None,
 ) -> DataFrame:
+    """Like :func:`diff`, but packs each side into a struct column:
+    the result is ``(diff, left struct, right struct)`` — the Python
+    shape of the reference's ``diffWith`` (diff/__init__.py:403-446)."""
     return Differ(options).diff_with(left, right, *id_columns, ignore_columns=ignore_columns)

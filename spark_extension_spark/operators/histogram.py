@@ -26,6 +26,10 @@ def histogram(
     value_column: Union[str, Column],
     *aggregate_columns: Union[str, Column],
 ) -> DataFrame:
+    """Threshold-binned histogram per group: one row per group with
+    ``≤t`` / ``>t_max`` bin counts (reference Histogram.scala:25-97).
+    A single map-side-combined hash aggregate; shuffle size is
+    #groups × #bins longs."""
     if len(thresholds) == 0:
         raise ValueError("Thresholds must not be empty")
     if len(set(thresholds)) != len(thresholds):

@@ -66,6 +66,8 @@ def blob_metadata(blob: Column) -> dict:
 
 
 def with_blob_metadata(df: DataFrame, blob_col: str = "blob", prefix: str = "m_") -> DataFrame:
+    """Input plus every :func:`blob_metadata` column (prefixed) — a
+    scan-speed projection over the binary column, no decode."""
     cols = blob_metadata(F.col(blob_col))
     return df.select("*", *[c.alias(prefix + k) for k, c in cols.items()])
 

@@ -40,6 +40,10 @@ def with_row_numbers(
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
+    """Attach global row numbers without a single-partition window —
+    the reference's 5-step algorithm (RowNumbers.scala:24-116):
+    per-partition windows, a ≤#partitions prefix sum, broadcast
+    offsets join."""
     prefix = distinct_prefix_for(df.columns)
     pid = prefix + "partition_id"
     local_rn = prefix + "local_row_number"

@@ -90,6 +90,8 @@ def quality_metrics(text) -> Dict[str, Column]:
 
 
 def with_quality_metrics(df: DataFrame, text: str = "text", prefix: str = "q_") -> DataFrame:
+    """Input plus every :func:`quality_metrics` column (prefixed) — a
+    scan-speed projection, no shuffle."""
     cols = quality_metrics(text)
     return df.select("*", *[c.alias(prefix + name) for name, c in cols.items()])
 

@@ -39,6 +39,7 @@ class PlanSummary:
 
 
 def explain_text(df: DataFrame, mode: str = "formatted") -> str:
+    """The ``df.explain(mode)`` output as a string."""
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
@@ -55,6 +56,8 @@ _JOIN_KINDS = [
 
 
 def summarize_plan(df: DataFrame) -> PlanSummary:
+    """Parse ``explain`` output into a :class:`PlanSummary` (joins,
+    exchange count, pushed filters, read schemas, cartesian flag)."""
     text = explain_text(df)
     summary = PlanSummary()
     for line in text.splitlines():
