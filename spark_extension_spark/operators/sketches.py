@@ -337,57 +337,47 @@ def kmv_overlap(
         w = Window.orderBy(F.col("__h").asc())
         return hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
 
-    sa = sketch(left, left_col).select("__h", "__rn")
-    sb = sketch(right, right_col).select("__h", "__rn")
+    sa = sketch(left, left_col).select(F.col("__h"), F.col("__rn").alias("__rn_a"))
+    sb = sketch(right, right_col).select(F.col("__h"), F.col("__rn").alias("__rn_b"))
 
-    def estimate(sk: DataFrame):
-        return sk.agg(
-            F.count(F.lit(1)).alias("sz"),
-            F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("kth"),
-        ).select(
-            F.when(
-                F.col("sz") < k, F.col("sz").cast("double")
-            ).otherwise(
-                F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(_HASH_SPACE))
-            ).alias("est"),
-        )
-
-    # union sketch: k smallest of the merged hash sets, membership flags
+    # every estimator reads ONE merged frame (k rows per side), so each
+    # input table is scanned exactly once — a per-estimator formulation
+    # would recompute the side sketches and re-scan the tables
     wu = Window.orderBy(F.col("__h").asc())
-    union = (
-        sa.select("__h").withColumn("__in_a", F.lit(1))
-        .join(sb.select("__h").withColumn("__in_b", F.lit(1)), "__h", "full_outer")
+    merged = (
+        sa.join(sb, "__h", "full_outer")
         .select(
             "__h",
-            F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
-            F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+            F.col("__rn_a"),
+            F.col("__rn_b"),
+            F.when(F.col("__rn_a").isNotNull(), 1).otherwise(0).alias("__in_a"),
+            F.when(F.col("__rn_b").isNotNull(), 1).otherwise(0).alias("__in_b"),
         )
-        .withColumn("__rn", F.row_number().over(wu))
-        .where(F.col("__rn") <= k)
+        .withColumn("__rn_u", F.row_number().over(wu))
     )
-    union_stats = union.agg(
-        F.count(F.lit(1)).alias("usz"),
-        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("ukth"),
-        F.sum(F.col("__in_a") * F.col("__in_b")).alias("both"),
-    ).select(
-        F.when(
-            F.col("usz") < k, F.col("usz").cast("double")
-        ).otherwise(
-            F.lit(float(k - 1)) / (F.col("ukth").cast("double") / F.lit(_HASH_SPACE))
-        ).alias("est_union"),
-        (F.col("both").cast("double") / F.col("usz").cast("double")).alias("jaccard_est"),
-    )
-    ea = estimate(sa).select(F.col("est").alias("est_distinct_left"))
-    eb = estimate(sb).select(F.col("est").alias("est_distinct_right"))
-    return (
-        ea.crossJoin(eb)
-        .crossJoin(union_stats)
-        .select(
-            F.round("est_distinct_left", 4).alias("est_distinct_left"),
-            F.round("est_distinct_right", 4).alias("est_distinct_right"),
-            F.round("est_union", 4).alias("est_union"),
-            F.round("jaccard_est", 6).alias("jaccard_est"),
-            F.round(F.col("jaccard_est") * F.col("est_union"), 4).alias("est_intersection"),
-            F.lit(k).cast("long").alias("k_used"),
+
+    def est(sz: Column, kth: Column) -> Column:
+        return F.when(sz < k, sz.cast("double")).otherwise(
+            F.lit(float(k - 1)) / (kth.cast("double") / F.lit(_HASH_SPACE))
         )
+
+    in_union = F.col("__rn_u") <= k
+    stats = merged.agg(
+        F.sum("__in_a").alias("sz_a"),
+        F.max(F.when(F.col("__rn_a") == k, F.col("__h"))).alias("kth_a"),
+        F.sum("__in_b").alias("sz_b"),
+        F.max(F.when(F.col("__rn_b") == k, F.col("__h"))).alias("kth_b"),
+        F.sum(F.when(in_union, 1).otherwise(0)).alias("usz"),
+        F.max(F.when(F.col("__rn_u") == k, F.col("__h"))).alias("ukth"),
+        F.sum(F.when(in_union, F.col("__in_a") * F.col("__in_b")).otherwise(0)).alias("both"),
+    )
+    est_union = est(F.col("usz"), F.col("ukth"))
+    jaccard = F.col("both").cast("double") / F.col("usz").cast("double")
+    return stats.select(
+        F.round(est(F.col("sz_a"), F.col("kth_a")), 4).alias("est_distinct_left"),
+        F.round(est(F.col("sz_b"), F.col("kth_b")), 4).alias("est_distinct_right"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(jaccard, 6).alias("jaccard_est"),
+        F.round(jaccard * est_union, 4).alias("est_intersection"),
+        F.lit(k).cast("long").alias("k_used"),
     )

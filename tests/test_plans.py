@@ -196,3 +196,35 @@ def test_hll_two_aggregates_no_join(spark):
     # (group, bucket) max + group sum: two partial+final pairs
     assert plan.exchanges == 2
     assert plan.read_columns() == [["event_id", "event_type"]]
+
+
+def test_group_quantiles_no_join_no_collect(spark):
+    plan = summarize_plan(QUERIES["group_quantiles_events"](spark, SF))
+    # rank window + conditional collapse: no join, no per-group arrays
+    assert plan.joins == []
+    assert not plan.has_cartesian
+    assert plan.read_columns() == [["event_id", "event_type", "value"]]
+
+
+def test_heavy_keys_total_is_broadcast(spark):
+    plan = summarize_plan(QUERIES["heavy_keys_events"](spark, SF))
+    # the 1-row total joins broadcast; the rank window sees only
+    # aggregated (key, count) rows
+    assert "BroadcastNestedLoopJoin" in plan.joins or "BroadcastHashJoin" in plan.joins
+    assert not plan.has_cartesian
+
+
+def test_kmv_overlap_sketch_only(spark):
+    plan = summarize_plan(QUERIES["kmv_overlap_orders_customer"](spark, SF))
+    # the two tables are never joined directly: only k-row sketch
+    # frames meet (full-outer merge + 1-row estimator cross joins)
+    assert not plan.has_cartesian
+    assert plan.read_columns() == [["o_custkey"], ["c_custkey"]]
+
+
+def test_hilbert_single_codegen_chain(spark):
+    plan = summarize_plan(QUERIES["hilbert_events"](spark, SF))
+    # min/max stats broadcast; the bit-level walk is pure projection -
+    # no extra exchange beyond the tiny aggregate
+    assert "BroadcastNestedLoopJoin" in plan.joins
+    assert plan.read_columns() == [["event_id", "user_id"], ["event_id", "user_id"]]
