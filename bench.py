@@ -119,6 +119,7 @@ HEADLINE = [
     "group_quantiles_events",
     "hilbert_events",
     "kmv_overlap_orders_customer",
+    "weighted_sample_documents",
 ]
 
 

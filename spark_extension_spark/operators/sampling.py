@@ -38,6 +38,7 @@ __all__ = [
     "take_token_budget",
     "take_token_budget_sql",
     "top_per_group",
+    "weighted_sample",
     "top_per_group_sql",
 ]
 
@@ -405,3 +406,53 @@ SELECT {columns} FROM {table} d
 JOIN rates r ON d.{strata_expr} IS NOT DISTINCT FROM r.stratum
 WHERE {u} < r.rate
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: Union[str, Column],
+    id_col: Union[str, Column],
+    by: Sequence[str] = (),
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement, ``k`` rows (per group):
+    each row's inclusion probability is proportional to its weight —
+    quality-weighted corpus subsetting, importance-sampled eval sets.
+
+    The Efraimidis–Spirakis priority construction: draw ``u`` from the
+    row's deterministic md5 hash (:func:`hash_uniform` shifted to
+    ``(0, 1]`` so ``ln`` is always finite) and keep the ``k`` smallest
+    ``-ln(u) / w`` — an ``Exp(w)`` variate, so the min-k are exactly a
+    weight-proportional sample without replacement.  The draw is pure
+    column algebra: reproducible across runs, partitionings, and
+    engines (``ln`` and ``/`` are IEEE correctly-rounded in both Spark
+    and DuckDB — the same guarantee the BM25/TF-IDF oracles rely on).
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row can never be drawn; a negative weight is a caller bug surfaced
+    by omission, not a crash).
+
+    Plan: one projection + per-group window top-k (one exchange on
+    ``by``; global ``by=()`` means a single ordered partition — prefer
+    groups at corpus scale, same caveat as any global top-k).
+
+    Returns the sampled input rows (original schema).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = _col(weight_col)
+    key = F.concat(F.lit(f"{int(seed)}:"), _col(id_col).cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    u = (bucket + F.lit(1).cast("long")) / F.lit(_TWO_32)  # (0, 1]
+    priority = -F.log(u) / w.cast("double")
+    win = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("__priority").asc(), _col(id_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn("__priority", priority)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__priority", "__rn")
+    )

@@ -2874,3 +2874,28 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_custkey")
     cust = load(spark, sf_dir, "customer").select("c_custkey")
     return kmv_overlap(orders, cust, "o_custkey", "c_custkey", k=256)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH pri AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         -ln((CAST(CONCAT('0x', substr(md5(CONCAT('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1) / 4294967296.0)
+         / CAST(n_chars AS DOUBLE) AS p
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rn FROM pri)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 10
+"""
+
+
+@register("weighted_sample_documents", _WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(docs, 10, "n_chars", "doc_id", by=["lang"])

@@ -235,3 +235,50 @@ def test_top_per_group_merit_order(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be >= 0"):
         top_per_group(df, "grp", -1, "score", "doc_id")
+
+
+class TestWeightedSample:
+    def test_weight_proportional_inclusion(self, spark):
+        from pyspark.sql import functions as F
+
+        from spark_extension_spark.operators.sampling import weighted_sample
+
+        # two weight classes, 10x apart; heavy rows must dominate the
+        # sample across many disjoint seed draws
+        rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, ["id", "w"])
+        heavy = 0
+        for seed in range(5):
+            s = weighted_sample(df, 20, "w", "id", seed=seed)
+            heavy += s.where(F.col("w") == 10.0).count()
+        # E[heavy] ~ 5 seeds * 20 * (10/11-ish with depletion) >> half
+        assert heavy > 5 * 20 * 0.6
+
+    def test_without_replacement_and_exact_k(self, spark):
+        from spark_extension_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([(i, float(i + 1)) for i in range(30)], ["id", "w"])
+        s = weighted_sample(df, 7, "w", "id").collect()
+        assert len(s) == 7
+        assert len({r["id"] for r in s}) == 7
+
+    def test_null_and_nonpositive_weights_excluded(self, spark):
+        from spark_extension_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 0.0), (4, -2.0)], ["id", "w"]
+        )
+        s = weighted_sample(df, 10, "w", "id").collect()
+        assert [r["id"] for r in s] == [1]
+
+    def test_partitioning_independent_and_validates(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([(i, float(i % 7 + 1)) for i in range(100)], ["id", "w"])
+        a = sorted(r["id"] for r in weighted_sample(df, 10, "w", "id").collect())
+        b = sorted(r["id"] for r in weighted_sample(df.repartition(13), 10, "w", "id").collect())
+        assert a == b
+        with _pytest.raises(ValueError):
+            weighted_sample(df, 0, "w", "id")
