@@ -120,6 +120,7 @@ HEADLINE = [
     "hilbert_events",
     "kmv_overlap_orders_customer",
     "weighted_sample_documents",
+    "ngram_containment_documents",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "duplicate_clusters",
     "shingles",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -186,6 +187,66 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = 1000,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Candidate pairs by n-gram *containment* — ``|A ∩ B| /
+    min(|A|, |B|)`` — the asymmetric near-dup measure Jaccard misses:
+    a 100-token excerpt embedded verbatim in a 10k-token page scores
+    Jaccard ≈ 0.01 (invisible at any sane threshold) but containment
+    1.0.  The standard guard against quote/boilerplate/subset
+    duplicates in web corpora, where the smaller document is usually
+    the one to drop.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (documents
+    meet only through shared shingles; ``max_shingle_freq`` caps
+    stop-shingle postings) — only the final scoring changes.
+
+    Returns ``id_a, id_b, common, size_a, size_b, containment``
+    (``id_a < id_b``; the contained side is the one whose size equals
+    the denominator ``least(size_a, size_b)``).
+    """
+    sh = shingles(df, id_col, text_col, n).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    postings = sh
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        postings = sh.join(rare, "shingle", "left_semi")
+
+    left = postings.select(F.col(id_col).alias("id_a"), "shingle")
+    right = postings.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    containment = F.col("common") / F.least("size_a", "size_b")
+    return (
+        common.join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
+        .withColumn("containment", containment)
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "containment")
     )
 
 

@@ -2899,3 +2899,42 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return weighted_sample(docs, 10, "n_chars", "doc_id", by=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment — asymmetric (subset-duplicate) near-dup measure
+# ---------------------------------------------------------------------------
+
+_NGRAM_CONTAINMENT_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUPS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       CAST(common AS DOUBLE) / LEAST(sa.n_shingles, sb.n_shingles) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / LEAST(sa.n_shingles, sb.n_shingles) >= 0.9
+"""
+
+
+@register("ngram_containment_documents", _NGRAM_CONTAINMENT_ORACLE)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_containment_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.9
+    )

@@ -264,3 +264,34 @@ def test_near_dedup_against_unpersist_handles(spark):
     assert out.count() == 1
     hn()  # handles are callables, matching the reference's API
     hs()
+
+
+class TestNgramContainment:
+    def test_subset_doc_scores_full_containment(self, spark):
+        from spark_extension_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        padding = " ".join(f"tok{i}" for i in range(200))
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " " + padding)], ["doc_id", "text"]
+        )
+        got = ngram_containment_pairs(df, threshold=0.9).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["containment"] == 1.0  # every shingle of 1 appears in 2
+        # the same pair is invisible to Jaccard at any useful threshold
+        jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert jac == []
+
+    def test_disjoint_docs_absent(self, spark):
+        from spark_extension_spark.operators.dedup import ngram_containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three four")],
+            ["doc_id", "text"],
+        )
+        assert ngram_containment_pairs(df, threshold=0.1).count() == 0
