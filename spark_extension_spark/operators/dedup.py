@@ -39,6 +39,7 @@ __all__ = [
     "near_dup_clusters",
     "dedup_against",
     "near_dedup_against",
+    "paragraph_dedup",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -722,3 +723,79 @@ def near_dup_clusters(
         max_iterations=max_iterations,
         unpersist_handle=unpersist_handle,
     ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level corpus dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_repeat: int = 2,
+    normalized: bool = True,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Remove paragraphs duplicated across the corpus (CCNet-style
+    boilerplate removal), preserving within-document paragraph order.
+
+    A *paragraph* is a ``sep``-delimited span of ``text_col``.  Any
+    paragraph whose (normalized) content occurs ``min_repeat``-or-more
+    times corpus-wide is removed from every document — or, with
+    ``keep_first=True``, from every document except its first occurrence
+    (smallest ``(id, position)``).  Paragraphs that normalize to the
+    empty string are never counted or removed.
+
+    Returns ``(id, text, n_paragraphs, n_removed)`` where ``text`` is
+    the surviving paragraphs re-joined with ``sep``.
+
+    Scale design (100 TB): ``posexplode`` is shuffle-free; the
+    frequency table has one row per *distinct* paragraph (map-side
+    combined aggregate), so the count join matches each posting to
+    exactly one row — no fan-out, no cap needed.  Reassembly sorts
+    within each document via ``array_sort`` on collected
+    ``(pos, para)`` structs, so the result is independent of
+    partitioning and shuffle order.  Three keyed exchanges total
+    (paragraph hash ×2, document id ×1), no driver materialization.
+    """
+    para_raw = F.col("__para")
+    norm = normalize_text(para_raw) if normalized else para_raw
+    key = F.when(F.trim(norm) != "", F.md5(norm))
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__pos", "__para"),
+    ).withColumn("__key", key)
+
+    counts = (
+        paras.where(F.col("__key").isNotNull())
+        .groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+        )
+    )
+    flagged = paras.join(counts, "__key", "left")
+    removed = F.col("__key").isNotNull() & (F.col("__n") >= min_repeat)
+    if keep_first:
+        removed = removed & ~(
+            (F.col("__first")[id_col] == F.col(id_col))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        )
+    kept_struct = F.when(~F.coalesce(removed, F.lit(False)),
+                         F.struct(F.col("__pos"), F.col("__para")))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["__para"]
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.coalesce(removed, F.lit(False)).cast("long")).alias("n_removed"),
+        )
+    )

@@ -21,6 +21,7 @@ __all__ = [
     "time_bucket",
     "time_bucket_rollup",
     "range_join_bands",
+    "interval_join",
     "sessionize",
     "session_summary",
     "rolling_aggregates",
@@ -183,3 +184,58 @@ def range_join_bands(
     non-equi condition never becomes a shuffled cross product."""
     cond = (F.col(value_col) >= bands[low_col]) & (F.col(value_col) < bands[high_col])
     return facts.join(F.broadcast(bands), cond, "left")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    grid: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join: every (left, right) pair whose
+    half-open intervals ``[start, end)`` overlap (optionally within the
+    same ``by`` keys), plus ``overlap_start``/``overlap_end`` columns.
+
+    The scalable large-large shape (neither side broadcasts): each
+    interval is exploded to the fixed-width grid cells it spans and the
+    two sides meet in an equi-join on ``(by…, cell)`` — only intervals
+    sharing a cell are ever paired, so there is no cross product and
+    the shuffle is keyed and AQE-skew-splittable.  A pair overlapping
+    across k shared cells would surface k times; instead of a
+    ``distinct`` shuffle, each pair is kept only in the one cell
+    containing ``greatest(left_start, right_start)`` — the standard
+    first-overlapping-cell dedup, a pure filter.
+
+    ``grid`` is in the units of the interval columns (must be numeric —
+    convert timestamps with ``unix_micros`` first) and should be on the
+    order of typical interval length: too fine explodes many cells per
+    interval, too coarse packs unrelated intervals into one cell.
+    Start/end columns of the two sides must not collide by name;
+    ``by`` key columns must exist on both sides with the same name.
+    Empty or inverted intervals (``end <= start``) never match.
+    """
+    grid_l = F.lit(int(grid)).cast("long")
+
+    def cells(df: DataFrame, start: str, end: str) -> DataFrame:
+        first = F.floor(F.col(start).cast("long") / grid_l)
+        last = F.floor((F.col(end).cast("long") - 1) / grid_l)
+        return df.where(F.col(start) < F.col(end)).withColumn(
+            "__cell", F.explode(F.sequence(first, last))
+        )
+
+    lc = cells(left, left_start, left_end)
+    rc = cells(right, right_start, right_end)
+    joined = lc.join(rc, [*by, "__cell"])
+    ov_start = F.greatest(F.col(left_start), F.col(right_start))
+    ov_end = F.least(F.col(left_end), F.col(right_end))
+    anchor_cell = F.floor(ov_start.cast("long") / grid_l)
+    return (
+        joined.where((ov_start < ov_end) & (F.col("__cell") == anchor_cell))
+        .withColumn("overlap_start", ov_start)
+        .withColumn("overlap_end", ov_end)
+        .drop("__cell")
+    )

@@ -2938,3 +2938,106 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_containment_pairs(
         _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.9
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level corpus dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_PARA_FOOTER = "please subscribe to the example newsletter"
+
+_PARAGRAPH_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN '{_PARA_FOOTER}'
+         ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus),
+paras AS (
+  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+  FROM sp, UNNEST(generate_series(1, len(ps))) AS u(i)
+),
+keyed AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN trim(regexp_replace(lower(para), '[^a-z0-9]+', ' ', 'g')) <> ''
+              THEN md5(trim(regexp_replace(lower(para), '[^a-z0-9]+', ' ', 'g'))) END AS k
+  FROM paras
+),
+counts AS (SELECT k, COUNT(*) AS c FROM keyed WHERE k IS NOT NULL GROUP BY k),
+flagged AS (
+  SELECT keyed.*, (k IS NOT NULL AND COALESCE(c, 0) >= 2) AS removed
+  FROM keyed LEFT JOIN counts USING (k)
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT removed THEN para END, chr(10) ORDER BY pos), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("paragraph_dedup_documents", _PARAGRAPH_DEDUP_ORACLE)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PARA_FOOTER)).otherwise(
+                F.concat(F.lit("unique tail "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return _dedup.paragraph_dedup(corpus)
+
+
+# ---------------------------------------------------------------------------
+# interval overlap join — click windows × view windows per user
+# ---------------------------------------------------------------------------
+
+_IVJ_W_US = 6 * 3600 * 1_000_000  # each event opens a 6 h window
+
+_INTERVAL_JOIN_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_start,
+         epoch_us(ts) + {_IVJ_W_US} AS c_end
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_start,
+         epoch_us(ts) + {_IVJ_W_US} AS v_end
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id, click_id, view_id, c_start, c_end, v_start, v_end,
+       GREATEST(c_start, v_start) AS overlap_start,
+       LEAST(c_end, v_end) AS overlap_end
+FROM c JOIN v ON c.user_id = v.user_id
+WHERE GREATEST(c_start, v_start) < LEAST(c_end, v_end)
+"""
+
+
+@register("interval_join_events", _INTERVAL_JOIN_ORACLE)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import interval_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("c_start"),
+        (F.col("ts_us") + _IVJ_W_US).alias("c_end"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("v_start"),
+        (F.col("ts_us") + _IVJ_W_US).alias("v_end"),
+    )
+    return interval_join(
+        clicks, views, "c_start", "c_end", "v_start", "v_end",
+        by=["user_id"], grid=_IVJ_W_US,
+    )

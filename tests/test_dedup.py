@@ -295,3 +295,67 @@ class TestNgramContainment:
             ["doc_id", "text"],
         )
         assert ngram_containment_pairs(df, threshold=0.1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def paragraph_docs(spark):
+    footer = "subscribe to our newsletter today"
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma\nunique middle one\n" + footer),
+            (2, "delta epsilon zeta\n" + footer),
+            (3, "eta theta iota\nunique middle three\n" + footer),
+            (4, "solo document with no boilerplate at all"),
+            (5, "\n\nonly empties around me\n\n"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_paragraph_dedup_removes_corpus_boilerplate(paragraph_docs):
+    from spark_extension_spark.operators.dedup import paragraph_dedup
+
+    out = {r["doc_id"]: r for r in paragraph_dedup(paragraph_docs).collect()}
+    assert out[1]["text"] == "alpha beta gamma\nunique middle one"
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "delta epsilon zeta"
+    assert out[3]["text"] == "eta theta iota\nunique middle three"
+    # untouched doc survives verbatim
+    assert out[4]["text"] == "solo document with no boilerplate at all"
+    assert out[4]["n_removed"] == 0
+    # empty paragraphs are never counted as duplicates
+    assert out[5]["n_removed"] == 0
+    assert "only empties around me" in out[5]["text"]
+
+
+def test_paragraph_dedup_keep_first(paragraph_docs):
+    from spark_extension_spark.operators.dedup import paragraph_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(paragraph_docs, keep_first=True).collect()
+    }
+    # first occurrence (doc 1, last position) survives; later ones removed
+    assert out[1]["text"].endswith("subscribe to our newsletter today")
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 1
+    assert out[3]["n_removed"] == 1
+
+
+def test_paragraph_dedup_order_and_threshold(spark):
+    from spark_extension_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c\nx y z\na b c"), (2, "x y z")], ["doc_id", "text"]
+    )
+    # min_repeat=3: "a b c" appears twice (same doc) -> below threshold, kept
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, min_repeat=3).collect()}
+    assert out[1]["text"] == "a b c\nx y z\na b c"
+    # min_repeat=2 drops both dup groups, order of survivors preserved
+    out2 = {r["doc_id"]: r for r in paragraph_dedup(df, min_repeat=2).collect()}
+    assert out2[1]["text"] == "" and out2[1]["n_removed"] == 3

@@ -115,3 +115,55 @@ def test_sessionize_single_exchange(spark):
     )
     # both window passes share the user_id hash partitioning: one shuffle
     assert plan.exchanges == 1 and plan.joins == []
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_naive_cross(spark):
+    from spark_extension_spark.operators.timeseries import interval_join
+
+    left = spark.createDataFrame(
+        [(k, i, s, e) for i, (k, s, e) in enumerate(
+            [("a", 0, 100), ("a", 50, 250), ("a", 300, 301), ("b", 0, 100),
+             ("a", 400, 400),  # empty interval: never matches
+             ("a", 500, 450)]  # inverted: never matches
+        )],
+        ["k", "lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(k, i, s, e) for i, (k, s, e) in enumerate(
+            [("a", 90, 120), ("a", 240, 360), ("b", 99, 500), ("a", 100, 240),
+             ("a", 395, 405)]
+        )],
+        ["k", "rid", "rs", "re"],
+    )
+    got = {
+        (r["lid"], r["rid"], r["overlap_start"], r["overlap_end"])
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re", by=["k"], grid=64
+        ).collect()
+    }
+    naive = {
+        (lr["lid"], rr["rid"], max(lr["ls"], rr["rs"]), min(lr["le"], rr["re"]))
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr["k"] == rr["k"]
+        and max(lr["ls"], rr["rs"]) < min(lr["le"], rr["re"])
+    }
+    assert got == naive and len(got) > 0
+    # pair (lid=1, rid=1) spans several 64-wide cells: surfaced exactly once
+    mult = interval_join(left, right, "ls", "le", "rs", "re", by=["k"], grid=16)
+    assert sorted(
+        (r["lid"], r["rid"]) for r in mult.collect()
+    ) == sorted((lid, rid) for lid, rid, _, _ in naive)
+
+
+def test_interval_join_touching_intervals_do_not_match(spark):
+    from spark_extension_spark.operators.timeseries import interval_join
+
+    left = spark.createDataFrame([(1, 0, 100)], ["lid", "ls", "le"])
+    right = spark.createDataFrame([(1, 100, 200)], ["rid", "rs", "re"])
+    assert interval_join(left, right, "ls", "le", "rs", "re", grid=50).count() == 0
