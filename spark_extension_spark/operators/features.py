@@ -19,6 +19,7 @@ __all__ = [
     "pivot_counts",
     "winsorize",
     "group_quantiles",
+    "approx_group_quantiles",
 ]
 
 
@@ -183,3 +184,86 @@ def group_quantiles(
         for q in qs
     ]
     return ranked.where(keep).groupBy(*[F.col(c) for c in by]).agg(*aggs)
+
+
+def approx_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    bins: int = 4096,
+) -> DataFrame:
+    """Fixed-grid approximate per-group quantiles — the corpus-scale
+    companion to :func:`group_quantiles`.
+
+    The exact operator ranks every row inside a per-group window sort;
+    at 100 TB that is a full shuffle + external sort of the fact table.
+    This one never sorts rows: pass 1 computes each group's
+    ``[min, max]`` (map-side-combined aggregate), pass 2 histograms the
+    values onto a ``bins``-cell grid over that range (aggregate keyed
+    by ``(by…, cell)`` — at most ``bins`` rows per group survive the
+    map-side combine), and the quantile is read off the cumulative cell
+    counts: the *lower edge* of the first cell whose running count
+    reaches ``ceil(p·n)``.  Error is bounded by one cell width,
+    ``(max-min)/bins``; all arithmetic is deterministic and
+    order-independent, so results are partitioning-independent and
+    replay exactly in any engine.
+
+    Shuffles: two keyed aggregates over ``by`` (rows ≤ groups×bins) +
+    one tiny window over the cell counts.  No row-level sort anywhere.
+
+    Returns ``by..., p (double), q_estimate (double), n (long)``.
+    """
+    qs = list(quantiles)
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be within (0, 1], got {qs}")
+    if bins < 1:
+        raise ValueError(f"bins must be positive, got {bins}")
+    keys = [F.col(c) for c in by]
+    v = F.col(value_col).cast("double")
+
+    ranges = df.where(v.isNotNull()).groupBy(*keys).agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    with_range = df.where(v.isNotNull()).join(ranges, list(by)) if by else (
+        df.where(v.isNotNull()).crossJoin(F.broadcast(ranges))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    cell = F.least(
+        F.lit(bins - 1),
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.floor((v - F.col("__lo")) / width)
+        ),
+    ).cast("long")
+    counts = (
+        with_range.select(*keys, F.col("__lo"), F.col("__hi"), cell.alias("__cell"))
+        .groupBy(*keys, "__lo", "__hi", "__cell")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wsort = Window.partitionBy(*keys).orderBy("__cell")
+    wall = Window.partitionBy(*keys)
+    cum = counts.select(
+        *keys, "__lo", "__hi", "__cell",
+        F.sum("__cnt").over(wsort).alias("__cum"),
+        F.sum("__cnt").over(wall).alias("__n"),
+    )
+    edge = F.col("__lo") + F.col("__cell").cast("double") * (
+        (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(p) * F.col("__n")), edge
+            )
+        ).alias(f"__q_{i}")
+        for i, p in enumerate(qs)
+    ]
+    agg = cum.groupBy(*keys, F.col("__n").alias("n")).agg(*picks)
+    stack = (
+        f"stack({len(qs)}, "
+        + ", ".join(f"CAST({p!r} AS DOUBLE), `__q_{i}`" for i, p in enumerate(qs))
+        + ") as (p, q_estimate)"
+    )
+    return agg.select(*[F.col(c) for c in by], "n", F.expr(stack)).select(
+        *[F.col(c) for c in by], "p", "q_estimate", "n"
+    )

@@ -3041,3 +3041,79 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, "c_start", "c_end", "v_start", "v_end",
         by=["user_id"], grid=_IVJ_W_US,
     )
+
+
+# ---------------------------------------------------------------------------
+# one-pass table profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_orders", _PROFILE_ORACLE)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile
+
+    return profile(load(spark, sf_dir, "orders"), _PROFILE_COLS, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid approximate quantiles (scan-scale quantile sketch)
+# ---------------------------------------------------------------------------
+
+_AGQ_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+rg AS (SELECT event_type, MIN(v) AS lo, MAX(v) AS hi FROM v GROUP BY event_type),
+cells AS (
+  SELECT v.event_type, rg.lo, rg.hi,
+         CAST(LEAST(999, CASE WHEN rg.hi = rg.lo THEN 0
+                              ELSE FLOOR((v.v - rg.lo) / ((rg.hi - rg.lo) / 1000.0))
+                         END) AS BIGINT) AS cell
+  FROM v JOIN rg USING (event_type)
+),
+counts AS (
+  SELECT event_type, lo, hi, cell, COUNT(*) AS c
+  FROM cells GROUP BY event_type, lo, hi, cell
+),
+cum AS (
+  SELECT event_type, lo, hi, cell,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cell) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+),
+probs AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.25), (0.5), (0.9)) t(p)),
+sel AS (
+  SELECT event_type, p, n,
+         MIN(CASE WHEN cum >= CEIL(p * n)
+                  THEN lo + CAST(cell AS DOUBLE) * ((hi - lo) / 1000.0) END) AS q_estimate
+  FROM cum CROSS JOIN probs
+  GROUP BY event_type, p, n
+)
+SELECT event_type, p, q_estimate, CAST(n AS BIGINT) AS n FROM sel
+"""
+
+
+@register("approx_quantiles_events", _AGQ_ORACLE)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import approx_group_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return approx_group_quantiles(
+        ev, "value", by=["event_type"], quantiles=(0.25, 0.5, 0.9), bins=1000
+    )

@@ -264,3 +264,57 @@ class TestGroupQuantiles:
         assert row["q00"] == 1.0 and row["q100"] == 5.0
         with pytest.raises(ValueError):
             group_quantiles(df, "v", quantiles=[1.5])
+
+
+# ---------------------------------------------------------------------------
+# approx_group_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_approx_group_quantiles_within_cell_width(spark):
+    import numpy as np
+    from spark_extension_spark.operators.features import approx_group_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = [("a", float(v)) for v in rng.normal(100.0, 15.0, 2000)]
+    rows += [("b", float(v)) for v in rng.exponential(50.0, 1500)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    bins = 512
+    got = {
+        (r["g"], r["p"]): (r["q_estimate"], r["n"])
+        for r in approx_group_quantiles(
+            df, "v", by=["g"], quantiles=(0.25, 0.5, 0.95), bins=bins
+        ).collect()
+    }
+    for g, vals in (("a", [v for k, v in rows if k == "a"]),
+                    ("b", [v for k, v in rows if k == "b"])):
+        width = (max(vals) - min(vals)) / bins
+        for p in (0.25, 0.5, 0.95):
+            est, n = got[(g, p)]
+            assert n == len(vals)
+            exact = sorted(vals)[max(1, int(np.ceil(p * len(vals)))) - 1]
+            assert abs(est - exact) <= width + 1e-9, (g, p, est, exact)
+
+
+def test_approx_group_quantiles_edge_cases(spark):
+    from spark_extension_spark.operators.features import approx_group_quantiles
+
+    df = spark.createDataFrame(
+        [("c", 5.0), ("c", 5.0), ("c", None), ("d", 1.0)], ["g", "v"]
+    )
+    got = {
+        (r["g"], r["p"]): (r["q_estimate"], r["n"])
+        for r in approx_group_quantiles(df, "v", by=["g"], quantiles=(0.5, 1.0)).collect()
+    }
+    # constant group: every quantile is the constant; nulls not counted
+    assert got[("c", 0.5)] == (5.0, 2) and got[("c", 1.0)] == (5.0, 2)
+    assert got[("d", 0.5)] == (1.0, 1)
+
+
+def test_approx_group_quantiles_global_no_keys(spark):
+    from spark_extension_spark.operators.features import approx_group_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], ["v"])
+    got = {r["p"]: r["q_estimate"] for r in
+           approx_group_quantiles(df, "v", quantiles=(0.5,), bins=100).collect()}
+    assert abs(got[0.5] - 499.0) <= (999.0 / 100) + 1e-9
