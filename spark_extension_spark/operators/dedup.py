@@ -40,6 +40,7 @@ __all__ = [
     "dedup_against",
     "near_dedup_against",
     "paragraph_dedup",
+    "dedup_keep_best",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -799,3 +800,62 @@ def paragraph_dedup(
             F.sum(F.coalesce(removed, F.lit(False)).cast("long")).alias("n_removed"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: Optional[DataFrame] = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = 1000,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """End-to-end near-dedup keeping the *best* document per duplicate
+    cluster (highest ``quality_col``; ties go to the smallest id) —
+    "keep the longest / highest-scoring copy" rather than
+    :func:`near_dup_clusters`'s "keep the smallest id".
+
+    ``pairs`` overrides the candidate generator (any ``(id_a, id_b)``
+    frame — MinHash-LSH, SimHash, semantic); by default n-gram Jaccard
+    pairs at ``threshold`` are computed from ``df`` itself.  Documents
+    in no pair form singleton clusters and always survive.
+
+    Returns the surviving input rows plus ``cluster_id`` (smallest id
+    in the component) and ``cluster_size``.  ``quality_col`` must be
+    non-null and ``id_col`` numeric.
+
+    Scale shape: the clustering is :func:`connected_components` (its
+    scaling notes apply); everything after is one left join of the
+    corpus against the (much smaller) cluster map, a per-cluster
+    max-struct aggregate — map-side combined, no window sort — and a
+    semi-join back.  The corpus is never shuffled by anything wider
+    than its own id.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+            max_shingle_freq=max_shingle_freq,
+            unpersist_handle=unpersist_handle,
+        ).select("id_a", "id_b")
+    clusters = near_dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    labeled = df.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col).cast("long")).alias("nid"),
+            )
+        ).alias("__b"),
+    )
+    best_ids = best.select(
+        "cluster_id",
+        (-F.col("__b.nid")).alias(id_col),
+        "cluster_size",
+    )
+    return labeled.join(best_ids, ["cluster_id", id_col])

@@ -60,6 +60,7 @@ __all__ = [
     "ivf_topk",
     "semantic_near_dup_pairs",
     "semantic_dedup",
+    "group_centroids",
 ]
 
 
@@ -792,4 +793,85 @@ def semantic_dedup(
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
             (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
         )
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    by: Sequence[str] = ("label",),
+) -> DataFrame:
+    """Per-group embedding centroid + cohesion diagnostics: the
+    elementwise-mean vector, its norm, and the average / minimum cosine
+    similarity of the group's members to it.  The summary behind
+    cluster-quality checks (is this label tight or diffuse?), IVF cell
+    audits, and drift monitoring between corpus snapshots.
+
+    All cross-row sums (per-dimension component sums, the average
+    cosine) accumulate in DECIMAL(38,12) — order-independent, so the
+    result is bit-stable under any partitioning and replays exactly in
+    a SQL oracle; per-row folds (dot products with the centroid) fold
+    decimal accumulators over the dimension order.
+
+    Plan: one ``posexplode`` pass + aggregate keyed by ``(by…, dim)``
+    (rows ≤ groups×dim survive the map-side combine), the centroid
+    arrays rebuilt with ``array_sort(collect_list(struct(dim, m)))``
+    (bounded by dim count, never by group size), broadcast back onto
+    the members for the cosine pass, then one final aggregate per
+    group.  The member table itself is only ever shuffled by ``by``.
+
+    Returns ``by…, n (long), centroid (array<double>),
+    centroid_norm, avg_cosine, min_cosine (double)``.
+    """
+    keys = [F.col(c) for c in by]
+    dec = "decimal(38,12)"
+    comp = df.select(*keys, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x"))
+    sums = comp.groupBy(*keys, "__dim").agg(
+        F.sum(F.col("__x").cast(dec)).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cent = sums.select(
+        *keys, "__dim", "__n",
+        (F.col("__s").cast("double") / F.col("__n")).alias("__m"),
+    )
+    carr = cent.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))), lambda s: s["__m"]
+        ).alias("centroid"),
+        F.max("__n").alias("n"),
+        F.sqrt(
+            F.sum((F.col("__m") * F.col("__m")).cast(dec)).cast("double")
+        ).alias("centroid_norm"),
+    )
+    zero = F.lit(0).cast(dec)
+    v = F.col(vec_col).cast("array<double>")
+    member = df.join(F.broadcast(carr), list(by))
+    # cast the running sum back to the accumulator type: decimal(38,12) +
+    # decimal(38,12) widens to scale 11 under Spark's precision cap, and
+    # higher-order-function accumulators must keep their declared type.
+    # Adding scale-12 terms is exact at scale 12, so the cast is lossless.
+    add = lambda acc, x: (acc + x).cast(dec)  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(v, F.col("centroid"), lambda a, b: (a * b).cast(dec)), zero, add
+    ).cast("double")
+    vv = F.aggregate(
+        F.transform(v, lambda a: (a * a).cast(dec)), zero, add
+    ).cast("double")
+    # zero vectors (or a zero centroid) have no defined cosine: emit null
+    # and average over the defined ones only — not 0, which would bias
+    # the cohesion score
+    denom = F.sqrt(vv) * F.col("centroid_norm")
+    cos = F.when(denom > F.lit(0.0), dot / denom)
+    n_def = F.count("__cos")
+    return (
+        member.select(*keys, cos.alias("__cos"))
+        .groupBy(*keys)
+        .agg(
+            F.when(
+                n_def > 0, F.sum(F.col("__cos").cast(dec)).cast("double") / n_def
+            ).alias("avg_cosine"),
+            F.min("__cos").alias("min_cosine"),
+        )
+        .join(carr, list(by))
+        .select(*keys, "n", "centroid", "centroid_norm", "avg_cosine", "min_cosine")
     )

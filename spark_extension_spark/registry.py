@@ -3117,3 +3117,101 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_group_quantiles(
         ev, "value", by=["event_type"], quantiles=(0.25, 0.5, 0.9), bins=1000
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dedup keeping the best (longest) copy per cluster
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+lab AS (
+  SELECT c.doc_id, c.text, length(c.text) AS quality,
+         COALESCE(cl.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN cl USING (doc_id)
+),
+ranked AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT cluster_id, doc_id, text, CAST(quality AS BIGINT) AS quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best_documents", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "quality", F.length("text").cast("long")
+    )
+    return _dedup.dedup_keep_best(corpus, "quality", n=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# per-group embedding centroids + cohesion diagnostics
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH comp AS (
+  SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+sums AS (
+  SELECT label, dim, SUM(CAST(x AS DECIMAL(38,12))) AS s, COUNT(*) AS n
+  FROM comp GROUP BY 1, 2
+),
+cent AS (SELECT label, dim, CAST(s AS DOUBLE) / n AS m, n FROM sums),
+carr AS (
+  SELECT label, list(m ORDER BY dim) AS centroid, MAX(n) AS n,
+         sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)) AS centroid_norm
+  FROM cent GROUP BY label
+),
+dots AS (
+  SELECT c.label, c.vec_id,
+         SUM(CAST(c.x * carr.centroid[c.dim + 1] AS DECIMAL(38,12))) AS dot,
+         SUM(CAST(c.x * c.x AS DECIMAL(38,12))) AS vv
+  FROM comp c JOIN carr USING (label)
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.label,
+         CASE WHEN sqrt(CAST(vv AS DOUBLE)) * carr.centroid_norm > 0
+              THEN CAST(dot AS DOUBLE) / (sqrt(CAST(vv AS DOUBLE)) * carr.centroid_norm)
+         END AS cs
+  FROM dots d JOIN carr USING (label)
+),
+agg AS (
+  SELECT label,
+         CASE WHEN COUNT(cs) > 0
+              THEN CAST(SUM(CAST(cs AS DECIMAL(38,12))) AS DOUBLE) / COUNT(cs)
+         END AS avg_cosine,
+         MIN(cs) AS min_cosine
+  FROM cos GROUP BY label
+)
+SELECT a.label, CAST(c.n AS BIGINT) AS n, c.centroid, c.centroid_norm,
+       a.avg_cosine, a.min_cosine
+FROM agg a JOIN carr c USING (label)
+"""
+
+
+@register("group_centroids_embeddings", _CENTROID_ORACLE)
+def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import group_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return group_centroids(emb, "embedding", by=["label"])

@@ -359,3 +359,32 @@ def test_paragraph_dedup_order_and_threshold(spark):
     # min_repeat=2 drops both dup groups, order of survivors preserved
     out2 = {r["doc_id"]: r for r in paragraph_dedup(df, min_repeat=2).collect()}
     assert out2[1]["text"] == "" and out2[1]["n_removed"] == 3
+
+
+def test_dedup_keep_best(spark):
+    from spark_extension_spark.operators.dedup import dedup_keep_best
+
+    # cluster {1,2,3} via explicit pairs; 4 is a singleton
+    df = spark.createDataFrame(
+        [(1, "one", 0.5), (2, "two", 0.9), (3, "three", 0.9), (4, "four", 0.1)],
+        ["doc_id", "text", "quality"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in
+           dedup_keep_best(df, "quality", pairs=pairs).collect()}
+    # quality tie between 2 and 3 -> smallest id (2) wins; singleton kept
+    assert set(out) == {2, 4}
+    assert out[2]["cluster_id"] == 1 and out[2]["cluster_size"] == 3
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+
+
+def test_dedup_keep_best_self_computed_pairs(spark, docs):
+    from spark_extension_spark.operators.dedup import dedup_keep_best
+
+    scored = docs.withColumn("quality", F.length("text").cast("double"))
+    kept = {r["doc_id"] for r in
+            dedup_keep_best(scored, "quality", threshold=0.5).collect()}
+    # docs 1,2,3 are near-dups (cluster of 3): longest (2: BASE + '.')
+    # survives -- 1 and 3 tie on content length but 2 has the extra dot
+    assert 4 in kept and 5 in kept
+    assert len(kept & {1, 2, 3}) == 1

@@ -332,3 +332,47 @@ def test_project_embeddings_validation(emb):
 
     with pytest.raises(ValueError, match="out_dim must be positive"):
         project_embeddings(emb, out_dim=0)
+
+
+# ---------------------------------------------------------------------------
+# group_centroids
+# ---------------------------------------------------------------------------
+
+
+def test_group_centroids_matches_numpy(spark):
+    import numpy as np
+    from spark_extension_spark.operators.similarity import group_centroids
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vecs = {"a": [], "b": []}
+    for g in ("a", "b"):
+        base = rng.normal(0, 1, 8)
+        for _ in range(20):
+            v = (base + rng.normal(0, 0.2, 8)).astype(np.float32)
+            vecs[g].append(v)
+            rows.append((g, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {r["label"]: r for r in group_centroids(df, by=["label"]).collect()}
+    for g in ("a", "b"):
+        V = np.stack(vecs[g]).astype(np.float64)
+        c = V.mean(axis=0)
+        np.testing.assert_allclose(got[g]["centroid"], c, rtol=1e-9)
+        assert got[g]["n"] == 20
+        np.testing.assert_allclose(got[g]["centroid_norm"], np.linalg.norm(c), rtol=1e-9)
+        cosines = (V @ c) / (np.linalg.norm(V, axis=1) * np.linalg.norm(c))
+        np.testing.assert_allclose(got[g]["avg_cosine"], cosines.mean(), rtol=1e-6)
+        np.testing.assert_allclose(got[g]["min_cosine"], cosines.min(), rtol=1e-6)
+
+
+def test_group_centroids_partitioning_independent(spark):
+    from spark_extension_spark.operators.similarity import group_centroids
+
+    rows = [("g", [float(i % 7) / 3.0 + 0.01 * i for _ in range(4)]) for i in range(100)]
+    df1 = spark.createDataFrame(rows, ["label", "embedding"]).repartition(1)
+    df2 = spark.createDataFrame(rows, ["label", "embedding"]).repartition(13)
+    r1 = group_centroids(df1, by=["label"]).collect()[0]
+    r2 = group_centroids(df2, by=["label"]).collect()[0]
+    # decimal accumulation: bit-identical regardless of partitioning
+    assert r1["centroid"] == r2["centroid"]
+    assert r1["avg_cosine"] == r2["avg_cosine"]
