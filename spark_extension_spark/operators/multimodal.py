@@ -30,6 +30,9 @@ __all__ = [
     "blob_metadata",
     "with_blob_metadata",
     "decode_images",
+    "resize_images",
+    "make_fake_video_blob",
+    "sample_frames",
     "sample_frame_indices",
 ]
 
@@ -117,4 +120,128 @@ def sample_frame_indices(
     last = F.least(n_frames - 1, F.lit((max_frames - 1) * every))
     return F.when(n_frames > 0, F.sequence(F.lit(0), last, F.lit(every))).otherwise(
         F.array().cast("array<int>")
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Fit-within resize of image blobs: scale to the largest size that
+    fits ``target_w × target_h`` preserving aspect ratio (never
+    upscales).  Arrow-batched ``mapInPandas`` — the exact slot a
+    PIL/libvips ``thumbnail`` call occupies in production.
+
+    STUB: only the deterministic ``FAKE`` container resizes — the
+    "resample" keeps a payload prefix proportional to the pixel-count
+    ratio, so sizes are exact integer arithmetic any engine can replay;
+    real formats raise ``NotImplementedError``.  Output rows carry the
+    resized blob (chainable into :func:`decode_images`) plus the old
+    and new dimensions.
+    """
+    id_name, blob_name = id_col, blob_col
+    tw, th = int(target_w), int(target_h)
+    if tw < 1 or th < 1:
+        raise ValueError(f"target size must be positive, got {tw}x{th}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ows, ohs, blobs = [], [], [], [], [], []
+            for doc_id, raw in zip(pdf[id_name], pdf[blob_name]):
+                data = bytes(raw)
+                if not data.startswith(b"IMG1|"):
+                    raise NotImplementedError(
+                        "real image resizing requires PIL/libvips; only the "
+                        "deterministic FAKE container is supported in this build"
+                    )
+                _, w, h, payload = data.split(b"|", 3)
+                w, h = int(w), int(h)
+                scale = min(tw / w, th / h, 1.0)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                keep = max(1, (len(payload) * ow * oh) // (w * h)) if payload else 0
+                out_payload = payload[:keep]
+                header = f"IMG1|{ow}|{oh}|".encode()
+                ids.append(doc_id)
+                ws.append(w); hs.append(h); ows.append(ow); ohs.append(oh)
+                blobs.append(header + out_payload)
+            yield pd.DataFrame(
+                {id_name: ids, "width": ws, "height": hs,
+                 "out_width": ows, "out_height": ohs, blob_name: blobs}
+            )
+
+    return df.select(id_name, blob_name).mapInPandas(
+        kernel,
+        f"{id_name} long, width int, height int, out_width int, out_height int, "
+        f"{blob_name} binary",
+    )
+
+
+def make_fake_video_blob(text: Column, n_frames: Column, frame_bytes: Column) -> Column:
+    """Deterministic stand-in for video bytes: a ``VID1`` header with
+    frame count + bytes-per-frame, then the payload (conceptually the
+    concatenated frames)."""
+    header = F.concat_ws(
+        "|", F.lit("VID1"), n_frames.cast("string"), frame_bytes.cast("string")
+    )
+    return F.encode(F.concat(header, F.lit("|"), text), "utf-8")
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int = 10,
+    max_frames: int = 32,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Extract sampled frames from video blobs: one OUTPUT ROW PER
+    FRAME (every ``every``-th, capped at ``max_frames``) — the
+    fan-out shape a real ffmpeg frame extractor produces, exercising
+    the 1→N ``mapInPandas`` plumbing downstream vision models consume.
+
+    Frame ``i``'s bytes are the payload slice
+    ``[i·frame_bytes, (i+1)·frame_bytes)`` (short reads at the tail
+    are real, like a truncated container).  STUB: only the ``VID1``
+    FAKE container decodes; real formats raise ``NotImplementedError``.
+
+    Returns ``(id, n_frames, frame_index, frame_size, frame)``.
+    """
+    id_name, blob_name = id_col, blob_col
+    ev, mx = int(every), int(max_frames)
+    if ev < 1 or mx < 1:
+        raise ValueError(f"every/max_frames must be positive, got {ev}/{mx}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, idxs, sizes, frames = [], [], [], [], []
+            for doc_id, raw in zip(pdf[id_name], pdf[blob_name]):
+                data = bytes(raw)
+                if not data.startswith(b"VID1|"):
+                    raise NotImplementedError(
+                        "real video decoding requires ffmpeg; only the "
+                        "deterministic FAKE container is supported in this build"
+                    )
+                _, n, fb, payload = data.split(b"|", 3)
+                n, fb = int(n), int(fb)
+                if n <= 0:
+                    continue
+                last = min(n - 1, (mx - 1) * ev)
+                for i in range(0, last + 1, ev):
+                    chunk = payload[i * fb:(i + 1) * fb]
+                    ids.append(doc_id)
+                    ns.append(n)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {id_name: ids, "n_frames": ns, "frame_index": idxs,
+                 "frame_size": sizes, "frame": frames}
+            )
+
+    return df.select(id_name, blob_name).mapInPandas(
+        kernel,
+        f"{id_name} long, n_frames int, frame_index int, frame_size int, frame binary",
     )

@@ -29,6 +29,7 @@ __all__ = [
     "apply_quality_rules",
     "mix_report",
     "chunk_documents",
+    "vocab_coverage",
 ]
 
 
@@ -480,5 +481,60 @@ def dup_ngram_fraction(
             "n_ngrams",
             "n_dup",
             (F.col("n_dup").cast("double") / F.col("n_ngrams").cast("double")).alias("dup_frac"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage / out-of-vocabulary rate against
+    a reference token list — the cheap filter for "is this document in
+    the tokenizer's language?" and for catching encoding mojibake
+    (coverage collapses when bytes aren't text).
+
+    ``vocab`` is any DataFrame with a ``token`` column (duplicates
+    tolerated).  Tokens come from the same normalize-and-extract pass
+    the ranking operators use, so coverage is comparable with TF-IDF /
+    BM25 statistics.
+
+    Scale shape: vocabularies are tokenizer-sized (10⁴–10⁶ rows), so
+    the membership test is a broadcast left join onto the exploded
+    token stream — the corpus is only ever shuffled by ``id_col`` for
+    the per-document aggregate.  Documents with zero tokens are kept
+    (coverage 0.0), via a final left join against the id spine.
+
+    Returns ``(id, n_tokens, n_in_vocab, coverage)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(normalize_text(text_col), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("token"),
+    )
+    members = vocab.select("token").distinct().withColumn("__in", F.lit(1))
+    per = (
+        toks.join(F.broadcast(members), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__in"), F.lit(0))).cast("long").alias("n_in_vocab"),
+        )
+    )
+    spine = df.select(id_col)
+    return (
+        spine.join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_in_vocab", F.lit(0)).alias("n_in_vocab"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.coalesce("n_in_vocab", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(0.0).alias("coverage"),
         )
     )

@@ -3215,3 +3215,125 @@ def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return group_centroids(emb, "embedding", by=["label"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize + video frame sampling (stub codecs, real plumbing)
+# ---------------------------------------------------------------------------
+
+_MM_RESIZE_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 200 + 1 AS INT) AS w,
+         CAST(doc_id % 120 + 1 AS INT) AS h,
+         octet_length(encode(text)) AS plen
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w, h, plen,
+         LEAST(64.0 / w, 64.0 / h, 1.0) AS scale
+  FROM img
+),
+r AS (
+  SELECT doc_id, w, h, plen,
+         GREATEST(1, CAST(trunc(w * scale) AS INT)) AS ow,
+         GREATEST(1, CAST(trunc(h * scale) AS INT)) AS oh
+  FROM s
+)
+SELECT doc_id, w AS width, h AS height, ow AS out_width, oh AS out_height,
+       CAST(CASE WHEN plen = 0 THEN 0
+                 ELSE GREATEST(1, (plen * ow * oh) // (w * h)) END
+            + octet_length(encode('IMG1|' || ow || '|' || oh || '|')) AS BIGINT)
+         AS out_bytes
+FROM r
+"""
+
+
+@register("multimodal_resize_documents", _MM_RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        _mm.make_fake_image_blob(
+            F.col("text"), F.col("doc_id") % 200 + 1, F.col("doc_id") % 120 + 1
+        ).alias("blob"),
+    )
+    return _mm.resize_images(blobs, 64, 64).select(
+        "doc_id", "width", "height", "out_width", "out_height",
+        F.length("blob").cast("long").alias("out_bytes"),
+    )
+
+
+_MM_FRAMES_ORACLE = """
+WITH v AS (
+  SELECT doc_id, CAST(doc_id % 40 AS INT) AS n,
+         octet_length(encode(text)) AS plen
+  FROM documents
+)
+SELECT doc_id, n AS n_frames, CAST(i AS INT) AS frame_index,
+       CAST(GREATEST(0, LEAST(8, plen - i * 8)) AS INT) AS frame_size
+FROM v, UNNEST(generate_series(0, LEAST(n - 1, 21), 7)) AS u(i)
+WHERE n > 0
+"""
+
+
+@register("multimodal_frames_documents", _MM_FRAMES_ORACLE)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        _mm.make_fake_video_blob(
+            F.col("text"), F.col("doc_id") % 40, F.lit(8)
+        ).alias("blob"),
+    )
+    return _mm.sample_frames(blobs, every=7, max_frames=4).select(
+        "doc_id", "n_frames", "frame_index", "frame_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate (vocab = corpus top-50 tokens)
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS ({_RANK_TOKS_SQL}),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, token ASC LIMIT 50
+  )
+),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+       CASE WHEN COALESCE(n_tokens, 0) > 0
+            THEN CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS coverage
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("vocab_coverage_documents", _VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                _text.normalize_text("text"), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(50)
+        .select("token")
+    )
+    return _text.vocab_coverage(docs, vocab)

@@ -60,3 +60,74 @@ def test_sample_frame_indices(spark):
     assert rows[0]["idx"] == list(range(0, 100, 10))
     assert rows[1]["idx"] == [0]
     assert rows[2]["idx"] == []
+
+
+# ---------------------------------------------------------------------------
+# resize_images / sample_frames
+# ---------------------------------------------------------------------------
+
+
+def test_resize_images_fit_within(spark):
+    from spark_extension_spark.operators.multimodal import (
+        decode_images, make_fake_image_blob, resize_images)
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100, 200, 100), (2, "y" * 50, 10, 10), (3, "z" * 64, 64, 256)],
+        ["doc_id", "text", "w", "h"],
+    )
+    blobs = df.select(
+        "doc_id", make_fake_image_blob(F.col("text"), F.col("w"), F.col("h")).alias("blob")
+    )
+    out = {r["doc_id"]: r for r in resize_images(blobs, 64, 64).collect()}
+    # 200x100 -> scale 0.32 -> 64x32; payload shrinks by pixel ratio
+    assert (out[1]["out_width"], out[1]["out_height"]) == (64, 32)
+    # already fits: never upscaled, payload untouched
+    assert (out[2]["out_width"], out[2]["out_height"]) == (10, 10)
+    assert bytes(out[2]["blob"]).endswith(b"y" * 50)
+    # 64x256 -> scale 0.25 -> 16x64
+    assert (out[3]["out_width"], out[3]["out_height"]) == (16, 64)
+    # resized blobs chain straight into decode_images
+    decoded = {r["doc_id"]: r for r in decode_images(resize_images(blobs, 64, 64)).collect()}
+    assert decoded[1]["width"] == 64 and decoded[1]["height"] == 32
+    assert decoded[1]["payload_bytes"] == (100 * 64 * 32) // (200 * 100)
+
+
+def test_sample_frames_fan_out(spark):
+    from spark_extension_spark.operators.multimodal import (
+        make_fake_video_blob, sample_frames)
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 10, 25, 4), (2, "pq", 1, 2), (3, "", 0, 4)],
+        ["doc_id", "text", "n", "fb"],
+    )
+    blobs = df.select(
+        "doc_id",
+        make_fake_video_blob(F.col("text"), F.col("n"), F.col("fb")).alias("blob"),
+    )
+    rows = sample_frames(blobs, every=10, max_frames=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 25 frames, every 10th, cap 3 -> indices 0, 10, 20
+    assert sorted(r["frame_index"] for r in by_doc[1]) == [0, 10, 20]
+    f0 = next(r for r in by_doc[1] if r["frame_index"] == 0)
+    assert bytes(f0["frame"]) == b"abcd" and f0["frame_size"] == 4
+    # payload is 100 bytes = exactly 25 frames of 4: last frame is full
+    f20 = next(r for r in by_doc[1] if r["frame_index"] == 20)
+    assert f20["frame_size"] == 4
+    # doc 2: single short frame
+    assert [r["frame_index"] for r in by_doc[2]] == [0]
+    assert bytes(by_doc[2][0]["frame"]) == b"pq"
+    # doc 3: zero frames -> no rows
+    assert 3 not in by_doc
+
+
+def test_multimodal_stubs_reject_real_formats(spark):
+    import pytest as _pytest
+    from spark_extension_spark.operators.multimodal import resize_images, sample_frames
+
+    png = spark.createDataFrame([(1, bytearray(b"\x89PNG1234"))], ["doc_id", "blob"])
+    with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
+        resize_images(png, 8, 8).collect()
+    with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
+        sample_frames(png).collect()

@@ -331,3 +331,23 @@ def test_chunk_documents_validation(spark):
         chunk_documents(docs, 0)
     with pytest.raises(ValueError, match="overlap must be in"):
         chunk_documents(docs, 4, overlap=4)
+
+
+def test_vocab_coverage(spark):
+    from spark_extension_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz qqq"), (3, ""), (4, "THE Cat!")],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("mat",), ("the",)], ["token"]  # dup tolerated
+    )
+    got = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert got[1]["n_tokens"] == 6 and got[1]["n_in_vocab"] == 4
+    assert abs(got[1]["coverage"] - 4 / 6) < 1e-12
+    assert got[2]["n_in_vocab"] == 0 and got[2]["coverage"] == 0.0
+    # empty doc kept with zero coverage
+    assert got[3]["n_tokens"] == 0 and got[3]["coverage"] == 0.0
+    # normalization: case/punctuation insensitive
+    assert got[4]["n_tokens"] == 2 and got[4]["n_in_vocab"] == 2
