@@ -121,6 +121,15 @@ HEADLINE = [
     "kmv_overlap_orders_customer",
     "weighted_sample_documents",
     "ngram_containment_documents",
+    "paragraph_dedup_documents",
+    "interval_join_events",
+    "profile_orders",
+    "approx_quantiles_events",
+    "dedup_keep_best_documents",
+    "group_centroids_embeddings",
+    "multimodal_resize_documents",
+    "multimodal_frames_documents",
+    "vocab_coverage_documents",
 ]
 
 

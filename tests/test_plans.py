@@ -228,3 +228,50 @@ def test_hilbert_single_codegen_chain(spark):
     # no extra exchange beyond the tiny aggregate
     assert "BroadcastNestedLoopJoin" in plan.joins
     assert plan.read_columns() == [["event_id", "user_id"], ["event_id", "user_id"]]
+
+
+def test_paragraph_dedup_three_keyed_exchanges(spark):
+    plan = summarize_plan(QUERIES["paragraph_dedup_documents"](spark, SF))
+    # count agg (hash) + count join back (hash) + doc reassembly (hash):
+    # every exchange is keyed; no cartesian, no broadcast of the corpus
+    assert not plan.has_cartesian
+    # the paragraph stream branches (postings + counts): both scans pruned
+    assert all(cols == ["doc_id", "text"] for cols in plan.read_columns())
+
+
+def test_interval_join_equi_on_grid_cell(spark):
+    plan = summarize_plan(QUERIES["interval_join_events"](spark, SF))
+    # the overlap join is an equi-join on (user_id, cell): hash/merge
+    # (broadcast at toy scale via AQE), never a nested loop / cartesian
+    # over interval pairs
+    assert not plan.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in plan.joins
+    assert any(
+        j in plan.joins
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_profile_single_scan_single_aggregate(spark):
+    plan = summarize_plan(QUERIES["profile_orders"](spark, SF))
+    # every per-column statistic folds into ONE aggregate over ONE scan
+    assert plan.scans == 1
+    assert plan.joins == []
+
+
+def test_approx_quantiles_no_row_sort_no_bigjoin(spark):
+    from spark_extension_spark.plans import explain_text
+    df = QUERIES["approx_quantiles_events"](spark, SF)
+    plan = summarize_plan(df)
+    # range stats meet the facts in an equi-join keyed by event_type;
+    # the only window runs over <= groups x bins aggregated cells
+    assert not plan.has_cartesian
+    assert plan.read_columns() == [["event_type", "value"], ["event_type", "value"]]
+
+
+def test_group_centroids_broadcast_back(spark):
+    plan = summarize_plan(QUERIES["group_centroids_embeddings"](spark, SF))
+    # centroid arrays broadcast onto members; fact side never shuffles
+    # by anything wider than the group key
+    assert "BroadcastHashJoin" in plan.joins
+    assert not plan.has_cartesian
