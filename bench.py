@@ -130,6 +130,10 @@ HEADLINE = [
     "multimodal_resize_documents",
     "multimodal_frames_documents",
     "vocab_coverage_documents",
+    "dsir_weights_documents",
+    "dsir_select_documents",
+    "cluster_splits_documents",
+    "length_batches_documents",
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "near_dedup_against",
     "paragraph_dedup",
     "dedup_keep_best",
+    "leakage_safe_splits",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -859,3 +860,49 @@ def dedup_keep_best(
         "cluster_size",
     )
     return labeled.join(best_ids, ["cluster_id", id_col])
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: Optional[DataFrame] = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+    out: str = "split",
+    max_iterations: int = 50,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Train/validation/test assignment that near-duplicates can never
+    straddle: the frozen hash draw is keyed on the document's near-dup
+    *cluster id*, not its own id, so every member of a duplicate cluster
+    lands in the same split (the standard guard against train→test
+    leakage through paraphrased or boilerplate-shifted copies).
+
+    ``pairs`` is an (``id_a``, ``id_b``) near-duplicate edge list — pass
+    one from :func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`, or
+    an embedding-based generator; ``None`` derives n-gram Jaccard pairs
+    from ``df`` with the given ``n``/``threshold``.
+
+    Scale shape: the candidate generator is the bucketed inverted-index
+    join (never all-pairs), the cluster assignment is the same
+    min-label-propagation loop as :func:`near_dup_clusters`, and the
+    split draw itself is a pure projection — singleton documents skip
+    the join entirely via the ``COALESCE`` to their own id.  Output is
+    ``df`` plus ``cluster_id`` and ``out`` columns."""
+    from .sampling import assign_splits
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+            unpersist_handle=unpersist_handle,
+        ).select("id_a", "id_b")
+    clusters = near_dup_clusters(
+        pairs, max_iterations=max_iterations, unpersist_handle=unpersist_handle
+    ).withColumnRenamed("doc_id", id_col)
+    labeled = df.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return assign_splits(labeled, weights, id_col="cluster_id", seed=seed, out=out)

@@ -1,0 +1,321 @@
+"""Data selection via importance resampling (DSIR-style) and
+hashed-n-gram classifier scoring.
+
+At 100 TB you cannot afford a neural quality filter over every
+document; the published scalable alternative (Xie et al. 2023, "Data
+Selection for Language Models via Importance Resampling") scores each
+document under two bag-of-hashed-n-grams unigram models — a *target*
+(what you want more of) and a *source* (what the raw corpus looks
+like) — and resamples by the estimated importance weight
+``log w(x) = Σ_feature count · (ln p_target − ln p_source)``.
+The same arithmetic is the multinomial-Naive-Bayes log-odds score, so
+this module doubles as the classic closed-form quality classifier.
+
+Execution shape (what matters at scale):
+
+* Featurization is one ``regexp_extract_all`` + an array ``transform``
+  building word n-grams, hashed to ``buckets`` ids with the same
+  engine-portable md5-prefix trick as :mod:`sampling` — all JVM
+  column algebra, no UDF, no shuffle before the per-doc aggregate.
+* The fitted model is exactly ``buckets`` rows (every bucket gets a
+  smoothed log-ratio, absent features included) — a few KB that
+  **broadcasts** into the scoring join; the corpus never shuffles to
+  be scored.
+* Per-document sums run in DECIMAL(38,15): decimal addition is
+  order-independent, so scores are bit-reproducible across
+  partitionings and engines (the BM25/doc_logprob float-sum
+  discipline).
+* :func:`select_by_importance` turns scores into a without-replacement
+  sample with the Gumbel-top-k trick on a frozen md5 draw — fully
+  deterministic, partitioning-independent, and exactly replicable in
+  ANSI SQL for the oracle gate.
+
+The reference engine has no data-selection surface; this is
+beyond-parity functionality for LLM-corpus curation (SURVEY.md §2
+"training-data pipeline" extensions).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+__all__ = [
+    "hashed_gram_counts",
+    "importance_model",
+    "importance_weights",
+    "select_by_importance",
+    "hashed_grams_sql",
+    "importance_model_sql",
+]
+
+_TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def _col(c: Union[str, Column]) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def gram_bucket(gram: Union[str, Column], buckets: int, seed: int = 7) -> Column:
+    """Hash a feature string into ``[0, buckets)`` — first 8 hex chars
+    of ``md5(seed ':' gram)`` as an int64, mod ``buckets``.  Identical
+    in Spark and DuckDB (the :func:`sampling.hash_uniform` trick), so
+    oracle gates replicate it exactly."""
+    key = F.concat(F.lit(f"{int(seed)}:"), _col(gram))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (h % F.lit(int(buckets))).alias("bucket")
+
+
+def _gram_array(text: Union[str, Column], n_max: int) -> Column:
+    """Array of word n-grams (1..n_max) over the normalized text.
+    Unigrams come from one ``regexp_extract_all``; higher orders are
+    array ``transform``s over index sequences — a pure projection, no
+    explode until the caller needs rows."""
+    toks = F.regexp_extract_all(normalize_text(text), F.lit(_TOKEN_PATTERN), F.lit(0))
+    grams = toks
+    empty = F.array_remove(F.array(F.lit(1)), 1)  # [] — sequence(1,0) would DESCEND
+    for n in range(2, int(n_max) + 1):
+        # element_at is 1-based; i in 1..size-n+1 keeps i+n-1 in bounds
+        idx = F.when(
+            F.size(toks) >= F.lit(n),
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        ).otherwise(empty)
+        def make_gram(order: int):
+            return lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(order)]
+            )
+
+        parts = F.transform(idx, make_gram(n))
+        grams = F.concat(grams, parts)
+    return grams
+
+
+def hashed_gram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 2,
+    buckets: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, bucket, cnt) — hashed bag-of-n-grams counts per document.
+    One explode + one map-side-combined aggregate; shuffle volume is
+    per-document *distinct buckets* (≤ buckets), not text size."""
+    grams = df.select(
+        F.col(id_col), F.explode(_gram_array(text_col, n_max)).alias("__gram")
+    )
+    return (
+        grams.select(F.col(id_col), gram_bucket("__gram", buckets, seed))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def importance_model(
+    target: DataFrame,
+    source: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 2,
+    buckets: int = 4096,
+    seed: int = 7,
+    k: float = 1.0,
+) -> DataFrame:
+    """(bucket, logratio) over **every** bucket in ``[0, buckets)`` —
+    the add-``k`` smoothed DSIR importance model
+    ``ln((c_t + k)/(T_t + k·B)) − ln((c_s + k)/(T_s + k·B))``.
+
+    Two map-side-combined counts (one per corpus), totals from a 1-row
+    cross join, densified against a ``spark.range(buckets)`` frame so
+    unseen features carry the smoothed default explicitly (no silent
+    NULL semantics at score time).  The result is ``buckets`` rows —
+    broadcast it into :func:`importance_weights`."""
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        grams = df.select(F.explode(_gram_array(text_col, n_max)).alias("__gram"))
+        return (
+            grams.select(gram_bucket("__gram", buckets, seed))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    tgt = bucket_counts(target, "__ct")
+    src = bucket_counts(source, "__cs")
+    all_buckets = target.sparkSession.range(int(buckets)).select(
+        F.col("id").alias("bucket")
+    )
+    dense = (
+        all_buckets.join(tgt, "bucket", "left").join(src, "bucket", "left").select(
+            "bucket",
+            F.coalesce("__ct", F.lit(0)).cast("long").alias("__ct"),
+            F.coalesce("__cs", F.lit(0)).cast("long").alias("__cs"),
+        )
+    )
+    # integer sums: exact and order-independent (double partials are not)
+    totals = dense.agg(
+        F.sum("__ct").cast("double").alias("__tt"),
+        F.sum("__cs").cast("double").alias("__ts"),
+    )
+    kB = float(k) * float(buckets)
+    return dense.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("__ct") + F.lit(float(k))) / (F.col("__tt") + F.lit(kB)))
+            - F.log((F.col("__cs") + F.lit(float(k))) / (F.col("__ts") + F.lit(kB)))
+        ).alias("logratio"),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 2,
+    buckets: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, n_grams, logw) — per-document log importance weight
+    ``Σ_bucket cnt · logratio`` (equivalently the NB log-odds score).
+
+    ``model`` must come from :func:`importance_model` with the same
+    featurization parameters.  The join is **broadcast** (model is
+    ``buckets`` rows); the per-doc sum runs in DECIMAL(38,15) so the
+    score is independent of partial-aggregate order.  Documents with no
+    features score 0.0 with ``n_grams = 0`` (visible, not NULL)."""
+    counts = hashed_gram_counts(df, id_col, text_col, n_max, buckets, seed)
+    per_doc = (
+        counts.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(
+                (F.col("cnt").cast("double") * F.col("logratio")).cast(
+                    "decimal(38,15)"
+                )
+            ).alias("__s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce(F.col("__s").cast("double"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def select_by_importance(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+    seed: int = 123,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Sample ``n`` documents without replacement with probability
+    ∝ ``exp(logw / temperature)`` — the Gumbel-top-k trick: rank by
+    ``logw/τ + Gumbel(u)`` with ``u`` a frozen md5 draw, keep the top
+    ``n``.  Working in log space avoids ``exp(logw)`` overflow (the
+    reason this is not a thin wrapper over ``weighted_sample``).
+
+    Adds a ``gumbel_key`` column; deterministic for a given seed no
+    matter the partitioning.  The global top-n is a rank window over a
+    range-partitioned sort (Spark's TakeOrderedAndProject handles the
+    small-n case without a full sort)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from .sampling import hash_uniform
+
+    u = hash_uniform(_col(id_col), seed)
+    # u in [0,1); ln(-ln(u)) is finite except u=0 (md5 exact-zero:
+    # probability 2^-32 per seed — guarded to the draw's resolution)
+    safe_u = F.greatest(u, F.lit(2.0 ** -33))
+    key = _col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(safe_u))
+    keyed = weights.withColumn("gumbel_key", key)
+    w = Window.orderBy(F.col("gumbel_key").desc(), _col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lock-step DuckDB SQL builders (oracle gates)
+# ---------------------------------------------------------------------------
+
+
+def hashed_grams_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    n_max: int = 2,
+    buckets: int = 4096,
+    seed: int = 7,
+    where: str = "",
+) -> str:
+    """DuckDB query producing (id, bucket) one row per gram occurrence —
+    lock-step with :func:`hashed_gram_counts` before its aggregate."""
+    norm = (
+        f"trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g'))"
+    )
+    toks = f"regexp_extract_all({norm}, '[a-z0-9]+')"
+    gram_lists = ["t"]
+    for n in range(2, int(n_max) + 1):
+        joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        gram_lists.append(
+            f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {joined})"
+        )
+    grams = " || ".join(gram_lists)
+    return f"""
+SELECT {id_expr} AS id,
+       CAST(CONCAT('0x', substr(md5(CONCAT('{int(seed)}:', gram)), 1, 8)) AS BIGINT)
+         % {int(buckets)} AS bucket
+FROM (SELECT {id_expr}, unnest({grams}) AS gram
+      FROM (SELECT {id_expr}, {toks} AS t FROM {table} {where}) base_toks) exploded
+"""
+
+
+def importance_model_sql(
+    target_where: str,
+    n_max: int = 2,
+    buckets: int = 4096,
+    seed: int = 7,
+    k: float = 1.0,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB CTE body (``model AS (...)`` payload) computing
+    :func:`importance_model` where target = ``table WHERE target_where``
+    and source = the whole ``table``."""
+    tgt = hashed_grams_sql(table, id_expr, text_expr, n_max, buckets, seed, f"WHERE {target_where}")
+    src = hashed_grams_sql(table, id_expr, text_expr, n_max, buckets, seed)
+    kB = float(k) * float(buckets)
+    return f"""
+tgt AS (SELECT bucket, COUNT(*) AS ct FROM ({tgt}) GROUP BY 1),
+src AS (SELECT bucket, COUNT(*) AS cs FROM ({src}) GROUP BY 1),
+dense AS (
+  SELECT r.range AS bucket,
+         COALESCE(tgt.ct, 0) AS ct,
+         COALESCE(src.cs, 0) AS cs
+  FROM range(0, {int(buckets)}) r
+  LEFT JOIN tgt ON tgt.bucket = r.range
+  LEFT JOIN src ON src.bucket = r.range
+),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cs) AS DOUBLE) AS ts FROM dense),
+model AS (
+  SELECT bucket,
+         ln((ct + {float(k)!r}) / (tt + {kB!r}))
+           - ln((cs + {float(k)!r}) / (ts + {kB!r})) AS logratio
+  FROM dense CROSS JOIN tot
+)
+"""

@@ -28,7 +28,12 @@ from pyspark.storagelevel import StorageLevel
 
 from ..utils import UnpersistHandle, backticks, distinct_prefix_for
 
-__all__ = ["with_running_total", "pack_blocks"]
+__all__ = [
+    "with_running_total",
+    "pack_blocks",
+    "length_batches",
+    "padding_report",
+]
 
 
 def _cols(cols: Sequence[Union[str, Column]]):
@@ -153,4 +158,79 @@ def pack_blocks(
             ),
         )
         .drop(cum)
+    )
+
+
+def length_batches(
+    df: DataFrame,
+    length_col: Union[str, Column],
+    batch_size: int,
+    id_col: Union[str, Column, None] = None,
+    descending: bool = True,
+    out: str = "batch_id",
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Padding-efficient batch assignment: order sequences by length
+    (longest-first by default) and cut the stream every ``batch_size``
+    rows, so each batch holds near-equal-length sequences and pads to
+    its own max instead of the corpus max — the standard
+    length-bucketing trick for transformer fine-tuning / inference.
+
+    Adds ``out`` (0-based batch index).  ``id_col`` breaks length ties
+    deterministically (always pass one for reproducible batches).
+
+    The global ordering uses the reference's 5-step row-number
+    algorithm (``with_row_numbers`` — range-sort, per-partition
+    windows, a ≤ #partitions prefix sum, broadcast offsets), never a
+    single-partition window, so the assignment scales to corpus-sized
+    inputs.  See :func:`padding_report` for the per-batch waste audit.
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    from .row_numbers import with_row_numbers
+
+    length = _cols([length_col])[0].cast("long")
+    order = [length.desc() if descending else length.asc()]
+    if id_col is not None:
+        order.append(_cols([id_col])[0].asc())
+    rn = "__lb_row_number"
+    numbered = with_row_numbers(
+        df,
+        row_number_column_name=rn,
+        order=order,
+        storage_level=storage_level,
+        unpersist_handle=unpersist_handle,
+    )
+    return numbered.withColumn(
+        out, ((F.col(rn) - 1) / F.lit(int(batch_size))).cast("long")
+    ).drop(rn)
+
+
+def padding_report(
+    assigned: DataFrame,
+    length_col: Union[str, Column],
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Per-batch padding audit over a :func:`length_batches` assignment:
+    (batch, ``n_seqs``, ``max_len``, ``sum_len``, ``padded_tokens``,
+    ``pad_frac``).  ``pad_frac`` is the fraction of the padded tensor
+    that is padding — the number length-bucketing exists to minimize.
+    One map-side-combined aggregate; integer arithmetic until the final
+    ratio, so the report is exact and engine-reproducible."""
+    length = _cols([length_col])[0].cast("long")
+    agg = assigned.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.max(length).alias("max_len"),
+        F.sum(length).alias("sum_len"),
+    )
+    padded = F.col("max_len") * F.col("n_seqs") - F.col("sum_len")
+    total = (F.col("max_len") * F.col("n_seqs")).cast("double")
+    return agg.select(
+        batch_col,
+        "n_seqs",
+        "max_len",
+        "sum_len",
+        padded.alias("padded_tokens"),
+        (padded.cast("double") / total).alias("pad_frac"),
     )

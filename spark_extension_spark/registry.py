@@ -3337,3 +3337,155 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
     )
     return _text.vocab_coverage(docs, vocab)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting + Gumbel-top-k selection
+# ---------------------------------------------------------------------------
+
+from .operators.importance import (  # noqa: E402
+    hashed_grams_sql as _hashed_grams_sql,
+    importance_model_sql as _importance_model_sql,
+)
+
+_DSIR_B, _DSIR_N, _DSIR_SEED, _DSIR_K = 512, 2, 7, 1.0
+
+_DSIR_WEIGHTS_BODY = f"""{_importance_model_sql("lang = 'en'", _DSIR_N, _DSIR_B, _DSIR_SEED, _DSIR_K)},
+counts AS (
+  SELECT id AS doc_id, bucket, COUNT(*) AS cnt
+  FROM ({_hashed_grams_sql("documents", "doc_id", "text", _DSIR_N, _DSIR_B, _DSIR_SEED)}) g
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, SUM(cnt) AS n_grams,
+         SUM(CAST(CAST(cnt AS DOUBLE) * logratio AS DECIMAL(38,15))) AS s
+  FROM counts JOIN model USING (bucket) GROUP BY 1
+),
+wts AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+         COALESCE(CAST(per.s AS DOUBLE), 0.0) AS logw
+  FROM documents d LEFT JOIN per USING (doc_id)
+)"""
+
+_DSIR_WEIGHTS_ORACLE = f"WITH {_DSIR_WEIGHTS_BODY}\nSELECT doc_id, n_grams, logw FROM wts"
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.importance import importance_model, importance_weights
+
+    docs = load(spark, sf_dir, "documents")
+    model = importance_model(
+        docs.filter(F.col("lang") == "en"), docs,
+        n_max=_DSIR_N, buckets=_DSIR_B, seed=_DSIR_SEED, k=_DSIR_K,
+    )
+    return importance_weights(
+        docs, model, n_max=_DSIR_N, buckets=_DSIR_B, seed=_DSIR_SEED
+    )
+
+
+@register("dsir_weights_documents", _DSIR_WEIGHTS_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights(spark, sf_dir)
+
+
+# Gumbel-top-k in lock-step with select_by_importance(seed=123, tau=1):
+# key = logw - ln(-ln(greatest(u, 2^-33)))
+from .operators.sampling import hash_uniform_sql as _hash_uniform_sql  # noqa: E402
+
+_DSIR_SELECT_ORACLE = f"""WITH {_DSIR_WEIGHTS_BODY},
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+         logw - ln(-ln(greatest({_hash_uniform_sql("doc_id", 123)}, {2.0 ** -33!r}))) AS gumbel_key
+  FROM wts
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT doc_id, n_grams, logw, gumbel_key FROM ranked WHERE rn <= 100
+"""
+
+
+@register("dsir_select_documents", _DSIR_SELECT_ORACLE)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.importance import select_by_importance
+
+    return select_by_importance(_dsir_weights(spark, sf_dir), 100, seed=123)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits — near-dup clusters share one split assignment
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import assign_splits_sql as _assign_splits_sql  # noqa: E402
+
+_CLUSTER_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_CLUSTER_SPLITS_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+labeled AS (
+  SELECT c.doc_id, COALESCE(cl.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN clusters cl ON cl.id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       {_assign_splits_sql("cluster_id", _CLUSTER_SPLIT_WEIGHTS, 42)} AS split
+FROM labeled
+"""
+
+
+@register("cluster_splits_documents", _CLUSTER_SPLITS_ORACLE)
+def q_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import leakage_safe_splits
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return leakage_safe_splits(
+        docs, _CLUSTER_SPLIT_WEIGHTS, n=3, threshold=0.6, seed=42
+    ).select("doc_id", "cluster_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching + padding audit
+# ---------------------------------------------------------------------------
+
+_LENGTH_BATCHES_ORACLE = """
+WITH numbered AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(floor((rn - 1) / 64) AS BIGINT) AS batch_id
+  FROM numbered
+)
+SELECT batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       MAX(n_chars) AS max_len,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+       CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS BIGINT) AS padded_tokens,
+       CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS DOUBLE)
+         / CAST(MAX(n_chars) * COUNT(*) AS DOUBLE) AS pad_frac
+FROM assigned GROUP BY batch_id
+"""
+
+
+@register("length_batches_documents", _LENGTH_BATCHES_ORACLE)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import length_batches, padding_report
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = length_batches(docs, "n_chars", 64, id_col="doc_id")
+    return padding_report(assigned, "n_chars")

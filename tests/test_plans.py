@@ -275,3 +275,28 @@ def test_group_centroids_broadcast_back(spark):
     # by anything wider than the group key
     assert "BroadcastHashJoin" in plan.joins
     assert not plan.has_cartesian
+
+
+def test_dsir_weights_model_join_is_broadcast(spark):
+    plan = summarize_plan(QUERIES["dsir_weights_documents"](spark, SF))
+    # the buckets-row model table must broadcast into the scoring join;
+    # the corpus side is never re-shuffled to be scored
+    assert "BroadcastHashJoin" in plan.joins
+    assert not plan.has_cartesian
+
+
+def test_length_batches_no_single_partition_window(spark):
+    from spark_extension_spark.plans import explain_text
+    from spark_extension_spark.operators.packing import length_batches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+    assigned = length_batches(docs, "n_chars", 64, id_col="doc_id")
+    txt = explain_text(assigned)
+    # the 5-step row-number algorithm: the data side sorts via a range
+    # exchange (parallel), and the per-partition offsets (<= #partitions
+    # rows — the only serial step) come back through a broadcast join;
+    # the full data must never collapse into one partition for a window
+    assert "rangepartitioning" in txt.lower()
+    plan = summarize_plan(assigned)
+    assert "BroadcastHashJoin" in plan.joins
+    assert not plan.has_cartesian
