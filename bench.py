@@ -134,6 +134,12 @@ HEADLINE = [
     "dsir_select_documents",
     "cluster_splits_documents",
     "length_batches_documents",
+    "winnow_fingerprints_documents",
+    "interleave_mix_documents",
+    "repeat_upsample_documents",
+    "check_constraints_orders",
+    "psi_report_events",
+    "winnow_overlap_documents",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..utils import UnpersistHandle
@@ -42,6 +42,8 @@ __all__ = [
     "paragraph_dedup",
     "dedup_keep_best",
     "leakage_safe_splits",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -906,3 +908,163 @@ def leakage_safe_splits(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )
     return assign_splits(labeled, weights, id_col="cluster_id", seed=seed, out=out)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-gram, slide a
+    ``window`` over consecutive k-gram hashes, and keep the minimum of
+    each window (rightmost on ties).  The selected (position, hash)
+    set is a compact, position-aware sketch with a guarantee: any
+    shared substring of at least ``window + k - 1`` tokens produces at
+    least one shared fingerprint — substring-level copy detection that
+    whole-document MinHash cannot give.
+
+    Returns (``id``, ``pos``, ``hash``) — ``pos`` is the 0-based token
+    index of the selected k-gram, ``hash`` its 31-bit k-gram hash.
+    Joining two corpora's fingerprints on ``hash`` yields candidate
+    plagiarism/overlap spans, each verifiable by comparing the k-grams
+    at the recorded positions.
+
+    Scale shape: tokenize + k-gram + hash is a pure projection; the
+    sliding-window minimum is ONE trailing window per document (one
+    hash-partition exchange on the id, no self-join); the (hash, -pos)
+    tie-break is packed into a single int64 key so the windowed ``min``
+    stays a primitive aggregate.  Documents with fewer than ``window``
+    k-grams yield the minimum over what exists (≥ 1 fingerprint for
+    any document with ≥ ``k`` tokens) — no document silently drops."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    toks = F.regexp_extract_all(
+        normalize_text(text_col), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    # k-gram at position i (0-based): tokens i..i+k-1, space-joined
+    empty = F.array_remove(F.array(F.lit(1)), 1)
+    idx = F.when(
+        F.size(F.col("__t")) >= F.lit(k),
+        F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(k - 1)),
+    ).otherwise(empty)
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("__t"), i + F.lit(j)) for j in range(k)]
+                ),
+            )
+        ).alias("pos", "__g"),
+    )
+    # 31-bit gram hash; key packs (hash, -pos) into one int64 so a plain
+    # windowed MIN implements "smallest hash, rightmost position on ties"
+    h31 = (
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+        % F.lit(2147483648)
+    )
+    keyed = grams.select(
+        "id",
+        "pos",
+        (h31 * F.lit(2147483648) + (F.lit(2147483647) - F.col("pos"))).alias("__key"),
+    )
+    w_min = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    w_doc = Window.partitionBy("id")
+    windowed = keyed.select(
+        "id",
+        "pos",
+        F.min("__key").over(w_min).alias("__m"),
+        F.max("pos").over(w_doc).alias("__maxp"),
+    )
+    # full windows start at pos = window-1; short documents keep their
+    # final (partial) window so every document retains >= 1 fingerprint
+    selected = windowed.filter(
+        (F.col("pos") >= F.lit(window - 1)) | (F.col("pos") == F.col("__maxp"))
+    )
+    return (
+        selected.select(
+            "id",
+            (F.lit(2147483647) - (F.col("__m") % F.lit(2147483648))).alias("pos"),
+            # integer unpack: a double division would round (keys use 62
+            # bits, doubles carry 53)
+            F.shiftright(F.col("__m"), 31).alias("hash"),
+        )
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def winnow_overlap_pairs(
+    fp: DataFrame,
+    fp_other: Optional[DataFrame] = None,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_hash_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """Candidate copied-span pairs from :func:`winnow_fingerprints`
+    output: documents sharing ``min_shared``-or-more winnowed
+    fingerprints, with the containment-style score
+    ``overlap = shared / min(size_a, size_b)``.  One call with a single
+    fingerprint set finds within-corpus copies (``id_a < id_b``); pass
+    ``fp_other`` to screen one corpus against another (benchmark
+    contamination, licensed-text detection) — then ``id_a`` comes from
+    ``fp`` and ``id_b`` from ``fp_other``, all pairs.
+
+    Scale shape: the same inverted-index discipline as every candidate
+    generator here — documents only meet through a shared fingerprint
+    hash (equi-join), never all-pairs; ``max_hash_freq`` drops
+    boilerplate fingerprints shared by more documents than the cap
+    (stop-fingerprints) before the join, bounding fan-out.  Fingerprint
+    sets are ~2/(window+1) of k-gram count per doc, so the postings are
+    a small fraction of token volume."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    self_join = fp_other is None
+    right_src = fp if self_join else fp_other
+
+    left = fp.select(F.col(id_col).alias("id_a"), "hash").distinct()
+    right = right_src.select(F.col(id_col).alias("id_b"), "hash").distinct()
+
+    if max_hash_freq is not None:
+        freq = (
+            left.select("hash").unionAll(right.select("hash"))
+            .groupBy("hash")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") <= max_hash_freq)
+            .select("hash")
+        )
+        left = left.join(freq, "hash", "left_semi")
+        right = right.join(freq, "hash", "left_semi")
+
+    sizes_a = left.groupBy("id_a").agg(F.count(F.lit(1)).alias("size_a"))
+    sizes_b = right.groupBy("id_b").agg(F.count(F.lit(1)).alias("size_b"))
+
+    joined = left.join(right, "hash")
+    if self_join:
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+    shared = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+    return (
+        shared.where(F.col("shared") >= min_shared)
+        .join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "size_a",
+            "size_b",
+            (
+                F.col("shared").cast("double")
+                / F.least("size_a", "size_b").cast("double")
+            ).alias("overlap"),
+        )
+    )

@@ -19,10 +19,10 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile"]
+__all__ = ["profile", "check_constraints", "psi_report"]
 
 
 def profile(
@@ -61,4 +61,118 @@ def profile(
     )
     return one.select(F.col("__n").alias("n_rows"), F.expr(stack)).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+def check_constraints(df: DataFrame, rules) -> DataFrame:
+    """Declarative data-expectation checking (dbt-test / Deequ-style):
+    ``rules`` maps rule name → boolean Column; returns one row per rule
+    with ``(rule, n_rows, n_violations, violation_frac)``.  A NULL
+    predicate counts as a violation (unknown is not a pass) — the
+    strictness audits want.
+
+    Like :func:`profile`, ALL rules evaluate in ONE map-side-combined
+    aggregate over a single scan (no per-rule jobs), then a ``stack``
+    unpivot over the one-row result.  Constraint checking at 100 TB
+    costs one pass regardless of rule count."""
+    if not rules:
+        raise ValueError("rules must not be empty")
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            F.when(F.coalesce(rules[name].cast("boolean"), F.lit(False)), 0).otherwise(1)
+        ).alias(f"__v_{i}")
+        for i, name in enumerate(names)
+    ]
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        # rule names are caller-chosen: escape quotes for the stack expr
+        "'" + name.replace("'", "\\'") + "'" + f", __v_{i}" for i, name in enumerate(names)
+    )
+    return one.select(
+        F.expr(f"stack({len(names)}, {pairs}) as (rule, n_violations)"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations").cast("double") / F.col("n_rows").cast("double")).alias(
+            "violation_frac"
+        ),
+    )
+
+
+def psi_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift alarm between corpus versions / time
+    windows: ``PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b)`` over a fixed
+    ``[lo, hi)`` grid (plus underflow/overflow bins, so no value is
+    silently dropped).  Rule of thumb: < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted.
+
+    Returns one row per bin (``bin``, ``n_a``, ``n_b``, ``p_a``,
+    ``p_b``, ``psi_term``) — ``SUM(psi_term)`` is the index; keeping
+    per-bin terms makes the alarm diagnosable (*which* part of the
+    distribution moved).  ``smoothing`` is the add-count keeping empty
+    bins finite (Laplace, applied to BOTH sides).
+
+    Scale shape: one map-side-combined count aggregate per side (bins
+    rows each), densified against a ``range(bins+2)`` spine, pure
+    arithmetic after — the snapshots are scanned once each and never
+    joined row-to-row.  NULL values land in the underflow bin."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    width = (float(hi) - float(lo)) / int(bins)
+
+    def bucket(df: DataFrame) -> Column:
+        v = F.col(value_col).cast("double")
+        raw = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+        return (
+            F.when(v.isNull() | (raw < 0), F.lit(-1))
+            .when(raw >= int(bins), F.lit(int(bins)))
+            .otherwise(raw)
+            + F.lit(1)  # shift to 0..bins+1 (0 = underflow, bins+1 = overflow)
+        )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return df.select(bucket(df).alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    spine = a.sparkSession.range(int(bins) + 2).select(F.col("id").alias("bin"))
+    dense = (
+        spine.join(counts(a, "n_a"), "bin", "left")
+        .join(counts(b, "n_b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    totals = dense.agg(
+        F.sum("n_a").cast("double").alias("__ta"),
+        F.sum("n_b").cast("double").alias("__tb"),
+    )
+    s = float(smoothing)
+    nb = float(bins + 2)
+    with_t = dense.crossJoin(F.broadcast(totals))
+    p_a = (F.col("n_a") + F.lit(s)) / (F.col("__ta") + F.lit(s * nb))
+    p_b = (F.col("n_b") + F.lit(s)) / (F.col("__tb") + F.lit(s * nb))
+    return with_t.select(
+        "bin",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("psi_term"),
     )

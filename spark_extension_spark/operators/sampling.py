@@ -40,6 +40,9 @@ __all__ = [
     "top_per_group",
     "weighted_sample",
     "top_per_group_sql",
+    "interleave_by_mix",
+    "interleave_by_mix_sql",
+    "repeat_upsample",
 ]
 
 _TWO_32 = float(2**32)
@@ -456,3 +459,128 @@ def weighted_sample(
         .where(F.col("__rn") <= k)
         .drop("__priority", "__rn")
     )
+
+
+def interleave_by_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: Dict[str, float],
+    id_col: Union[str, Column],
+    seed: int = 42,
+    out: str = "interleave_key",
+) -> DataFrame:
+    """Deterministic training-order interleaving: a global ordering in
+    which every prefix contains each source in (approximately) its
+    target proportion — stride scheduling applied to data mixing.
+    Sorting by ``out`` yields a stream where a source with share ``w``
+    appears once every ``1/w`` positions, instead of the
+    source-clumped order a plain sort or union produces.
+
+    Each row gets a frozen within-source rank ``r`` (md5 draw keyed on
+    ``id_col`` — reproducible, partitioning-independent) and the key
+    ``(r − 0.5) · (Σweights / w_source)`` — the classic stride formula:
+    merging all sources by key interleaves them at their target rates
+    from the very first row (no epoch boundary, no RNG state).
+
+    Rows whose source has no entry in ``weights`` get a NULL key —
+    visible, never silently dropped.  One hash-partition exchange on
+    the source (the rank window); the sort by ``out`` is wherever the
+    consumer puts it (e.g. a range-partitioned write).
+
+    Adds ``src_rank`` and ``out``."""
+    if not weights:
+        raise ValueError("weights must not be empty")
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    u = hash_uniform(id_col, seed)
+    w_rank = Window.partitionBy(source_col).orderBy(u.asc(), _col(id_col).asc())
+    ranked = df.withColumn("src_rank", F.row_number().over(w_rank))
+    # per-source stride as a Python-computed literal: identical float in
+    # Spark and any SQL oracle (no engine-side division ordering issues)
+    expr: Column = F.lit(None).cast("double")
+    for name, w in weights.items():
+        stride = total / float(w)
+        expr = F.when(F.col(source_col) == name, F.lit(stride)).otherwise(expr)
+    return ranked.withColumn(
+        out, (F.col("src_rank").cast("double") - F.lit(0.5)) * expr
+    )
+
+
+def interleave_by_mix_sql(
+    table_or_subquery: str,
+    source_expr: str,
+    weights: Dict[str, float],
+    id_expr: str,
+    seed: int = 42,
+) -> str:
+    """DuckDB query in lock-step with :func:`interleave_by_mix`."""
+    total = float(sum(weights.values()))
+    u = hash_uniform_sql(id_expr, seed)
+    branches = " ".join(
+        f"WHEN {source_expr} = '{name}' THEN {total / float(w)!r}"
+        for name, w in weights.items()
+    )
+    return f"""
+SELECT *,
+       (CAST(src_rank AS DOUBLE) - 0.5)
+         * (CASE {branches} ELSE NULL END) AS interleave_key
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY {source_expr} ORDER BY {u} ASC, {id_expr} ASC
+         ) AS src_rank
+  FROM {table_or_subquery}
+)
+"""
+
+
+def repeat_upsample(
+    df: DataFrame,
+    rate,
+    id_col: Union[str, Column],
+    strata_col: Union[str, Column, None] = None,
+    seed: int = 42,
+    out: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch upsampling: materialize each row
+    ``floor(rate)`` times plus one more with probability
+    ``rate − floor(rate)`` — how mixture training realizes "2.4 epochs
+    of Wikipedia" deterministically.  ``rate`` is a float applied to
+    every row, or a ``{stratum: rate}`` dict with ``strata_col``
+    (strata absent from the dict are dropped — same contract as
+    :func:`resample_to_mix`).  Rates below 1 degrade to the plain
+    Bernoulli keep.
+
+    The fractional draw is the frozen md5 draw, so the expanded corpus
+    is reproducible and partitioning-independent; ``out`` numbers each
+    copy 0..n−1 (distinct copies stay distinguishable downstream, e.g.
+    for :func:`deterministic_shuffle`).
+
+    Scale shape: a pure projection (rate lookup + draw) followed by one
+    ``posexplode`` — no join, no shuffle; output size is exactly
+    Σ n_i."""
+    if isinstance(rate, dict):
+        if strata_col is None:
+            raise ValueError("strata_col is required when rate is a dict")
+        if not rate:
+            raise ValueError("rate dict must not be empty")
+        strata = _col(strata_col)
+        r: Column = F.lit(None).cast("double")
+        for value, item in rate.items():
+            if float(item) < 0:
+                raise ValueError(f"rates must be >= 0, got {item!r} for {value!r}")
+            r = F.when(strata == F.lit(value), F.lit(float(item))).otherwise(r)
+    else:
+        if float(rate) < 0:
+            raise ValueError(f"rate must be >= 0, got {rate!r}")
+        r = F.lit(float(rate))
+    whole = F.floor(r).cast("long")
+    frac = r - F.floor(r)
+    extra = (hash_uniform(id_col, seed) < frac).cast("long")
+    n = (whole + extra).alias("__n")
+    # sequence(1, 0) would DESCEND — guard empties explicitly; explode of
+    # an empty array drops the row (that's the rate<1 keep semantics),
+    # and a NULL rate (stratum not in the dict) drops the row the same way
+    empty = F.array_remove(F.array(F.lit(1)), 1)
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty)
+    return df.select("*", F.posexplode(copies).alias(out, "__copy")).drop("__copy")

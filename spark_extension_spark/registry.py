@@ -3489,3 +3489,266 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     assigned = length_batches(docs, "n_chars", 64, id_col="doc_id")
     return padding_report(assigned, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS) — substring-level copy detection sketch
+# ---------------------------------------------------------------------------
+
+_WINNOW_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         (CAST(CONCAT('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS BIGINT)
+           % 2147483648) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+keyed AS (
+  SELECT doc_id, pos, h * 2147483648 + (2147483647 - pos) AS key FROM grams
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+         MAX(pos) OVER (PARTITION BY doc_id) AS maxp
+  FROM keyed
+)
+SELECT DISTINCT doc_id,
+       2147483647 - (m % 2147483648) AS pos,
+       m // 2147483648 AS hash
+FROM win
+WHERE pos >= 3 OR pos = maxp
+"""
+
+
+@register("winnow_fingerprints_documents", _WINNOW_ORACLE)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, k=3, window=4)
+
+
+# ---------------------------------------------------------------------------
+# stride-scheduled source interleaving (deterministic data-mix ordering)
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import interleave_by_mix_sql as _interleave_sql  # noqa: E402
+
+# heavier share for the even-numbered sources: exercises unequal strides
+_INTERLEAVE_WEIGHTS = {
+    f"src{i}": (3.0 if i % 2 == 0 else 1.0) for i in range(20)
+}
+
+_INTERLEAVE_ORACLE = (
+    "SELECT doc_id, source, src_rank, interleave_key FROM ("
+    + _interleave_sql("documents", "source", _INTERLEAVE_WEIGHTS, "doc_id", seed=42)
+    + ") q"
+)
+
+
+@register("interleave_mix_documents", _INTERLEAVE_ORACLE)
+def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import interleave_by_mix
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_by_mix(docs, "source", _INTERLEAVE_WEIGHTS, "doc_id", seed=42)
+
+
+# ---------------------------------------------------------------------------
+# fractional-epoch upsampling (mixture training realization)
+# ---------------------------------------------------------------------------
+
+_UPSAMPLE_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.5}
+
+_REPEAT_UPSAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src0' THEN 2.5
+              WHEN source = 'src1' THEN 1.0
+              WHEN source = 'src2' THEN 0.5
+              ELSE NULL END AS r,
+         {_hash_uniform_sql("doc_id", 42)} AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(r) AS BIGINT)
+           + (CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END) AS n
+  FROM base WHERE r IS NOT NULL
+)
+SELECT doc_id, source, i - 1 AS epoch
+FROM n, UNNEST(generate_series(1, n)) AS t(i)
+"""
+
+
+@register("repeat_upsample_documents", _REPEAT_UPSAMPLE_ORACLE)
+def q_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import repeat_upsample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return repeat_upsample(docs, _UPSAMPLE_RATES, "doc_id", strata_col="source").select(
+        "doc_id", "source", "epoch"
+    )
+
+
+# ---------------------------------------------------------------------------
+# declarative constraint checking (single-pass expectations)
+# ---------------------------------------------------------------------------
+
+_CONSTRAINTS_ORACLE = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(SUM(CASE WHEN NOT COALESCE(length(o_orderpriority) > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice < 200000, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4
+  FROM orders
+)
+SELECT 'totalprice_positive' AS rule, n AS n_rows, v0 AS n_violations, CAST(v0 AS DOUBLE)/CAST(n AS DOUBLE) AS violation_frac FROM agg
+UNION ALL SELECT 'custkey_not_null', n, v1, CAST(v1 AS DOUBLE)/CAST(n AS DOUBLE) FROM agg
+UNION ALL SELECT 'status_known', n, v2, CAST(v2 AS DOUBLE)/CAST(n AS DOUBLE) FROM agg
+UNION ALL SELECT 'priority_nonempty', n, v3, CAST(v3 AS DOUBLE)/CAST(n AS DOUBLE) FROM agg
+UNION ALL SELECT 'totalprice_under_200k', n, v4, CAST(v4 AS DOUBLE)/CAST(n AS DOUBLE) FROM agg
+"""
+
+
+@register("check_constraints_orders", _CONSTRAINTS_ORACLE)
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import check_constraints
+
+    orders = load(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_nonempty": F.length("o_orderpriority") > 0,
+            "totalprice_under_200k": F.col("o_totalprice") < 200000,
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift report between two event populations
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH ca AS (
+  SELECT (CASE WHEN value IS NULL OR CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) < 0 THEN -1
+               WHEN CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) >= 10 THEN 10
+               ELSE CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) END) + 1 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_a
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+cb AS (
+  SELECT (CASE WHEN value IS NULL OR CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) < 0 THEN -1
+               WHEN CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) >= 10 THEN 10
+               ELSE CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) END) + 1 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+dense AS (
+  SELECT r.range AS bin, COALESCE(ca.n_a, 0) AS n_a, COALESCE(cb.n_b, 0) AS n_b
+  FROM range(0, 12) r
+  LEFT JOIN ca ON ca.bin = r.range
+  LEFT JOIN cb ON cb.bin = r.range
+),
+tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb FROM dense)
+SELECT bin, n_a, n_b,
+       (n_a + 0.5) / (ta + 6.0) AS p_a,
+       (n_b + 0.5) / (tb + 6.0) AS p_b,
+       ((n_a + 0.5) / (ta + 6.0) - (n_b + 0.5) / (tb + 6.0))
+         * (ln((n_a + 0.5) / (ta + 6.0)) - ln((n_b + 0.5) / (tb + 6.0))) AS psi_term
+FROM dense CROSS JOIN tot
+"""
+
+
+@register("psi_report_events", _PSI_ORACLE)
+def q_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import psi_report
+
+    ev = load(spark, sf_dir, "events")
+    return psi_report(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        lo=0.0,
+        hi=400.0,
+        bins=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing overlap pairs (substring-copy candidates)
+# ---------------------------------------------------------------------------
+
+_WINNOW_NEAR_DUPS = f"""
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+') AS t
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         (CAST(CONCAT('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS BIGINT)
+           % 2147483648) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+keyed AS (
+  SELECT doc_id, pos, h * 2147483648 + (2147483647 - pos) AS key FROM grams
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+         MAX(pos) OVER (PARTITION BY doc_id) AS maxp
+  FROM keyed
+),
+fp AS (
+  SELECT DISTINCT doc_id, m // 2147483648 AS hash
+  FROM win WHERE pos >= 3 OR pos = maxp
+),
+freq AS (
+  SELECT hash FROM (
+    SELECT hash, COUNT(*) AS f
+    FROM (SELECT * FROM fp UNION ALL SELECT * FROM fp) GROUP BY hash
+  ) WHERE f <= 1000
+),
+kept AS (SELECT fp.doc_id, fp.hash FROM fp JOIN freq USING (hash)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM kept GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM kept a JOIN kept b USING (hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+_WINNOW_OVERLAP_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUPS_SQL}),
+{_WINNOW_NEAR_DUPS}
+"""
+
+
+@register("winnow_overlap_documents", _WINNOW_OVERLAP_ORACLE)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    fp = winnow_fingerprints(docs, k=3, window=4)
+    return winnow_overlap_pairs(fp, min_shared=2)

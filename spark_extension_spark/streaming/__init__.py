@@ -23,6 +23,7 @@ __all__ = [
     "streaming_histogram",
     "streaming_quality_monitor",
     "streaming_rolling_counts",
+    "streaming_running_stats",
     "streaming_sessionize",
     "foreach_batch_diff",
 ]
@@ -216,3 +217,82 @@ def foreach_batch_diff(
         on_batch(differ.diff(batch_df, reference, list(id_columns)), batch_id)
 
     return stream.writeStream.foreachBatch(process)
+
+
+def streaming_running_stats(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: exact
+    per-key running statistics (count / sum / min / max) maintained in
+    managed GroupState across micro-batches — the pattern for stateful
+    logic that native watermarked windows cannot express (cross-window
+    lifetime totals, per-entity accumulators).
+
+    Each micro-batch emits one updated row per key seen in the batch
+    (output mode ``update``).  State is one fixed-size tuple per key —
+    bounded by cardinality, not stream length — and Spark checkpoints
+    it, so the operator restarts exactly.  The kernel is Arrow-batched
+    (pandas per group-batch), never row-at-a-time.
+
+    The running ``total`` is a float accumulated in arrival order —
+    inherent to any incremental streaming sum; counts/min/max are
+    exact."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmin", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmin", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, total, vmin, vmax = state.get
+        else:
+            n, total, vmin, vmax = 0, 0.0, None, None
+        for pdf in pdfs:
+            vals = pdf[value_col].astype("float64")
+            if len(vals) == 0:
+                continue
+            n += int(len(vals))
+            total += float(vals.sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "total": [total],
+                "vmin": [vmin],
+                "vmax": [vmax],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -388,3 +388,134 @@ def test_dedup_keep_best_self_computed_pairs(spark, docs):
     # survives -- 1 and 3 tie on content length but 2 has the extra dot
     assert 4 in kept and 5 in kept
     assert len(kept & {1, 2, 3}) == 1
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _ref_winnow(text, k, w):
+    """Reference implementation of robust winnowing (min per window,
+    rightmost on ties) for cross-checking."""
+    import hashlib
+    import re as _re
+
+    toks = [t for t in _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % (2**31) for g in grams]
+    n = len(hs)
+    if n < w:
+        m = min(hs)
+        return {(max(i for i in range(n) if hs[i] == m), m)}
+    sel = set()
+    for p in range(w - 1, n):
+        m = min(hs[p - w + 1 : p + 1])
+        rp = max(i for i in range(p - w + 1, p + 1) if hs[i] == m)
+        sel.add((rp, m))
+    return sel
+
+
+def test_winnow_matches_reference(spark):
+    from spark_extension_spark.operators.dedup import winnow_fingerprints
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different words entirely here nothing shared at all"),
+        (3, "short doc"),
+        (4, "tiny"),
+        (5, "the quick brown fox jumps over a different ending part now ok"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, k=3, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["hash"]))
+    for did, text in docs:
+        assert got.get(did, set()) == _ref_winnow(text, 3, 4), did
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Any shared run of >= window + k - 1 tokens must produce at least
+    one shared fingerprint — the winnowing guarantee."""
+    from spark_extension_spark.operators.dedup import winnow_fingerprints
+
+    core = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one two " + core + " suffix here now"),
+            (2, "other intro words " + core + " and another tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in winnow_fingerprints(df, k=3, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["hash"])
+    assert got[1] & got[2]
+
+
+def test_winnow_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = sorted(map(tuple, winnow_fingerprints(docs, k=3, window=4).collect()))
+    b = sorted(
+        map(tuple, winnow_fingerprints(docs.repartition(9), k=3, window=4).collect())
+    )
+    assert a == b
+
+
+def test_winnow_rejects_bad_params(spark):
+    from spark_extension_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0, window=4)
+
+
+def test_winnow_overlap_pairs_detects_copies(spark):
+    from spark_extension_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    core = " ".join(f"tok{i}" for i in range(30))
+    docs = [
+        (1, "intro words here " + core + " closing remarks"),
+        (2, "different opening " + core + " other ending"),
+        (3, "entirely unrelated content about something else completely here"),
+    ]
+    fp = winnow_fingerprints(spark.createDataFrame(docs, ["doc_id", "text"]))
+    pairs = winnow_overlap_pairs(fp, min_shared=2).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["overlap"] > 0.5
+    assert p["shared"] <= min(p["size_a"], p["size_b"])
+
+
+def test_winnow_overlap_cross_corpus(spark):
+    from spark_extension_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the exact benchmark question text appears verbatim here today")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "padding words the exact benchmark question text appears verbatim here today trailing"),
+            (2, "clean document with none of that material present at all okay"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = winnow_overlap_pairs(
+        winnow_fingerprints(corpus), winnow_fingerprints(bench), min_shared=1
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 100)}

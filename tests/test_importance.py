@@ -20,7 +20,11 @@ from conftest import load
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load(spark, sf_dir, "documents").cache()
+    df = load(spark, sf_dir, "documents").cache()
+    yield df
+    # leaving this cached would hijack later plan-shape tests: Spark
+    # substitutes the InMemoryRelation for any matching parquet scan
+    df.unpersist()
 
 
 def test_hashed_gram_counts_totals(spark):

@@ -35,3 +35,86 @@ def test_profile_single_aggregate_plan(spark):
     # approximate path: one aggregate pair, one exchange, no Expand
     assert summarize_plan(profiled).exchanges == 1
     assert "Expand" not in explain_text(profiled)
+
+
+# ---------------------------------------------------------------------------
+# constraint checking + PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_counts(spark):
+    import pyspark.sql.functions as F
+    from spark_extension_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 7.0)], "id long, v double"
+    )
+    out = {
+        r["rule"]: r
+        for r in check_constraints(
+            df, {"v_positive": F.col("v") > 0, "id_small": F.col("id") < 10}
+        ).collect()
+    }
+    # NULL predicate counts as a violation
+    assert out["v_positive"]["n_violations"] == 2
+    assert out["v_positive"]["n_rows"] == 4
+    assert out["v_positive"]["violation_frac"] == 0.5
+    assert out["id_small"]["n_violations"] == 0
+
+
+def test_check_constraints_single_pass_plan(spark):
+    import pyspark.sql.functions as F
+    from spark_extension_spark.operators.profile import check_constraints
+    from spark_extension_spark.plans import summarize_plan
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = summarize_plan(
+        check_constraints(df, {"a": F.col("o_totalprice") > 0, "b": F.col("o_custkey").isNotNull()})
+    )
+    assert plan.joins == []  # one aggregate, no joins, no per-rule jobs
+
+
+def test_check_constraints_rejects_empty(spark):
+    from spark_extension_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        check_constraints(df, {})
+
+
+def test_psi_identical_populations_near_zero(spark):
+    from spark_extension_spark.operators.profile import psi_report
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(float(i % 50),) for i in range(500)], ["v"])
+    rep = psi_report(df, df, "v", lo=0.0, hi=50.0, bins=10)
+    total = rep.agg(F.sum("psi_term")).collect()[0][0]
+    assert abs(total) < 1e-12
+
+
+def test_psi_detects_shift(spark):
+    from spark_extension_spark.operators.profile import psi_report
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([(float(i % 50),) for i in range(500)], ["v"])
+    b = spark.createDataFrame([(float(i % 50) + 30.0,) for i in range(500)], ["v"])
+    rep = psi_report(a, b, "v", lo=0.0, hi=50.0, bins=10)
+    total = rep.agg(F.sum("psi_term")).collect()[0][0]
+    assert total > 0.25  # "shifted" by the standard rule of thumb
+    # overflow bin captured b's mass beyond hi — nothing silently dropped
+    rows = {r["bin"]: r for r in rep.collect()}
+    assert rows[11]["n_b"] > 0 and rows[11]["n_a"] == 0
+    assert sum(r["n_a"] for r in rows.values()) == 500
+    assert sum(r["n_b"] for r in rows.values()) == 500
+
+
+def test_psi_rejects_bad_range(spark):
+    from spark_extension_spark.operators.profile import psi_report
+
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        psi_report(df, df, "v", lo=5.0, hi=5.0)

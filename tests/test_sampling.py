@@ -282,3 +282,105 @@ class TestWeightedSample:
         assert a == b
         with _pytest.raises(ValueError):
             weighted_sample(df, 0, "w", "id")
+
+
+# ---------------------------------------------------------------------------
+# stride-scheduled interleaving
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_prefix_mix(spark):
+    """Every prefix of the interleaved order must contain each source at
+    ~its target share — the stride-scheduling property."""
+    from spark_extension_spark.operators.sampling import interleave_by_mix
+
+    rows = [(s * 1000 + i, f"s{s}") for s in range(3) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    weights = {"s0": 0.5, "s1": 0.3, "s2": 0.2}
+    out = interleave_by_mix(df, "source", weights, "doc_id")
+    ordered = [r["source"] for r in out.orderBy("interleave_key", "doc_id").collect()]
+    for prefix in (50, 100, 200, 400):
+        counts = {s: 0 for s in weights}
+        for s in ordered[:prefix]:
+            counts[s] += 1
+        for s, w in weights.items():
+            assert abs(counts[s] / prefix - w) < 0.05, (prefix, s, counts)
+
+
+def test_interleave_deterministic_and_null_for_unknown(spark):
+    from spark_extension_spark.operators.sampling import interleave_by_mix
+
+    rows = [(i, "a" if i % 2 else "mystery") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = interleave_by_mix(df, "source", {"a": 1.0}, "doc_id").collect()
+    out2 = interleave_by_mix(df.repartition(5), "source", {"a": 1.0}, "doc_id").collect()
+    k1 = {r["doc_id"]: r["interleave_key"] for r in out1}
+    k2 = {r["doc_id"]: r["interleave_key"] for r in out2}
+    assert k1 == k2
+    # unknown sources surface as NULL keys, not silently dropped rows
+    assert len(out1) == 20
+    assert all(k1[i] is None for i in range(0, 20, 2))
+
+
+def test_interleave_rejects_bad_weights(spark):
+    from spark_extension_spark.operators.sampling import interleave_by_mix
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interleave_by_mix(df, "source", {}, "doc_id")
+    with _pytest.raises(ValueError):
+        interleave_by_mix(df, "source", {"a": -1.0}, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# fractional-epoch upsampling
+# ---------------------------------------------------------------------------
+
+
+def test_repeat_upsample_whole_rates(spark):
+    from spark_extension_spark.operators.sampling import repeat_upsample
+
+    df = spark.createDataFrame([(i, "a") for i in range(10)], ["doc_id", "source"])
+    out = repeat_upsample(df, 3.0, "doc_id").collect()
+    assert len(out) == 30
+    epochs = {}
+    for r in out:
+        epochs.setdefault(r["doc_id"], set()).add(r["epoch"])
+    assert all(e == {0, 1, 2} for e in epochs.values())
+
+
+def test_repeat_upsample_fractional_rate_expected_size(spark):
+    from spark_extension_spark.operators.sampling import repeat_upsample
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    out = repeat_upsample(df, 1.5, "doc_id")
+    n = out.count()
+    assert 1400 <= n <= 1600  # 1.5 ± binomial noise
+    # deterministic across partitionings
+    n2 = repeat_upsample(df.repartition(7), 1.5, "doc_id").count()
+    assert n == n2
+
+
+def test_repeat_upsample_per_stratum_and_drop(spark):
+    from spark_extension_spark.operators.sampling import repeat_upsample
+
+    rows = [(i, "keep2" if i < 5 else ("drop" if i < 10 else "zero")) for i in range(15)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = repeat_upsample(df, {"keep2": 2.0, "zero": 0.0}, "doc_id", strata_col="source")
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"keep2": 10}  # 'drop' absent from dict, 'zero' rate 0
+
+
+def test_repeat_upsample_rejects_bad(spark):
+    from spark_extension_spark.operators.sampling import repeat_upsample
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeat_upsample(df, -1.0, "doc_id")
+    with _pytest.raises(ValueError):
+        repeat_upsample(df, {"a": 1.0}, "doc_id")  # dict without strata_col

@@ -190,3 +190,42 @@ def test_streaming_rolling_counts(spark, stream_source):
     assert ("00:01:00", 1) in got
     # each event contributes to exactly window/slide = 2 windows
     assert sum(n for _, n in got) == 8
+
+
+def test_streaming_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-key totals must accumulate across
+    micro-batches (state survives between files)."""
+    import datetime as _dt
+
+    from spark_extension_spark.streaming import streaming_running_stats
+
+    path = str(tmp_path / "events")
+    t0 = _dt.datetime(2024, 1, 1)
+    batch1 = [(1, 10.0, t0), (1, 20.0, t0), (2, 5.0, t0)]
+    batch2 = [(1, 30.0, t0), (2, -1.0, t0)]
+    schema = "user_id long, value double, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(path)
+    )
+    out = streaming_running_stats(stream, "user_id", "value")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("running_stats_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("select * from running_stats_sink").collect()
+    # last emitted row per key reflects the full history
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = r  # memory sink appends in batch order
+    assert last[1]["n"] == 3 and last[1]["total"] == 60.0
+    assert last[1]["vmin"] == 10.0 and last[1]["vmax"] == 30.0
+    assert last[2]["n"] == 2 and last[2]["total"] == 4.0 and last[2]["vmin"] == -1.0
