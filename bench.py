@@ -140,6 +140,9 @@ HEADLINE = [
     "check_constraints_orders",
     "psi_report_events",
     "winnow_overlap_documents",
+    "zipf_report_documents",
+    "dup_source_matrix_documents",
+    "embedding_stats_embeddings",
 ]
 
 

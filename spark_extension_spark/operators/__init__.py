@@ -29,6 +29,9 @@ from .importance import (
 from .dedup import leakage_safe_splits, winnow_fingerprints, winnow_overlap_pairs
 from .sampling import interleave_by_mix, repeat_upsample
 from .profile import check_constraints, psi_report
+from .ranking import zipf_report
+from .dedup import duplicate_source_matrix
+from .similarity import embedding_stats
 from .sampling import (
     assign_splits,
     cap_per_group,
@@ -210,4 +213,5 @@ __all__ = [
     "winnow_fingerprints", "interleave_by_mix",
     "winnow_overlap_pairs", "repeat_upsample",
     "check_constraints", "psi_report",
+    "zipf_report", "duplicate_source_matrix", "embedding_stats",
 ]

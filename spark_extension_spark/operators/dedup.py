@@ -44,6 +44,7 @@ __all__ = [
     "leakage_safe_splits",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "duplicate_source_matrix",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -941,26 +942,16 @@ def winnow_fingerprints(
     any document with ≥ ``k`` tokens) — no document silently drops."""
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
-    toks = F.regexp_extract_all(
-        normalize_text(text_col), F.lit("[a-z0-9]+"), F.lit(0)
-    )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
-    # k-gram at position i (0-based): tokens i..i+k-1, space-joined
-    empty = F.array_remove(F.array(F.lit(1)), 1)
-    idx = F.when(
-        F.size(F.col("__t")) >= F.lit(k),
-        F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(k - 1)),
-    ).otherwise(empty)
-    grams = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.col("__t"), i + F.lit(j)) for j in range(k)]
-                ),
-            )
-        ).alias("pos", "__g"),
+    # k-gram array from ONE lookahead-capture regex pass (the
+    # transform+element_at index formulation re-runs the tokenizer per
+    # element inside the lambda -- the ~50x trap shingles() documents);
+    # posexplode keeps the 0-based gram position
+    token = "[a-z0-9]+"
+    pattern = "(?=(" + (token + " ") * (k - 1) + token + "))" + token
+    gram_arr = F.regexp_extract_all(normalize_text(text_col), F.lit(pattern), F.lit(1))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(gram_arr).alias("pos", "__g"),
     )
     # 31-bit gram hash; key packs (hash, -pos) into one int64 so a plain
     # windowed MIN implements "smallest hash, rightmost position on ties"
@@ -1067,4 +1058,35 @@ def winnow_overlap_pairs(
                 / F.least("size_a", "size_b").cast("double")
             ).alias("overlap"),
         )
+    )
+
+
+def duplicate_source_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every pair of sources,
+    how many distinct contents appear in both — the standard audit for
+    "which feeds are mirroring each other" before choosing dedup
+    priorities.  Returns (``source_a``, ``source_b``, ``n_shared``)
+    with ``source_a < source_b``.
+
+    Scale shape: one hash projection → distinct (content, source) pairs
+    → self-equi-join on the content hash (documents only meet through
+    identical content) → pair count.  The join fan-out per content is
+    |sources-carrying-it|², bounded by the source count, never the
+    copy count — a content duplicated 1M times in 2 sources contributes
+    one pair."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    hs = df.select(F.md5(content).alias("__h"), F.col(source_col)).distinct()
+    a = hs.select(F.col("__h"), F.col(source_col).alias("source_a"))
+    b = hs.select(F.col("__h"), F.col(source_col).alias("source_b"))
+    return (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )

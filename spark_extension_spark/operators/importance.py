@@ -13,8 +13,8 @@ this module doubles as the classic closed-form quality classifier.
 
 Execution shape (what matters at scale):
 
-* Featurization is one ``regexp_extract_all`` + an array ``transform``
-  building word n-grams, hashed to ``buckets`` ids with the same
+* Featurization is one lookahead-capture ``regexp_extract_all`` pass
+  per gram order, hashed to ``buckets`` ids with the same
   engine-portable md5-prefix trick as :mod:`sampling` — all JVM
   column algebra, no UDF, no shuffle before the per-doc aggregate.
 * The fitted model is exactly ``buckets`` rows (every bucket gets a
@@ -72,26 +72,23 @@ def gram_bucket(gram: Union[str, Column], buckets: int, seed: int = 7) -> Column
 
 
 def _gram_array(text: Union[str, Column], n_max: int) -> Column:
-    """Array of word n-grams (1..n_max) over the normalized text.
-    Unigrams come from one ``regexp_extract_all``; higher orders are
-    array ``transform``s over index sequences — a pure projection, no
-    explode until the caller needs rows."""
-    toks = F.regexp_extract_all(normalize_text(text), F.lit(_TOKEN_PATTERN), F.lit(0))
-    grams = toks
-    empty = F.array_remove(F.array(F.lit(1)), 1)  # [] — sequence(1,0) would DESCEND
-    for n in range(2, int(n_max) + 1):
-        # element_at is 1-based; i in 1..size-n+1 keeps i+n-1 in bounds
-        idx = F.when(
-            F.size(toks) >= F.lit(n),
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        ).otherwise(empty)
-        def make_gram(order: int):
-            return lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(order)]
-            )
+    """Array of word n-grams (1..n_max) over the normalized text — one
+    lookahead-capture ``regexp_extract_all`` pass per gram order, no
+    explode until the caller needs rows.
 
-        parts = F.transform(idx, make_gram(n))
-        grams = F.concat(grams, parts)
+    NOT the ``transform`` + ``element_at`` array-index formulation:
+    Catalyst does no common-subexpression elimination across lambda
+    bodies, so that version re-runs the tokenization regex once per
+    element per gram position — measured ~15x slower end-to-end on the
+    DSIR gates (the same trap :func:`dedup.shingles` documents)."""
+    norm = normalize_text(text)
+    grams = F.regexp_extract_all(norm, F.lit(_TOKEN_PATTERN), F.lit(0))
+    for n in range(2, int(n_max) + 1):
+        pattern = (
+            "(?=(" + (_TOKEN_PATTERN + " ") * (n - 1) + _TOKEN_PATTERN + "))"
+            + _TOKEN_PATTERN
+        )
+        grams = F.concat(grams, F.regexp_extract_all(norm, F.lit(pattern), F.lit(1)))
     return grams
 
 

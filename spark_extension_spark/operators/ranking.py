@@ -41,6 +41,7 @@ __all__ = [
     "unigram_lm",
     "doc_logprob",
     "sparse_cosine_pairs",
+    "zipf_report",
 ]
 
 _TOKEN_PATTERN = "[a-z0-9]+"
@@ -340,4 +341,63 @@ def sparse_cosine_pairs(
             (F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= F.lit(float(min_sim)))
+    )
+
+
+def zipf_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_types: int = 100_000,
+) -> DataFrame:
+    """Zipf power-law fit over the corpus token-frequency distribution —
+    one row: (``n_types``, ``n_tokens``, ``alpha``, ``r2``).  Natural
+    text follows ``freq ∝ rank^−α`` with α ≈ 1; extreme departures
+    (α → 0: synthetic/boilerplate-flat, α ≫ 1: degenerate repetition)
+    are a corpus-level quality alarm that per-document metrics miss.
+
+    The fit is the closed-form least squares of ``ln freq`` on
+    ``ln rank`` over the ``max_types`` most frequent types: ranking is
+    one window over vocabulary-sized counts; the five OLS sums run in
+    DECIMAL(38,15) so the fit is bit-reproducible across partitionings
+    and engines.  Ties rank deterministically (freq desc, token asc).
+
+    Scale shape: tokenize + one map-side-combined count (vocabulary
+    rows) → one rank window over vocabulary → one 1-row aggregate.  The
+    corpus is scanned once; nothing larger than the vocabulary
+    shuffles."""
+    counts = (
+        _tokens(df, id_col, text_col).groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= int(max_types))
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+            F.col("c"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,15)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    n = F.col("n_types").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        (-(cov / vx)).alias("alpha"),
+        ((cov * cov) / (vx * vy)).alias("r2"),
     )

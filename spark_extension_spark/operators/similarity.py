@@ -61,6 +61,7 @@ __all__ = [
     "semantic_near_dup_pairs",
     "semantic_dedup",
     "group_centroids",
+    "embedding_stats",
 ]
 
 
@@ -874,4 +875,59 @@ def group_centroids(
         )
         .join(carr, list(by))
         .select(*keys, "n", "centroid", "centroid_norm", "avg_cosine", "min_cosine")
+    )
+
+
+def embedding_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row health report for an embedding column — the checks that
+    catch a broken encoder before a 100 TB ANN build: (``n_vecs``,
+    ``n_null``, ``n_dims_min``, ``n_dims_max`` — ragged dimensions are
+    a hard error downstream, ``n_zero`` — zero vectors break cosine,
+    ``n_nonfinite`` — NaN/Inf poison every distance, ``mean_norm``,
+    ``min_norm``, ``max_norm``).
+
+    Per-vector squared norms fold in DECIMAL(38,15) over the exploded
+    components (order-independent, engine-reproducible — the same
+    discipline as :func:`group_centroids`); the corpus-level mean is a
+    decimal sum of the resulting doubles.  Scale shape: one explode +
+    one per-vector aggregate + one 1-row aggregate — a single scan,
+    nothing wider than (id, component) ever shuffles."""
+    comp = df.select(
+        F.col(id_col).alias("__id"), F.explode(F.col(vec_col)).alias("__x")
+    ).select(
+        "__id",
+        F.col("__x").cast("double").alias("__x"),
+    )
+    per_vec = comp.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__d"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("__ss"),
+        F.max(
+            (F.isnan("__x") | (F.abs("__x") == float("inf"))).cast("int")
+        ).alias("__bad"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).isNull().cast("int").alias("__isnull"),
+    )
+    joined = base.join(per_vec, "__id", "left")
+    norm = F.sqrt(F.col("__ss"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("__isnull").alias("n_null"),
+        F.min("__d").alias("n_dims_min"),
+        F.max("__d").alias("n_dims_max"),
+        F.sum((F.col("__ss") == 0.0).cast("int")).alias("n_zero"),
+        F.sum(F.coalesce(F.col("__bad"), F.lit(0))).alias("n_nonfinite"),
+        (
+            F.sum(norm.cast("decimal(38,15)")).cast("double")
+            / F.sum((F.col("__ss").isNotNull()).cast("int")).cast("double")
+        ).alias("mean_norm"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
     )

@@ -3752,3 +3752,124 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_near_dups(spark, sf_dir)
     fp = winnow_fingerprints(docs, k=3, window=4)
     return winnow_overlap_pairs(fp, min_shared=2)
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit (corpus-level quality alarm)
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH toks AS ({_RANK_TOKS_SQL}),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y,
+         c
+  FROM counts
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,15))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,15))) AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT n_types, n_tokens,
+       -((sxy - sx * sy / CAST(n_types AS DOUBLE))
+          / (sxx - sx * sx / CAST(n_types AS DOUBLE))) AS alpha,
+       ((sxy - sx * sy / CAST(n_types AS DOUBLE)) * (sxy - sx * sy / CAST(n_types AS DOUBLE)))
+         / ((sxx - sx * sx / CAST(n_types AS DOUBLE)) * (syy - sy * sy / CAST(n_types AS DOUBLE))) AS r2
+FROM agg
+"""
+
+
+@register("zipf_report_documents", _ZIPF_ORACLE)
+def q_zipf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import zipf_report
+
+    return zipf_report(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cross-source exact-duplicate matrix
+# ---------------------------------------------------------------------------
+
+# plant cross-source duplicates: same doctored corpus trick as the
+# near-dup gates, but copies land in a different source
+_DUP_SOURCES_SQL = """
+SELECT doc_id, source, text FROM documents
+UNION ALL
+SELECT doc_id + 300000 AS doc_id, 'mirror' AS source, text
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+_DUP_SOURCE_MATRIX_ORACLE = f"""
+WITH corpus AS ({_DUP_SOURCES_SQL}),
+hs AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h, source
+  FROM corpus
+)
+SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h
+WHERE a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@register("dup_source_matrix_documents", _DUP_SOURCE_MATRIX_ORACLE)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_source_matrix
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirrored = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    return duplicate_source_matrix(docs.unionAll(mirrored))
+
+
+# ---------------------------------------------------------------------------
+# embedding column health report
+# ---------------------------------------------------------------------------
+
+_EMBEDDING_STATS_ORACLE = """
+WITH comp AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+per AS (
+  SELECT vec_id,
+         CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) AS ss,
+         MAX(CASE WHEN isnan(x) OR abs(x) = CAST('infinity' AS DOUBLE) THEN 1 ELSE 0 END) AS bad
+  FROM comp GROUP BY 1
+),
+base AS (
+  SELECT vec_id, CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_nul
+  FROM embeddings
+),
+j AS (SELECT base.vec_id, base.is_nul, per.d, per.ss, per.bad
+      FROM base LEFT JOIN per USING (vec_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(is_nul) AS BIGINT) AS n_null,
+       MIN(d) AS n_dims_min,
+       MAX(d) AS n_dims_max,
+       CAST(SUM(CASE WHEN ss = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(COALESCE(bad, 0)) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CAST(sqrt(ss) AS DECIMAL(38,15))) AS DOUBLE)
+         / CAST(SUM(CASE WHEN ss IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS mean_norm,
+       MIN(sqrt(ss)) AS min_norm,
+       MAX(sqrt(ss)) AS max_norm
+FROM j
+"""
+
+
+@register("embedding_stats_embeddings", _EMBEDDING_STATS_ORACLE)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_stats
+
+    return embedding_stats(load(spark, sf_dir, "embeddings"))

@@ -519,3 +519,23 @@ def test_winnow_overlap_cross_corpus(spark):
         winnow_fingerprints(corpus), winnow_fingerprints(bench), min_shared=1
     ).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 100)}
+
+
+def test_duplicate_source_matrix(spark):
+    from spark_extension_spark.operators.dedup import duplicate_source_matrix
+
+    rows = [
+        (1, "web", "shared content one"),
+        (2, "wiki", "shared content one"),     # dup across web/wiki
+        (3, "books", "unique content here"),
+        (4, "web", "another shared thing"),
+        (5, "books", "another shared thing"),  # dup across web/books
+        (6, "wiki", "Shared   CONTENT one!"),  # normalized dup of 1/2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in duplicate_source_matrix(df).collect()
+    }
+    # wiki's two copies of "shared content one" count once (distinct contents)
+    assert got == {("web", "wiki"): 1, ("books", "web"): 1}

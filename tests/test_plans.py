@@ -300,3 +300,33 @@ def test_length_batches_no_single_partition_window(spark):
     plan = summarize_plan(assigned)
     assert "BroadcastHashJoin" in plan.joins
     assert not plan.has_cartesian
+
+
+def test_winnow_single_window_no_join(spark):
+    plan = summarize_plan(QUERIES["winnow_fingerprints_documents"](spark, SF))
+    # projection -> one keyed window -> distinct: no join anywhere
+    assert plan.joins == []
+    assert not plan.has_cartesian
+    assert plan.read_columns() == [["doc_id", "text"]]
+
+
+def test_interleave_single_rank_exchange_no_join(spark):
+    plan = summarize_plan(QUERIES["interleave_mix_documents"](spark, SF))
+    assert plan.joins == []
+    assert not plan.has_cartesian
+    assert plan.read_columns() == [["doc_id", "source"]]
+
+
+def test_repeat_upsample_pure_projection(spark):
+    plan = summarize_plan(QUERIES["repeat_upsample_documents"](spark, SF))
+    # rate lookup + draw + posexplode: no join, no exchange at all
+    assert plan.joins == []
+    assert plan.exchanges == 0
+    assert not plan.has_cartesian
+
+
+def test_psi_no_row_level_join(spark):
+    plan = summarize_plan(QUERIES["psi_report_events"](spark, SF))
+    # only the bins-sized spine/totals joins; never a row-to-row join of
+    # the two snapshots — and no cartesian on the data path
+    assert not plan.has_cartesian

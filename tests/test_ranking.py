@@ -196,3 +196,33 @@ class TestSparseCosine:
             docs.repartition(13, "lang"), min_sim=0.8, min_df=2, max_token_df=40
         )
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_zipf_report_powerlaw_recovery(spark):
+    """A synthetic corpus with freq ∝ rank^-1 must fit alpha ≈ 1 with
+    high r2; a flat corpus must fit alpha ≈ 0."""
+    from spark_extension_spark.operators.ranking import zipf_report
+
+    zipf_docs, word_id = [], 0
+    # 200 types, type r repeated ~ 1000/r times
+    text = []
+    for r in range(1, 201):
+        text += [f"w{r:03d}"] * max(1000 // r, 1)
+    zipf_docs = [(1, " ".join(text))]
+    rep = zipf_report(spark.createDataFrame(zipf_docs, ["doc_id", "text"])).collect()[0]
+    assert 0.8 < rep["alpha"] < 1.2
+    assert rep["r2"] > 0.95
+    assert rep["n_types"] == 200
+
+    flat = [(1, " ".join(f"t{i}" for i in range(100)) * 5)]
+    rep2 = zipf_report(spark.createDataFrame(flat, ["doc_id", "text"])).collect()[0]
+    assert abs(rep2["alpha"]) < 0.05  # every type equally frequent
+
+
+def test_zipf_report_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.ranking import zipf_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = zipf_report(docs).collect()[0]
+    b = zipf_report(docs.repartition(13)).collect()[0]
+    assert a == b

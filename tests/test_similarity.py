@@ -376,3 +376,33 @@ def test_group_centroids_partitioning_independent(spark):
     # decimal accumulation: bit-identical regardless of partitioning
     assert r1["centroid"] == r2["centroid"]
     assert r1["avg_cosine"] == r2["avg_cosine"]
+
+
+def test_embedding_stats_health_checks(spark):
+    from spark_extension_spark.operators.similarity import embedding_stats
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # zero vector
+        (3, [float("nan"), 1.0]),   # non-finite
+        (4, [1.0, 2.0, 2.0]),       # ragged dims (3)
+        (5, None),                  # null embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s = embedding_stats(df).collect()[0]
+    assert s["n_vecs"] == 5
+    assert s["n_null"] == 1
+    assert (s["n_dims_min"], s["n_dims_max"]) == (2, 3)
+    assert s["n_zero"] == 1
+    assert s["n_nonfinite"] == 1
+    assert s["min_norm"] == 0.0
+    assert s["max_norm"] == 5.0
+
+
+def test_embedding_stats_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.similarity import embedding_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = embedding_stats(emb).collect()[0]
+    b = embedding_stats(emb.repartition(7)).collect()[0]
+    assert a == b
