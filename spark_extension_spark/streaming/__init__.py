@@ -26,6 +26,7 @@ __all__ = [
     "streaming_running_stats",
     "streaming_sessionize",
     "foreach_batch_diff",
+    "foreach_batch_near_dedup",
 ]
 
 
@@ -296,3 +297,59 @@ def streaming_running_stats(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def foreach_batch_near_dedup(
+    stream: DataFrame,
+    seen: DataFrame,
+    on_batch: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+):
+    """Streaming ingestion with *near*-duplicate screening against an
+    accepted corpus: each micro-batch is run through
+    :func:`~spark_extension_spark.operators.dedup.near_dedup_against`
+    (banded MinHash LSH, new×seen bucket join, agreement-verified) and
+    the surviving rows are handed to ``on_batch`` — the fuzzy
+    complement of :func:`streaming_dedup_against`'s exact-hash filter.
+
+    ``foreachBatch`` is the right primitive here (not a stream-static
+    join): signatures need a per-document aggregate, which a streaming
+    plan would force into stateful aggregation; per-batch batch-mode
+    reuse keeps the documented LSH plan — bucket caps, broadcast-able
+    seen side — intact.  At steady state, persist ``seen``'s signature
+    frame upstream so only the batch side re-hashes per trigger; the
+    per-batch caches are released via UnpersistHandles after each call.
+
+    Returns a ``DataStreamWriter`` — call ``.start()`` (with a
+    checkpoint location) to run."""
+    from ..operators.dedup import near_dedup_against
+    from ..utils import SilentUnpersistHandle
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new_h, seen_h = SilentUnpersistHandle(), SilentUnpersistHandle()
+        try:
+            kept = near_dedup_against(
+                batch_df,
+                seen,
+                id_col=id_col,
+                text_col=text_col,
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                max_bucket_size=max_bucket_size,
+                new_unpersist_handle=new_h,
+                seen_unpersist_handle=seen_h,
+            )
+            on_batch(kept, batch_id)
+        finally:
+            new_h()
+            seen_h()
+
+    return stream.writeStream.foreachBatch(process)

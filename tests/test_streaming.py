@@ -229,3 +229,43 @@ def test_streaming_running_stats(spark, tmp_path):
     assert last[1]["n"] == 3 and last[1]["total"] == 60.0
     assert last[1]["vmin"] == 10.0 and last[1]["vmax"] == 30.0
     assert last[2]["n"] == 2 and last[2]["total"] == 4.0 and last[2]["vmin"] == -1.0
+
+
+def test_foreach_batch_near_dedup(spark, tmp_path):
+    """Micro-batches are screened against the accepted corpus with
+    MinHash LSH: near-copies (suffix-shifted) drop, fresh docs pass."""
+    import datetime as _dt
+
+    from spark_extension_spark.streaming import foreach_batch_near_dedup
+
+    t0 = _dt.datetime(2024, 1, 1)
+    base_text = " ".join(f"word{i} token{i}" for i in range(40))
+    seen = spark.createDataFrame(
+        [(100, base_text)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "incoming")
+    incoming = [
+        (1, base_text + " tiny new suffix", t0),          # near-dup of seen
+        (2, " ".join(f"fresh{i} novel{i}" for i in range(40)), t0),  # new
+    ]
+    spark.createDataFrame(
+        incoming, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(path)
+
+    survivors = []
+
+    def collect_batch(df, batch_id):
+        survivors.extend(r["doc_id"] for r in df.select("doc_id").collect())
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(path)
+    )
+    q = (
+        foreach_batch_near_dedup(stream, seen, collect_batch, threshold=0.5)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert survivors == [2]
