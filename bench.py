@@ -143,6 +143,7 @@ HEADLINE = [
     "zipf_report_documents",
     "dup_source_matrix_documents",
     "embedding_stats_embeddings",
+    "pagerank_orders",
 ]
 
 

@@ -32,6 +32,7 @@ from .profile import check_constraints, psi_report
 from .ranking import zipf_report
 from .dedup import duplicate_source_matrix
 from .similarity import embedding_stats
+from .graph import out_degrees, pagerank
 from .sampling import (
     assign_splits,
     cap_per_group,
@@ -214,4 +215,5 @@ __all__ = [
     "winnow_overlap_pairs", "repeat_upsample",
     "check_constraints", "psi_report",
     "zipf_report", "duplicate_source_matrix", "embedding_stats",
+    "pagerank", "out_degrees",
 ]

@@ -3873,3 +3873,27 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_stats
 
     return embedding_stats(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank (host-authority scoring) — fixed-iteration power method
+# ---------------------------------------------------------------------------
+
+from .operators.graph import pagerank_sql as _pagerank_sql  # noqa: E402
+
+_PR_EDGES_SQL = """SELECT o_custkey AS src, o_orderkey + 1000000 AS dst FROM orders
+UNION ALL SELECT o_orderkey + 1000000 AS src, o_custkey AS dst FROM orders"""
+
+_PAGERANK_ORACLE = _pagerank_sql(_PR_EDGES_SQL, iterations=3)
+
+
+@register("pagerank_orders", _PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    fwd = orders.select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") + 1000000).alias("dst")
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3)

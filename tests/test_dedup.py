@@ -539,3 +539,53 @@ def test_duplicate_source_matrix(spark):
     }
     # wiki's two copies of "shared content one" count once (distinct contents)
     assert got == {("web", "wiki"): 1, ("books", "web"): 1}
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved_and_authority(spark):
+    import pyspark.sql.functions as F
+    from spark_extension_spark.operators.graph import pagerank
+
+    # star graph: everyone links to hub 0; hub links to 1
+    edges = [(i, 0) for i in range(1, 10)] + [(0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    pr = {r["id"]: r["rank"] for r in pagerank(df, iterations=20).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9          # mass conserved
+    assert pr[0] == max(pr.values())                   # hub dominates
+    assert pr[1] > pr[2]                               # hub's target beats leaves
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from spark_extension_spark.operators.graph import pagerank
+
+    # 0 -> 1, 1 dangles: without redistribution total mass decays
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    pr = {r["id"]: r["rank"] for r in pagerank(df, iterations=30).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_partitioning_independent(spark):
+    import pyspark.sql.functions as F
+    from spark_extension_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(40)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(9), iterations=5).collect()))
+    assert a == b
+
+
+def test_pagerank_rejects_bad_params(spark):
+    import pytest as _pytest
+    from spark_extension_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    with _pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with _pytest.raises(ValueError):
+        pagerank(df, damping=1.5)

@@ -330,3 +330,12 @@ def test_psi_no_row_level_join(spark):
     # only the bins-sized spine/totals joins; never a row-to-row join of
     # the two snapshots — and no cartesian on the data path
     assert not plan.has_cartesian
+
+
+def test_pagerank_no_cartesian_broadcast_scalars(spark):
+    plan = summarize_plan(QUERIES["pagerank_orders"](spark, SF))
+    # the per-iteration dangling-mass / total-count scalars broadcast;
+    # the rank<->edge joins stay equi-joins (BroadcastNestedLoopJoin
+    # appears only for the 1-row cross joins, never a real cartesian
+    # over data-sized inputs)
+    assert "SortMergeJoin" in plan.joins or "ShuffledHashJoin" in plan.joins or "BroadcastHashJoin" in plan.joins
