@@ -144,6 +144,8 @@ HEADLINE = [
     "dup_source_matrix_documents",
     "embedding_stats_embeddings",
     "pagerank_orders",
+    "prune_files_orders",
+    "scd2_merge_orders",
 ]
 
 

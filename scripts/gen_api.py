@@ -29,6 +29,8 @@ SECTIONS = [
     ("Skew tools", "spark_extension_spark.operators.skew"),
     ("Feature engineering", "spark_extension_spark.operators.features"),
     ("Profiling & data quality", "spark_extension_spark.operators.profile"),
+    ("Graph algorithms", "spark_extension_spark.operators.graph"),
+    ("SCD2 dimension maintenance", "spark_extension_spark.operators.scd"),
     ("Sketches", "spark_extension_spark.operators.sketches"),
     ("Fuzzy matching", "spark_extension_spark.operators.fuzzy"),
     ("Semi-structured", "spark_extension_spark.operators.semistructured"),
@@ -37,6 +39,7 @@ SECTIONS = [
     ("Partitioned write", "spark_extension_spark.sources.partitioned_write"),
     ("Bucketed tables", "spark_extension_spark.sources.bucketed"),
     ("Clustered layout", "spark_extension_spark.sources.layout"),
+    ("Data skipping", "spark_extension_spark.sources.skipping"),
     ("Footer crypto", "spark_extension_spark.sources.footer_crypto"),
     ("Streaming", "spark_extension_spark.streaming"),
     ("Functions", "spark_extension_spark.functions"),

@@ -33,6 +33,7 @@ from .ranking import zipf_report
 from .dedup import duplicate_source_matrix
 from .similarity import embedding_stats
 from .graph import out_degrees, pagerank
+from .scd import scd2_as_of, scd2_current, scd2_merge
 from .sampling import (
     assign_splits,
     cap_per_group,
@@ -216,4 +217,5 @@ __all__ = [
     "check_constraints", "psi_report",
     "zipf_report", "duplicate_source_matrix", "embedding_stats",
     "pagerank", "out_degrees",
+    "scd2_merge", "scd2_current", "scd2_as_of",
 ]

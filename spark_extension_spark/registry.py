@@ -3897,3 +3897,109 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# stats-based file pruning — results must equal the unpruned filtered read
+# ---------------------------------------------------------------------------
+
+_PRUNE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+"""
+
+
+@register("prune_files_orders", _PRUNE_ORACLE)
+def q_prune_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import tempfile
+
+    from .sources.skipping import prune_files, read_pruned
+
+    # lay orders out range-clustered by totalprice into multiple files —
+    # the layout that makes stats-pruning effective (cf. sources/layout.py)
+    base = tempfile.mkdtemp(prefix="sx_prune_gate_")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    files = sorted(glob.glob(f"{base}/*.parquet"))
+    kept, skipped = prune_files(
+        spark, *files, column="o_totalprice", lo=50000.0, hi=150000.0
+    )
+    # the pruning must actually skip something on a range-clustered
+    # layout AND the result must equal the full filtered read (oracle)
+    assert skipped, "range-clustered layout should allow file skipping"
+    return read_pruned(
+        spark, *files, column="o_totalprice", lo=50000.0, hi=150000.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 snapshot merge — versioned dimension maintenance
+# ---------------------------------------------------------------------------
+
+# current = orders as version 0 (valid_from=0, open); updates = every
+# 3rd order re-priced +10% and one brand-new synthetic order
+_SCD2_ORACLE = """
+WITH cur AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 99999999 AS o_orderkey, 'O' AS o_orderstatus, 123.45 AS o_totalprice
+),
+j AS (
+  SELECT cur.*, upd.o_orderkey AS u_key, upd.o_orderstatus AS u_status,
+         upd.o_totalprice AS u_price
+  FROM cur FULL OUTER JOIN upd ON cur.o_orderkey = upd.o_orderkey
+),
+same AS (
+  SELECT *,
+         (o_orderstatus IS NOT DISTINCT FROM u_status)
+           AND (o_totalprice IS NOT DISTINCT FROM u_price) AS unchanged,
+         o_orderkey IS NOT NULL AND u_key IS NOT NULL AS matched
+  FROM j
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, valid_to
+FROM same WHERE (matched AND unchanged) OR u_key IS NULL
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, CAST(100 AS BIGINT)
+FROM same WHERE matched AND NOT unchanged
+UNION ALL
+SELECT u_key, u_status, u_price, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+FROM same WHERE (matched AND NOT unchanged) OR o_orderkey IS NULL
+"""
+
+
+@register("scd2_merge_orders", _SCD2_ORACLE)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_merge
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    current = orders.withColumn("valid_from", F.lit(0).cast("long")).withColumn(
+        "valid_to", F.lit(None).cast("long")
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionAll(
+            spark.createDataFrame(
+                [(99999999, "O", 123.45)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    return scd2_merge(
+        current, updates, ["o_orderkey"], F.lit(100).cast("long")
+    )

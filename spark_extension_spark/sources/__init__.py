@@ -8,6 +8,7 @@ from .parquet_metadata import (
 from .bucketed import colocated_join, read_bucketed, write_bucketed
 from .layout import with_z_value, write_zordered, z_value
 from .partitioned_write import write_partitioned_by
+from .skipping import file_column_ranges, prune_files, read_pruned
 
 __all__ = [
     "write_bucketed",
@@ -22,4 +23,7 @@ __all__ = [
     "parquet_partitions",
     "parquet_schema",
     "write_partitioned_by",
+    "file_column_ranges",
+    "prune_files",
+    "read_pruned",
 ]

@@ -339,3 +339,11 @@ def test_pagerank_no_cartesian_broadcast_scalars(spark):
     # appears only for the 1-row cross joins, never a real cartesian
     # over data-sized inputs)
     assert "SortMergeJoin" in plan.joins or "ShuffledHashJoin" in plan.joins or "BroadcastHashJoin" in plan.joins
+
+
+def test_scd2_single_full_outer_join(spark):
+    plan = summarize_plan(QUERIES["scd2_merge_orders"](spark, SF))
+    # one equi-join between open versions and updates; history rows
+    # union in join-free
+    assert not plan.has_cartesian
+    assert any(j in plan.joins for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))

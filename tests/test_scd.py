@@ -1,0 +1,85 @@
+"""SCD Type 2 snapshot merge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark.operators.scd import scd2_as_of, scd2_current, scd2_merge
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", "NYC", 0, None),
+            (2, "bob", "SF", 0, None),
+            (3, "carol", "LA", 0, 50),      # already-closed history row
+            (3, "carol", "SEA", 50, None),  # carol moved at t=50
+        ],
+        "id long, name string, city string, valid_from long, valid_to long",
+    )
+
+
+def test_scd2_merge_cases(spark, dim):
+    updates = spark.createDataFrame(
+        [
+            (1, "alice", "BOS"),   # changed -> close + open
+            (2, "bob", "SF"),      # unchanged -> no-op
+            (4, "dave", "CHI"),    # new id -> insert
+        ],
+        "id long, name string, city string",
+    )
+    out = scd2_merge(dim, updates, ["id"], F.lit(100).cast("long"))
+    rows = sorted(
+        map(tuple, out.select("id", "city", "valid_from", "valid_to").collect())
+    )
+    assert rows == sorted(
+        [
+            (1, "NYC", 0, 100),    # closed
+            (1, "BOS", 100, None), # opened
+            (2, "SF", 0, None),    # untouched open
+            (3, "LA", 0, 50),      # history passthrough
+            (3, "SEA", 50, None),  # open, absent from updates -> kept
+            (4, "CHI", 100, None), # brand new
+        ],
+        key=lambda t: (t[0], t[2]),
+    ) or rows == sorted(
+        [
+            (1, "NYC", 0, 100),
+            (1, "BOS", 100, None),
+            (2, "SF", 0, None),
+            (3, "LA", 0, 50),
+            (3, "SEA", 50, None),
+            (4, "CHI", 100, None),
+        ]
+    )
+    # idempotence: re-applying the same snapshot changes nothing
+    again = scd2_merge(out, updates, ["id"], F.lit(200).cast("long"))
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_scd2_null_safe_attribute_compare(spark):
+    dim = spark.createDataFrame(
+        [(1, None, 0, None)], "id long, city string, valid_from long, valid_to long"
+    )
+    same = spark.createDataFrame([(1, None)], "id long, city string")
+    out = scd2_merge(dim, same, ["id"], F.lit(9).cast("long"))
+    assert out.count() == 1  # NULL == NULL: unchanged, no new version
+
+
+def test_scd2_current_and_as_of(spark, dim):
+    assert {r["city"] for r in scd2_current(dim).collect()} == {"NYC", "SF", "SEA"}
+    at_25 = {r["id"]: r["city"] for r in scd2_as_of(dim, F.lit(25)).collect()}
+    assert at_25[3] == "LA"  # carol's pre-move version
+    at_75 = {r["id"]: r["city"] for r in scd2_as_of(dim, F.lit(75)).collect()}
+    assert at_75[3] == "SEA"
+
+
+def test_scd2_rejects_bad_args(spark, dim):
+    upd = spark.createDataFrame([(1, "x", "y")], "id long, name string, city string")
+    with pytest.raises(ValueError):
+        scd2_merge(dim, upd, [], F.lit(1))
+    bad = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="no attribute columns"):
+        scd2_merge(dim, bad, ["id"], F.lit(1))
+    with pytest.raises(ValueError, match="missing columns"):
+        scd2_merge(dim, upd, ["id"], F.lit(1), compare_cols=["nope"])

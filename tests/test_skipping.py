@@ -1,0 +1,72 @@
+"""Stats-based file pruning (data skipping)."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_extension_spark.sources.skipping import (
+    file_column_ranges,
+    prune_files,
+    read_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("skip") / "orders")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(6, "o_totalprice")
+        .write.parquet(base)
+    )
+    return sorted(glob.glob(f"{base}/*.parquet"))
+
+
+def test_file_ranges_cover_and_order(spark, clustered):
+    rows = file_column_ranges(spark, *clustered, column="o_totalprice").collect()
+    assert len(rows) == len(clustered)
+    assert all(r["has_stats"] for r in rows)
+    assert all(r["min_value"] <= r["max_value"] for r in rows)
+    # range layout: file ranges are (near-)disjoint, so sorted mins are
+    # dominated by the previous file's max
+    ordered = sorted(rows, key=lambda r: r["min_value"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_value"] <= b["min_value"]
+
+
+def test_prune_skips_but_never_loses_rows(spark, clustered):
+    lo, hi = 100000.0, 200000.0
+    kept, skipped = prune_files(
+        spark, *clustered, column="o_totalprice", lo=lo, hi=hi
+    )
+    assert skipped, "clustered layout must allow skipping"
+    assert set(kept) | set(skipped) == set(clustered)
+    pruned = read_pruned(
+        spark, *clustered, column="o_totalprice", lo=lo, hi=hi
+    ).collect()
+    full = (
+        spark.read.parquet(*clustered)
+        .where(F.col("o_totalprice").between(lo, hi))
+        .collect()
+    )
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+
+
+def test_prune_open_bounds(spark, clustered):
+    kept_lo, _ = prune_files(spark, *clustered, column="o_totalprice", lo=1e9)
+    assert kept_lo == []  # nothing can reach that minimum
+    kept_all, skipped_all = prune_files(spark, *clustered, column="o_totalprice")
+    assert set(kept_all) == set(clustered) and skipped_all == []
+
+
+def test_read_pruned_empty_match_keeps_schema(spark, clustered):
+    out = read_pruned(spark, *clustered, column="o_totalprice", lo=1e9)
+    assert out.count() == 0
+    assert set(out.columns) == {"o_orderkey", "o_totalprice"}
+
+
+def test_unknown_column_raises(spark, clustered):
+    with pytest.raises(Exception, match="not found"):
+        file_column_ranges(spark, *clustered, column="nope").collect()
