@@ -10,7 +10,7 @@ and checkpointing come from Spark, not custom code.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -27,6 +27,7 @@ __all__ = [
     "streaming_sessionize",
     "foreach_batch_diff",
     "foreach_batch_near_dedup",
+    "streaming_ttl_dedup",
 ]
 
 
@@ -353,3 +354,73 @@ def foreach_batch_near_dedup(
             seen_h()
 
     return stream.writeStream.foreachBatch(process)
+
+
+def streaming_ttl_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ttl_ms: Optional[int] = None,
+    normalized: bool = True,
+):
+    """Exact streaming dedup with TTL state — Spark 4's
+    ``transformWithStateInPandas`` (the successor stateful API): the
+    first document carrying each content hash passes, every later copy
+    is dropped for as long as the hash stays in state.
+
+    Unlike :func:`streaming_exact_dedup` (whose memory horizon is the
+    *watermark* — tied to event time), state here lives for ``ttl_ms``
+    of processing time (``None`` = forever): "dedup against everything
+    ingested in the last 7 days" regardless of how late events are.
+    State is one boolean per distinct content hash, TTL-evicted by the
+    state store, checkpointed, and rescales with the shuffle — the
+    exact-dedup hash-aggregate re-expressed as keyed streaming state.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the transformWithState driver worker speaks
+    protobuf to the JVM state server) — probed at call time so a
+    missing dependency fails fast here, not mid-query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-specific
+        raise ImportError(
+            "streaming_ttl_dedup needs the 'protobuf' package: Spark's "
+            "transformWithStateInPandas driver worker requires it "
+            "(pip install protobuf). Use streaming_exact_dedup "
+            "(watermark-horizon state, no extra deps) instead."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    hashed = stream.withColumn("__content_hash", F.md5(content))
+    out_schema = hashed.schema
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen boolean", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            first = None
+            for pdf in rows:
+                if len(pdf) and first is None:
+                    first = pdf.iloc[[0]]
+            if self._seen.exists() or first is None:
+                return iter(())
+            self._seen.update((True,))
+            return iter((first,))
+
+        def close(self) -> None:
+            pass
+
+    deduped = hashed.groupBy("__content_hash").transformWithStateInPandas(
+        statefulProcessor=_FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+    return deduped.drop("__content_hash")

@@ -269,3 +269,53 @@ def test_foreach_batch_near_dedup(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert survivors == [2]
+
+
+def test_streaming_ttl_dedup(spark, tmp_path):
+    """transformWithStateInPandas: first copy of each content passes,
+    later copies drop — across micro-batches (state persists).
+
+    Skipped where the protobuf package is absent (the
+    transformWithState driver worker needs it; this container lacks
+    it) — the operator probes and raises a clear ImportError then."""
+    import datetime as _dt
+
+    from spark_extension_spark.streaming import streaming_ttl_dedup
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        stream0 = spark.readStream.format("rate").load()
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_ttl_dedup(stream0, text_col="value")
+        pytest.skip("protobuf not installed: transformWithState unavailable")
+
+    t0 = _dt.datetime(2024, 1, 1)
+    path = str(tmp_path / "docs")
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(
+        [(1, "hello world", t0), (2, "fresh content", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "Hello,  WORLD!", t0), (4, "brand new", t0)], schema  # 3 dups 1
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        streaming_ttl_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("ttl_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from ttl_dedup_sink").collect()
+    )
+    assert got == [1, 2, 4]  # doc 3 is a normalized duplicate of doc 1
