@@ -1026,9 +1026,13 @@ def winnow_overlap_pairs(
     right = right_src.select(F.col(id_col).alias("id_b"), "hash").distinct()
 
     if max_hash_freq is not None:
+        # stop-fingerprint frequency: per-document once — within one
+        # corpus (self mode) or across both (cross mode)
+        pool = left.select("hash") if self_join else left.select("hash").unionAll(
+            right.select("hash")
+        )
         freq = (
-            left.select("hash").unionAll(right.select("hash"))
-            .groupBy("hash")
+            pool.groupBy("hash")
             .agg(F.count(F.lit(1)).alias("__f"))
             .where(F.col("__f") <= max_hash_freq)
             .select("hash")

@@ -3719,8 +3719,7 @@ fp AS (
 ),
 freq AS (
   SELECT hash FROM (
-    SELECT hash, COUNT(*) AS f
-    FROM (SELECT * FROM fp UNION ALL SELECT * FROM fp) GROUP BY hash
+    SELECT hash, COUNT(*) AS f FROM fp GROUP BY hash
   ) WHERE f <= 1000
 ),
 kept AS (SELECT fp.doc_id, fp.hash FROM fp JOIN freq USING (hash)),
