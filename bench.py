@@ -146,6 +146,7 @@ HEADLINE = [
     "pagerank_orders",
     "prune_files_orders",
     "scd2_merge_orders",
+    "pmi_pairs_documents",
 ]
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "doc_logprob",
     "sparse_cosine_pairs",
     "zipf_report",
+    "pmi_pairs",
 ]
 
 _TOKEN_PATTERN = "[a-z0-9]+"
@@ -400,4 +401,105 @@ def zipf_report(
         "n_tokens",
         (-(cov / vx)).alias("alpha"),
         ((cov * cov) / (vx * vy)).alias("r2"),
+    )
+
+
+_PAIR_SEP = "\u0001"  # unused by the [a-z0-9]+ token alphabet
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information for ordered
+    token pairs co-occurring within ``window`` positions —
+    ``pmi = ln( (c_xy / N_pairs) / ((c_x / N_tok) * (c_y / N_tok)) )``
+    plus the normalized variant ``npmi = pmi / -ln(c_xy / N_pairs)``
+    in [-1, 1].  High-PMI pairs are multi-word expressions ("new york",
+    "machine learning"); a corpus whose top collocations are template
+    fragments is boilerplate — a quality signal n-gram counts alone
+    don't give.
+
+    Scale shape: tokens materialize ONCE as an array column; pair
+    arrays are index ``transform``s over that materialized attribute
+    (cheap array indexing — NOT re-running the tokenizer; the
+    shingles/DSIR regex trap only bites when the unevaluated
+    expression is passed into the lambda); one explode bounded by
+    tokens x window; two map-side-combined counts.  ``min_count``
+    bounds the output to pairs worth reporting; token counts and
+    totals broadcast.  All sums are integers; the PMI arithmetic is
+    the same IEEE expression on both engines."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.regexp_extract_all(
+        normalize_text(text_col), F.lit(_TOKEN_PATTERN), F.lit(0)
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+
+    t = F.col("__t")
+    empty = F.array_remove(F.array(F.lit(1)), 1)
+    pair_arrays = []
+    for dist in range(1, int(window) + 1):
+        idx = F.when(
+            F.size(t) > F.lit(dist),
+            F.sequence(F.lit(1), F.size(t) - F.lit(dist)),
+        ).otherwise(empty)
+
+        def mk(d: int):
+            return lambda i: F.concat_ws(
+                _PAIR_SEP, F.element_at(t, i), F.element_at(t, i + F.lit(d))
+            )
+
+        pair_arrays.append(F.transform(idx, mk(dist)))
+    pairs_col = pair_arrays[0]
+    for arr in pair_arrays[1:]:
+        pairs_col = F.concat(pairs_col, arr)
+
+    pairs = base.select(F.explode(pairs_col).alias("__p"))
+    pair_counts = pairs.groupBy("__p").agg(F.count(F.lit(1)).alias("c_xy"))
+    tok_counts = base.select(F.explode(t).alias("__w")).groupBy("__w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = pair_counts.agg(F.sum("c_xy").cast("double").alias("__np")).crossJoin(
+        tok_counts.agg(F.sum("c").cast("double").alias("__nt"))
+    )
+    split = F.split(F.col("__p"), _PAIR_SEP)
+    scored = (
+        pair_counts.where(F.col("c_xy") >= int(min_count))
+        .select(
+            split.getItem(0).alias("x"),
+            split.getItem(1).alias("y"),
+            "c_xy",
+        )
+        .join(
+            F.broadcast(
+                tok_counts.select(F.col("__w").alias("x"), F.col("c").alias("c_x"))
+            ),
+            "x",
+        )
+        .join(
+            F.broadcast(
+                tok_counts.select(F.col("__w").alias("y"), F.col("c").alias("c_y"))
+            ),
+            "y",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p_xy = F.col("c_xy").cast("double") / F.col("__np")
+    p_x = F.col("c_x").cast("double") / F.col("__nt")
+    p_y = F.col("c_y").cast("double") / F.col("__nt")
+    pmi = F.log(p_xy / (p_x * p_y))
+    return scored.select(
+        "x",
+        "y",
+        "c_xy",
+        "c_x",
+        "c_y",
+        pmi.alias("pmi"),
+        (pmi / -F.log(p_xy)).alias("npmi"),
     )

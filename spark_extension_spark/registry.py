@@ -4002,3 +4002,52 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         current, updates, ["o_orderkey"], F.lit(100).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(
+    list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i] || chr(1) || t[i+1])
+    || list_transform(range(1, greatest(len(t) - 2, 0) + 1), i -> t[i] || chr(1) || t[i+2])
+    || list_transform(range(1, greatest(len(t) - 3, 0) + 1), i -> t[i] || chr(1) || t[i+3])
+  ) AS p
+  FROM toks
+),
+pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c_xy FROM pairs GROUP BY 1),
+tc AS (SELECT unnest(t) AS w FROM toks),
+tcc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tc GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(SUM(c_xy) AS DOUBLE) FROM pc) AS np,
+         (SELECT CAST(SUM(c) AS DOUBLE) FROM tcc) AS nt
+),
+scored AS (
+  SELECT str_split(p, chr(1))[1] AS x, str_split(p, chr(1))[2] AS y, c_xy
+  FROM pc WHERE c_xy >= 5
+)
+SELECT s.x, s.y, s.c_xy, cx.c AS c_x, cy.c AS c_y,
+       ln((CAST(s.c_xy AS DOUBLE) / np)
+          / ((CAST(cx.c AS DOUBLE) / nt) * (CAST(cy.c AS DOUBLE) / nt))) AS pmi,
+       ln((CAST(s.c_xy AS DOUBLE) / np)
+          / ((CAST(cx.c AS DOUBLE) / nt) * (CAST(cy.c AS DOUBLE) / nt)))
+         / (-ln(CAST(s.c_xy AS DOUBLE) / np)) AS npmi
+FROM scored s
+JOIN tcc cx ON cx.w = s.x
+JOIN tcc cy ON cy.w = s.y
+CROSS JOIN tot
+"""
+
+
+@register("pmi_pairs_documents", _PMI_ORACLE)
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import pmi_pairs
+
+    return pmi_pairs(load(spark, sf_dir, "documents"), window=3, min_count=5)

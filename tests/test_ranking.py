@@ -226,3 +226,45 @@ def test_zipf_report_partitioning_independent(spark, sf_dir):
     a = zipf_report(docs).collect()[0]
     b = zipf_report(docs.repartition(13)).collect()[0]
     assert a == b
+
+
+def test_pmi_collocation_detection(spark):
+    """A pair that always co-occurs ("san francisco") must out-PMI a
+    pair of independent frequent tokens."""
+    from spark_extension_spark.operators.ranking import pmi_pairs
+
+    docs = []
+    for i in range(50):
+        # "san francisco" always adjacent; "the"/"cat" independent
+        docs.append((i, f"the san francisco cat walked w{i} the dog sat"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r["x"], r["y"]): r for r in pmi_pairs(df, window=2, min_count=5).collect()}
+    sf = out[("san", "francisco")]
+    assert sf["c_xy"] == 50
+    # always-adjacent pair: strong positive association (the window=2
+    # pair pool dilutes p_xy, so "perfect" lands well below 1.0)
+    assert sf["npmi"] > 0.5
+    # "the dog" is also always adjacent but "the" is twice as frequent:
+    # PMI must rank the exclusive pair higher
+    assert sf["pmi"] > out[("the", "dog")]["pmi"]
+    assert -1.0 <= min(r["npmi"] for r in out.values()) <= 1.0
+
+
+def test_pmi_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.ranking import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, pmi_pairs(docs, min_count=10).collect()))
+    b = sorted(map(tuple, pmi_pairs(docs.repartition(9), min_count=10).collect()))
+    assert a == b
+
+
+def test_pmi_rejects_bad_params(spark):
+    import pytest as _pytest
+    from spark_extension_spark.operators.ranking import pmi_pairs
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        pmi_pairs(df, window=0)
+    with _pytest.raises(ValueError):
+        pmi_pairs(df, min_count=0)
