@@ -147,6 +147,7 @@ HEADLINE = [
     "prune_files_orders",
     "scd2_merge_orders",
     "pmi_pairs_documents",
+    "doc_logprob_bigram_documents",
 ]
 
 

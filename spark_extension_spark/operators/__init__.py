@@ -29,7 +29,7 @@ from .importance import (
 from .dedup import leakage_safe_splits, winnow_fingerprints, winnow_overlap_pairs
 from .sampling import interleave_by_mix, repeat_upsample
 from .profile import check_constraints, psi_report
-from .ranking import pmi_pairs, zipf_report
+from .ranking import bigram_lm, doc_logprob_bigram, pmi_pairs, zipf_report
 from .dedup import duplicate_source_matrix
 from .similarity import embedding_stats
 from .graph import out_degrees, pagerank
@@ -218,5 +218,5 @@ __all__ = [
     "zipf_report", "duplicate_source_matrix", "embedding_stats",
     "pagerank", "out_degrees",
     "scd2_merge", "scd2_current", "scd2_as_of",
-    "pmi_pairs",
+    "pmi_pairs", "bigram_lm", "doc_logprob_bigram",
 ]

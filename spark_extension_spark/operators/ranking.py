@@ -43,6 +43,8 @@ __all__ = [
     "sparse_cosine_pairs",
     "zipf_report",
     "pmi_pairs",
+    "bigram_lm",
+    "doc_logprob_bigram",
 ]
 
 _TOKEN_PATTERN = "[a-z0-9]+"
@@ -502,4 +504,152 @@ def pmi_pairs(
         "c_y",
         pmi.alias("pmi"),
         (pmi / -F.log(p_xy)).alias("npmi"),
+    )
+
+
+
+def bigram_lm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """(w1, w2, logp) — interpolation-ready bigram conditional
+    log-probabilities fitted on ``df``:
+    ``ln((c(w1 w2) + k) / (c(w1·) + k·(V + 1)))`` with ``V`` the
+    unigram vocabulary (add-``k`` over the successor distribution of
+    each history; the ``+1`` reserves mass for unseen successors).
+    Pair counts come from the same materialized-array index transform
+    as :func:`pmi_pairs`; the history totals join is bounded by the
+    bigram vocabulary."""
+    toks = F.regexp_extract_all(
+        normalize_text(text_col), F.lit(_TOKEN_PATTERN), F.lit(0)
+    )
+    base = df.select(toks.alias("__t"))
+    t = F.col("__t")
+    empty = F.array_remove(F.array(F.lit(1)), 1)
+    idx = F.when(F.size(t) > 1, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(empty)
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    _PAIR_SEP, F.element_at(t, i), F.element_at(t, i + F.lit(1))
+                ),
+            )
+        ).alias("__p")
+    )
+    pc = pairs.groupBy("__p").agg(F.count(F.lit(1)).alias("__c"))
+    split = F.split(F.col("__p"), _PAIR_SEP)
+    pc = pc.select(
+        split.getItem(0).alias("w1"), split.getItem(1).alias("w2"), "__c"
+    )
+    hist = pc.groupBy("w1").agg(F.sum("__c").alias("__h"))
+    vocab = base.select(F.explode(t).alias("__w")).agg(
+        F.count_distinct("__w").cast("double").alias("__v")
+    )
+    return (
+        pc.join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("__c").cast("double") + F.lit(float(k)))
+                / (
+                    F.col("__h").cast("double")
+                    + F.lit(float(k)) * (F.col("__v") + F.lit(1.0))
+                )
+            ).alias("logp"),
+        )
+    )
+
+
+def doc_logprob_bigram(
+    df: DataFrame,
+    lm: DataFrame = None,
+    unigram: DataFrame = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    unk_logp: float = -20.0,
+) -> DataFrame:
+    """Per-document interpolated bigram log-likelihood — the stronger
+    form of the :func:`doc_logprob` quality signal (CCNet uses a
+    5-gram KenLM; the bigram interpolation is the largest order whose
+    fit and scoring stay pure column algebra):
+    ``p(w2|w1) = λ·p_bigram(w2|w1) + (1−λ)·p_unigram(w2)``, summed as
+    ``ln p`` per document in DECIMAL(38,15).
+
+    ``lm`` / ``unigram`` default to models fitted on ``df`` itself
+    (self-scoring); pass external frames to score against a reference
+    corpus.  Bigrams unseen in the model back off to
+    ``(1−λ)·p_unigram``; tokens unseen entirely take ``unk_logp``.
+    Returns (id, ``n_bigrams``, ``sum_logp``, ``avg_logp``).
+
+    Scale shape: one pair explode + map-side-combined (doc, bigram)
+    counts, an equi-join with the bigram model (vocabulary-sized), the
+    unigram join bounded by vocabulary, one per-doc decimal aggregate."""
+    if lm is None:
+        lm = bigram_lm(df, id_col, text_col)
+    if unigram is None:
+        unigram = unigram_lm(df, id_col, text_col)
+    toks = F.regexp_extract_all(
+        normalize_text(text_col), F.lit(_TOKEN_PATTERN), F.lit(0)
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    t = F.col("__t")
+    empty = F.array_remove(F.array(F.lit(1)), 1)
+    idx = F.when(F.size(t) > 1, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(empty)
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    _PAIR_SEP, F.element_at(t, i), F.element_at(t, i + F.lit(1))
+                ),
+            )
+        ).alias("__p"),
+    )
+    tf = pairs.groupBy(id_col, "__p").agg(F.count(F.lit(1)).alias("__tf"))
+    split = F.split(F.col("__p"), _PAIR_SEP)
+    tf = tf.select(
+        F.col(id_col),
+        split.getItem(0).alias("w1"),
+        split.getItem(1).alias("w2"),
+        "__tf",
+    )
+    model = lm.select("w1", "w2", F.col("logp").alias("__bg"))
+    uni = unigram.select(F.col("token").alias("w2"), F.col("logp").alias("__ug"))
+    lam_ = float(lam)
+    # ln(lam*e^bg + (1-lam)*e^ug); exp/ln of moderate magnitudes —
+    # identical IEEE expression on both engines
+    p = (
+        F.lit(lam_) * F.exp(F.coalesce(F.col("__bg"), F.lit(float("-inf"))))
+        + F.lit(1.0 - lam_)
+        * F.exp(F.coalesce(F.col("__ug"), F.lit(float(unk_logp))))
+    )
+    per_doc = (
+        tf.join(model, ["w1", "w2"], "left")
+        .join(uni, "w2", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_bigrams"),
+            F.sum(
+                (F.col("__tf").cast("double") * F.log(p)).cast("decimal(38,15)")
+            ).alias("__s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.col("__s").cast("double").alias("sum_logp"),
+            (F.col("__s").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "avg_logp"
+            ),
+        )
     )

@@ -4051,3 +4051,69 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import pmi_pairs
 
     return pmi_pairs(load(spark, sf_dir, "documents"), window=3, min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram-LM document scoring (stronger CCNet-style signal)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i] || chr(1) || t[i+1])) AS p
+  FROM toks
+),
+pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1),
+bg0 AS (SELECT str_split(p, chr(1))[1] AS w1, str_split(p, chr(1))[2] AS w2, c FROM pc),
+hist AS (SELECT w1, SUM(c) AS h FROM bg0 GROUP BY 1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+  FROM (SELECT unnest(t) AS w FROM toks)
+),
+bg AS (
+  SELECT w1, w2,
+         ln((CAST(c AS DOUBLE) + 1.0) / (CAST(h AS DOUBLE) + 1.0 * (v + 1.0))) AS bgp
+  FROM bg0 JOIN hist USING (w1) CROSS JOIN vocab
+),
+ucounts AS (
+  SELECT w AS token, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+utot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS vv FROM ucounts),
+uni AS (
+  SELECT token,
+         ln((CAST(c AS DOUBLE) + 1.0) / (total + 1.0 * (vv + 1.0))) AS ugp
+  FROM ucounts CROSS JOIN utot
+),
+tf AS (
+  SELECT doc_id, str_split(p, chr(1))[1] AS w1, str_split(p, chr(1))[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         SUM(CAST(CAST(tf AS DOUBLE)
+             * ln(0.7 * exp(bgp) + 0.30000000000000004 * exp(ugp)) AS DECIMAL(38,15))) AS s
+  FROM tf
+  JOIN bg USING (w1, w2)
+  JOIN uni ON uni.token = tf.w2
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       CAST(per.s AS DOUBLE) AS sum_logp,
+       CAST(per.s AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) AS avg_logp
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("doc_logprob_bigram_documents", _BIGRAM_LOGPROB_ORACLE)
+def q_doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import doc_logprob_bigram
+
+    return doc_logprob_bigram(load(spark, sf_dir, "documents"), lam=0.7)

@@ -268,3 +268,42 @@ def test_pmi_rejects_bad_params(spark):
         pmi_pairs(df, window=0)
     with _pytest.raises(ValueError):
         pmi_pairs(df, min_count=0)
+
+
+def test_bigram_lm_probabilities_normalize(spark):
+    """Successor probabilities for one history sum to < 1 (reserved
+    unseen mass) and to ~1 including it."""
+    import math
+
+    from spark_extension_spark.operators.ranking import bigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a c a b")], ["doc_id", "text"]
+    )
+    rows = {(r["w1"], r["w2"]): r["logp"] for r in bigram_lm(df, k=1.0).collect()}
+    # history 'a': successors b (x2), c (x1); V=3
+    p_b = math.exp(rows[("a", "b")])
+    p_c = math.exp(rows[("a", "c")])
+    assert p_b > p_c
+    assert p_b + p_c < 1.0
+
+
+def test_doc_logprob_bigram_flags_scrambled_text(spark):
+    """Documents with typical bigrams must outscore documents whose
+    bigrams never occur elsewhere — the quality signal itself."""
+    from spark_extension_spark.operators.ranking import doc_logprob_bigram
+
+    common = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    weird = [(100, "dog the over fox brown lazy jumps quick the")]
+    df = spark.createDataFrame(common + weird, ["doc_id", "text"])
+    scores = {r["doc_id"]: r["avg_logp"] for r in doc_logprob_bigram(df).collect()}
+    assert scores[0] > scores[100]
+
+
+def test_doc_logprob_bigram_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.ranking import doc_logprob_bigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, doc_logprob_bigram(docs).collect()))
+    b = sorted(map(tuple, doc_logprob_bigram(docs.repartition(7)).collect()))
+    assert a == b
