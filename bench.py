@@ -148,6 +148,7 @@ HEADLINE = [
     "scd2_merge_orders",
     "pmi_pairs_documents",
     "doc_logprob_bigram_documents",
+    "mad_outliers_events",
 ]
 
 

@@ -20,6 +20,7 @@ __all__ = [
     "winsorize",
     "group_quantiles",
     "approx_group_quantiles",
+ "mad_outliers",
 ]
 
 
@@ -267,3 +268,48 @@ def approx_group_quantiles(
     return agg.select(*[F.col(c) for c in by], "n", F.expr(stack)).select(
         *[F.col(c) for c in by], "p", "q_estimate", "n"
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    k: float = 3.0,
+    tiebreak: Sequence[str] = (),
+    out: str = "is_outlier",
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation:
+    a row is an outlier when ``|x − median| > k · MAD`` (``MAD =
+    median(|x − median|)``).  Unlike z-scores, both location and scale
+    are medians, so the outliers themselves cannot mask the estimate —
+    the standard robust rule (k = 3 ≈ "beyond 2σ" for Gaussian data
+    via the 1.4826 consistency factor, which is deliberately NOT baked
+    in: ``k`` is in MAD units).
+
+    Adds ``group_median``, ``group_mad``, and ``out`` (boolean; a
+    degenerate group with MAD = 0 flags every value ≠ median).
+
+    Scale shape: two :func:`group_quantiles` passes (median, then
+    median of absolute deviations — each ONE rank window on ``by``)
+    plus broadcast joins of the ≤ |groups|-row summaries back; the
+    data is never sorted globally and never self-joined.  Medians are
+    discrete (``percentile_disc`` semantics), so flags replay exactly
+    across engines and partitionings."""
+    med = group_quantiles(
+        df, value_col, by=by, quantiles=(0.5,), tiebreak=tiebreak
+    ).select(*by, F.col("q50").alias("group_median"))
+    join_med = (
+        df.join(F.broadcast(med), list(by)) if by else df.crossJoin(F.broadcast(med))
+    )
+    dev = join_med.withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("group_median"))
+    )
+    mad = group_quantiles(
+        dev, "__adev", by=by, quantiles=(0.5,), tiebreak=tiebreak
+    ).select(*by, F.col("q50").alias("group_mad"))
+    joined = (
+        dev.join(F.broadcast(mad), list(by)) if by else dev.crossJoin(F.broadcast(mad))
+    )
+    return joined.withColumn(
+        out, F.col("__adev") > F.lit(float(k)) * F.col("group_mad")
+    ).drop("__adev")

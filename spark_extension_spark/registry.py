@@ -4117,3 +4117,55 @@ def q_doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import doc_logprob_bigram
 
     return doc_logprob_bigram(load(spark, sf_dir, "documents"), lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# robust MAD outlier flags
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) THEN value END) AS group_median
+  FROM r1 WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, med.group_median,
+         abs(e.value - med.group_median) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) THEN adev END) AS group_mad
+  FROM r2 WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+  GROUP BY event_type
+)
+SELECT dev.event_id, dev.event_type, dev.value, dev.group_median,
+       mad.group_mad, dev.adev > 3.0 * mad.group_mad AS is_outlier
+FROM dev JOIN mad USING (event_type)
+"""
+
+
+@register("mad_outliers_events", _MAD_ORACLE)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import mad_outliers
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(
+        ev, "value", by=["event_type"], k=3.0, tiebreak=["event_id"]
+    ).select(
+        "event_id", "event_type", "value", "group_median", "group_mad", "is_outlier"
+    )

@@ -318,3 +318,43 @@ def test_approx_group_quantiles_global_no_keys(spark):
     got = {r["p"]: r["q_estimate"] for r in
            approx_group_quantiles(df, "v", quantiles=(0.5,), bins=100).collect()}
     assert abs(got[0.5] - 499.0) <= (999.0 / 100) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from spark_extension_spark.operators.features import mad_outliers
+
+    rows = [(i, "g", float(50 + (i % 5))) for i in range(50)] + [(99, "g", 1e6)]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = {r["id"]: r for r in mad_outliers(df, "v", by=["grp"], tiebreak=["id"]).collect()}
+    assert out[99]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    assert out[0]["group_median"] == 52.0
+    # the spike cannot mask the scale estimate: MAD stays data-sized
+    assert out[0]["group_mad"] <= 2.0
+
+
+def test_mad_outliers_degenerate_group(spark):
+    from spark_extension_spark.operators.features import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 7.0)], ["id", "v"]
+    )
+    out = {r["id"]: r for r in mad_outliers(df, "v", tiebreak=["id"]).collect()}
+    # MAD = 0: every value != median flags
+    assert out[4]["is_outlier"] is True and out[1]["is_outlier"] is False
+
+
+def test_mad_outliers_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.features import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    a = sorted(map(tuple, mad_outliers(ev, "value", by=["event_type"], tiebreak=["event_id"]).collect()))
+    b = sorted(map(tuple, mad_outliers(ev.repartition(9), "value", by=["event_type"], tiebreak=["event_id"]).collect()))
+    assert a == b
