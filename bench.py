@@ -149,6 +149,7 @@ HEADLINE = [
     "pmi_pairs_documents",
     "doc_logprob_bigram_documents",
     "mad_outliers_events",
+    "char_entropy_documents",
 ]
 
 

@@ -63,6 +63,7 @@ from .text import (
     repetition_metrics,
     token_count,
     vocab_coverage,
+    char_entropy,
     with_quality_metrics,
 )
 from .dedup import (
@@ -219,5 +220,5 @@ __all__ = [
     "pagerank", "out_degrees",
     "scd2_merge", "scd2_current", "scd2_as_of",
     "pmi_pairs", "bigram_lm", "doc_logprob_bigram",
-    "mad_outliers",
+    "mad_outliers", "char_entropy",
 ]

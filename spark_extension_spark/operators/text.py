@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "mix_report",
     "chunk_documents",
     "vocab_coverage",
+    "char_entropy",
 ]
 
 
@@ -536,5 +537,55 @@ def vocab_coverage(
                 F.coalesce("n_in_vocab", F.lit(0)).cast("double")
                 / F.col("n_tokens").cast("double"),
             ).otherwise(0.0).alias("coverage"),
+        )
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats):
+    ``H = −Σ_c p_c · ln p_c`` over the raw character distribution —
+    the gibberish detector ratio metrics miss: keyboard mash and
+    base64 blobs run hot (flat distribution), template/repeated
+    filler runs cold, natural language sits in a narrow band.
+
+    Returns (id, ``n_chars``, ``entropy``); empty documents get
+    ``n_chars = 0`` and NULL entropy (visible, not a fake 0).
+
+    Scale shape: one char explode (rows = corpus character count — the
+    same cost class as tokenization, one scan) into a map-side-combined
+    (doc, char) count, then a per-doc DECIMAL(38,15) aggregate of
+    ``p·ln p`` terms — order-independent, engine-reproducible."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__c")
+    ).where(F.col("__c") != "")
+    counts = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__k"))
+    n = Window.partitionBy(id_col)
+    per_doc = (
+        counts.withColumn("__n", F.sum("__k").over(n))
+        .select(
+            F.col(id_col),
+            F.col("__n"),
+            (
+                (F.col("__k").cast("double") / F.col("__n").cast("double"))
+                * F.log(F.col("__k").cast("double") / F.col("__n").cast("double"))
+            ).cast("decimal(38,15)").alias("__t"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_chars"),
+            (-F.sum("__t").cast("double")).alias("entropy"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+            "entropy",
         )
     )

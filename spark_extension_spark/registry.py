@@ -4169,3 +4169,37 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "event_type", "value", "group_median", "group_mad", "is_outlier"
     )
+
+
+# ---------------------------------------------------------------------------
+# character-level entropy (gibberish / template detector)
+# ---------------------------------------------------------------------------
+
+_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM chars WHERE c <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id,
+         MAX(n) AS n_chars,
+         -CAST(SUM(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,15))) AS DOUBLE) AS entropy
+  FROM (SELECT doc_id, c, k, SUM(k) OVER (PARTITION BY doc_id) AS n FROM counts)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+       per.entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("char_entropy_documents", _CHAR_ENTROPY_ORACLE)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import char_entropy
+
+    return char_entropy(load(spark, sf_dir, "documents").select("doc_id", "text"))

@@ -351,3 +351,33 @@ def test_vocab_coverage(spark):
     assert got[3]["n_tokens"] == 0 and got[3]["coverage"] == 0.0
     # normalization: case/punctuation insensitive
     assert got[4]["n_tokens"] == 2 and got[4]["n_in_vocab"] == 2
+
+
+def test_char_entropy_signal(spark):
+    """Flat random-ish text runs hot, repeated filler runs cold, and a
+    single-character doc has zero entropy."""
+    import math
+
+    from spark_extension_spark.operators.text import char_entropy
+
+    docs = [
+        (1, "abcdefghijklmnopqrstuvwxyz"),   # flat: H = ln(26)
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaaaa"),   # constant: H = 0
+        (3, "abababababababababababab"),     # two symbols: H = ln(2)
+        (4, ""),                             # empty: NULL, visible
+    ]
+    out = {r["doc_id"]: r for r in char_entropy(spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    assert out[1]["entropy"] == pytest.approx(math.log(26))
+    assert out[2]["entropy"] == 0.0
+    assert out[3]["entropy"] == pytest.approx(math.log(2))
+    assert out[4]["n_chars"] == 0 and out[4]["entropy"] is None
+    assert out[1]["entropy"] > out[3]["entropy"] > out[2]["entropy"]
+
+
+def test_char_entropy_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.text import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = sorted(map(tuple, char_entropy(docs).collect()))
+    b = sorted(map(tuple, char_entropy(docs.repartition(11)).collect()))
+    assert a == b
