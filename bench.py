@@ -150,6 +150,8 @@ HEADLINE = [
     "doc_logprob_bigram_documents",
     "mad_outliers_events",
     "char_entropy_documents",
+    "asof_join_forward_events",
+    "asof_join_nearest_events",
 ]
 
 

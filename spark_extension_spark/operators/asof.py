@@ -1,29 +1,34 @@
-"""As-of join: match each left row with the most recent right row at or
-before its time (per key) — the standard time-series alignment operator
-(pandas ``merge_asof``, DuckDB/kdb ``ASOF JOIN``), which Spark lacks.
+"""As-of join: match each left row with the nearest right row at or
+before (or after, or either side of) its time, per key — the standard
+time-series alignment operator (pandas ``merge_asof``, DuckDB/kdb
+``ASOF JOIN``), which Spark lacks.
 
 Spark-first construction — the union+window technique, NOT a range
-join: tag both sides, union them, and carry the latest right payload
-forward with ``last(ignorenulls)`` over a per-key window ordered by
+join: tag both sides, union them, and carry the nearest right payload
+with ``last``/``first(ignorenulls)`` over a per-key window ordered by
 (time, side).  One hash shuffle on the key, one within-partition sort,
 zero join explosion — a per-key range join would generate |L|×|R|
 candidate pairs per key before filtering; this stays linear.  At 100 TB
-that difference is the whole ballgame.
+that difference is the whole ballgame.  ``direction='nearest'`` adds a
+second window over the SAME partitioning (no extra exchange), then
+picks the closer side.
 
 With no ``by`` keys there is no hash key to partition the window on, so
 the keyless path range-partitions the union by time and carries the
 payload across partition boundaries explicitly (the same
-partition-pinning technique as ``with_row_numbers``): a per-partition
-backward fill in parallel windows, then a per-partition "last payload"
-table (≤ one row per partition) prefix-scanned in a single tiny window
-and broadcast back.  No stage ever sees more than one partition's rows
-— the naive alternative (a global ``Window.orderBy``) collapses the
-entire dataset onto one executor.
+partition-pinning technique as ``with_row_numbers``): per-partition
+fills in parallel windows, then a per-partition boundary-payload table
+(≤ one row per partition) prefix/suffix-scanned in a single tiny window
+and broadcast back.  Both directions share ONE range partitioning and
+ONE persist.  No stage ever sees more than one partition's rows — the
+naive alternative (a global ``Window.orderBy``) collapses the entire
+dataset onto one executor.
 
-Right-side rows sort before left-side rows at equal timestamps, so a
-right row at exactly the left row's time matches (inclusive backward —
-DuckDB ``ASOF JOIN ... ON l.t >= r.t`` semantics; validated against it
-by the ``asof_join_events`` oracle query).
+Tie handling is inclusive on both directions: a right row at exactly
+the left row's time matches (backward — DuckDB
+``ASOF JOIN ... ON l.t >= r.t`` semantics, validated against it by the
+``asof_join_events`` oracle; forward mirrors with ``<=``).  ``nearest``
+breaks exact-distance ties toward the backward match (pandas).
 """
 
 from __future__ import annotations
@@ -38,6 +43,8 @@ from ..utils import UnpersistHandle, backticks, distinct_prefix_for
 
 __all__ = ["asof_join"]
 
+_DIRECTIONS = ("backward", "forward", "nearest")
+
 
 def asof_join(
     left: DataFrame,
@@ -45,18 +52,23 @@ def asof_join(
     on: str,
     by: Union[str, Sequence[str], None] = None,
     tolerance: Optional[Column] = None,
+    direction: str = "backward",
     right_prefix: str = "right",
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
-    """For every ``left`` row, attach the ``right`` row with the largest
-    ``on`` value ≤ the left row's ``on`` value, matching on the optional
-    ``by`` key columns.
+    """For every ``left`` row, attach the ``right`` row nearest in
+    ``on`` — the largest value ≤ the left row's (``direction=
+    'backward'``, default), the smallest ≥ it (``'forward'``), or
+    whichever of the two is closer (``'nearest'``, exact ties to
+    backward) — matching on the optional ``by`` key columns.
 
-    Right payload columns appear as ``{right_prefix}_{name}`` (null when
-    no right row precedes).  ``tolerance`` (a Column interpreted in the
-    units of ``on``'s difference, e.g. ``F.lit(60)`` for integer-second
-    times) discards matches older than ``on - tolerance``.
+    Right payload columns appear as ``{right_prefix}_{name}`` (null
+    when no right row qualifies).  ``tolerance`` (a Column in the units
+    of ``on``'s difference, e.g. ``F.lit(60)`` for integer-second
+    times) discards matches farther than ``tolerance`` in the match
+    direction — for ``nearest`` it applies to each side before the
+    closer one is chosen.
 
     If ``right`` has several rows at the same (key, time), the one
     emitted is the last in the union's sort — deduplicate first if that
@@ -64,8 +76,11 @@ def asof_join(
 
     ``storage_level``/``unpersist_handle`` apply only to the keyless
     path (``by=None``), which persists the range-partitioned union to
-    pin partition ids across its two plan branches.
+    pin partition ids across its plan branches (one persist regardless
+    of direction).
     """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
     by_cols: List[str] = [] if by is None else ([by] if isinstance(by, str) else list(by))
     for name in [on] + by_cols:
         if name not in left.columns or name not in right.columns:
@@ -78,6 +93,8 @@ def asof_join(
     side = prefix + "side"
     payload = prefix + "payload"
     right_on = prefix + "right_on"
+    back_col = prefix + "back"
+    fwd_col = prefix + "fwd"
 
     value_cols = [c for c in right.columns if c != on and c not in by_cols]
     left_cols = list(left.columns)
@@ -103,23 +120,59 @@ def asof_join(
     )
 
     union = tagged_right.unionByName(tagged_left)
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
+
     if by_cols:
-        w = (
-            Window.partitionBy(*[F.col(backticks(c)) for c in by_cols])
-            .orderBy(F.col(on), F.col(side))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        merged = union.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+        part = [F.col(backticks(c)) for c in by_cols]
+        merged = union
+        if want_back:
+            # right (side 0) sorts before left at equal time: inclusive <=
+            wb = (
+                Window.partitionBy(*part)
+                .orderBy(F.col(on).asc(), F.col(side).asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            merged = merged.withColumn(
+                back_col, F.last(payload, ignorenulls=True).over(wb)
+            )
+        if want_fwd:
+            # scanning ascending: left (side 1) FIRST at equal time, so
+            # the frame [current, following] still sees that right row
+            wf = (
+                Window.partitionBy(*part)
+                .orderBy(F.col(on).asc(), F.col(side).desc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            merged = merged.withColumn(
+                fwd_col, F.first(payload, ignorenulls=True).over(wf)
+            )
     else:
-        merged = _keyless_backward_fill(
-            union, on, side, payload, prefix, storage_level, unpersist_handle
+        merged = _keyless_fills(
+            union, on, side, payload, back_col if want_back else None,
+            fwd_col if want_fwd else None, prefix, storage_level, unpersist_handle,
         )
 
     matched = merged.where(F.col(side) == 1)
-    match_col = F.col(payload)
-    if tolerance is not None:
-        match_col = F.when(
-            F.col(on) - match_col[right_on] <= tolerance, match_col
+
+    def with_tolerance(col: Column, forward: bool) -> Column:
+        if tolerance is None:
+            return col
+        dist = (col[right_on] - F.col(on)) if forward else (F.col(on) - col[right_on])
+        return F.when(dist <= tolerance, col)
+
+    if direction == "backward":
+        match_col = with_tolerance(F.col(back_col), False)
+    elif direction == "forward":
+        match_col = with_tolerance(F.col(fwd_col), True)
+    else:
+        b = with_tolerance(F.col(back_col), False)
+        f = with_tolerance(F.col(fwd_col), True)
+        match_col = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when((F.col(on) - b[right_on]) <= (f[right_on] - F.col(on)), b)
+            .otherwise(f)
         )
 
     projection = (
@@ -133,26 +186,32 @@ def asof_join(
     return matched.select(*projection)
 
 
-def _keyless_backward_fill(
+def _keyless_fills(
     union: DataFrame,
     on: str,
     side: str,
     payload: str,
+    back_col: Optional[str],
+    fwd_col: Optional[str],
     prefix: str,
     storage_level: StorageLevel,
     unpersist_handle: Optional[UnpersistHandle],
 ) -> DataFrame:
-    """Carry the latest non-null ``payload`` forward in global
-    (``on``, ``side``) order WITHOUT a single-partition window.
+    """Backward and/or forward payload fills in global (``on``,
+    ``side``) order WITHOUT a single-partition window, sharing ONE
+    range partitioning and ONE persist:
 
     1. range-partition the union by (on, side) — globally ordered
        across partitions, parallel within;
     2. persist to pin ``spark_partition_id`` (a correctness barrier:
-       both branches below must observe the same assignment);
-    3. backward-fill within each partition in parallel windows;
-    4. reduce each partition to its last non-null payload (≤ one row
-       per partition), prefix-scan those in one tiny window to get each
-       partition's carry-in, and broadcast-join the carry back.
+       every branch below must observe the same assignment);
+    3. fill within each partition in parallel windows (backward scans
+       ascending, forward scans the same sorted data with a
+       [current, following] frame);
+    4. reduce each partition to its boundary non-null payloads (≤ one
+       row per partition per direction), prefix-scan those for the
+       backward carry-in / suffix-scan for the forward carry-out in
+       one tiny window each, and broadcast-join the carries back.
     """
     if storage_level is None:
         raise ValueError(
@@ -160,40 +219,77 @@ def _keyless_backward_fill(
             "the range partitioning both plan branches depend on"
         )
     pid = prefix + "partition_id"
-    carry = prefix + "carry"
 
+    # range-partition by `on` ALONE: RangePartitioner sends equal keys
+    # to one partition, so equal-time ties never straddle a boundary —
+    # required because backward scans ties (side asc) and forward scans
+    # them (side desc); a (on, side) partitioning could cut between the
+    # two orders.  Heavy single-timestamp skew concentrates in one
+    # partition; callers with that shape should pre-bucket the time.
     ranged = (
-        union.repartitionByRange(F.col(on), F.col(side))
+        union.repartitionByRange(F.col(on))
         .withColumn(pid, F.spark_partition_id())
         .persist(storage_level)
     )
     if unpersist_handle is not None:
         unpersist_handle.set_dataframe(ranged)
 
-    local_w = (
-        Window.partitionBy(pid)
-        .orderBy(F.col(on), F.col(side))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = ranged.withColumn(payload, F.last(payload, ignorenulls=True).over(local_w))
+    out = ranged
+    carries_to_join = []
 
-    # one row per partition: the payload of its latest (on, side) row
-    # that has one (max_by skips rows whose ordering struct is null)
-    last_per_partition = ranged.groupBy(pid).agg(
-        F.max_by(
-            F.col(payload),
-            F.when(F.col(payload).isNotNull(), F.struct(F.col(on), F.col(side))),
-        ).alias(payload)
-    )
-    carries = last_per_partition.select(
-        F.col(pid),
-        F.last(payload, ignorenulls=True)
-        .over(Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1))
-        .alias(carry),
-    )
+    if back_col is not None:
+        local_b = (
+            Window.partitionBy(pid)
+            .orderBy(F.col(on).asc(), F.col(side).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(back_col, F.last(payload, ignorenulls=True).over(local_b))
+        carry_b = prefix + "carry_b"
+        last_per_partition = ranged.groupBy(pid).agg(
+            F.max_by(
+                F.col(payload),
+                F.when(F.col(payload).isNotNull(), F.struct(F.col(on), F.col(side))),
+            ).alias(payload)
+        )
+        carries_b = last_per_partition.select(
+            F.col(pid),
+            F.last(payload, ignorenulls=True)
+            .over(Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1))
+            .alias(carry_b),
+        )
+        carries_to_join.append((carries_b, back_col, carry_b))
 
-    return (
-        filled.join(F.broadcast(carries), pid, "left")
-        .withColumn(payload, F.coalesce(F.col(payload), F.col(carry)))
-        .drop(pid, carry)
-    )
+    if fwd_col is not None:
+        local_f = (
+            Window.partitionBy(pid)
+            .orderBy(F.col(on).asc(), F.col(side).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = out.withColumn(fwd_col, F.first(payload, ignorenulls=True).over(local_f))
+        carry_f = prefix + "carry_f"
+        # first non-null payload of each partition in ascending order:
+        # smallest (on, -side) — at equal on the right row (side 0,
+        # -side 0) sorts after left (-side -1), matching the scan above
+        first_per_partition = ranged.groupBy(pid).agg(
+            F.min_by(
+                F.col(payload),
+                F.when(
+                    F.col(payload).isNotNull(), F.struct(F.col(on), (-F.col(side)).alias(side))
+                ),
+            ).alias(payload)
+        )
+        carries_f = first_per_partition.select(
+            F.col(pid),
+            F.first(payload, ignorenulls=True)
+            .over(Window.orderBy(pid).rowsBetween(1, Window.unboundedFollowing))
+            .alias(carry_f),
+        )
+        carries_to_join.append((carries_f, fwd_col, carry_f))
+
+    for carries, col_name, carry_name in carries_to_join:
+        out = (
+            out.join(F.broadcast(carries), pid, "left")
+            .withColumn(col_name, F.coalesce(F.col(col_name), F.col(carry_name)))
+            .drop(carry_name)
+        )
+    return out.drop(pid)

@@ -4203,3 +4203,81 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import char_entropy
 
     return char_entropy(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join directions: forward / nearest (merge_asof parity)
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+), ref AS (
+  SELECT user_id, t, value AS ref_value FROM base WHERE event_id % 10 = 0
+)
+SELECT b.user_id, b.t, b.event_id, b.value,
+       r.t AS ref_t, r.ref_value
+FROM base b
+ASOF LEFT JOIN ref r ON b.user_id = r.user_id AND b.t <= r.t
+"""
+
+
+@register("asof_join_forward_events", _ASOF_FWD_ORACLE)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t"), "value"
+    )
+    ref = base.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "t", F.col("value").alias("ref_value")
+    )
+    return (
+        asof_join(
+            base, ref, on="t", by="user_id", direction="forward", right_prefix="ref"
+        )
+        .select("user_id", "t", "event_id", "value", "ref_t", "ref_ref_value")
+        .withColumnRenamed("ref_ref_value", "ref_value")
+    )
+
+
+# nearest: two DuckDB ASOF joins (backward + forward), closer wins,
+# exact-distance ties to backward — the operator's documented contract
+_ASOF_NEAREST_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+), ref AS (
+  SELECT user_id, t, value AS ref_value FROM base WHERE event_id % 10 = 0
+), bk AS (
+  SELECT b.event_id, r.t AS bt, r.ref_value AS bv
+  FROM base b ASOF LEFT JOIN ref r ON b.user_id = r.user_id AND b.t >= r.t
+), fw AS (
+  SELECT b.event_id, r.t AS ft, r.ref_value AS fv
+  FROM base b ASOF LEFT JOIN ref r ON b.user_id = r.user_id AND b.t <= r.t
+)
+SELECT b.user_id, b.t, b.event_id, b.value,
+       CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+            WHEN (b.t - bt) <= (ft - b.t) THEN bt ELSE ft END AS ref_t,
+       CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+            WHEN (b.t - bt) <= (ft - b.t) THEN bv ELSE fv END AS ref_value
+FROM base b
+JOIN bk ON bk.event_id = b.event_id
+JOIN fw ON fw.event_id = b.event_id
+"""
+
+
+@register("asof_join_nearest_events", _ASOF_NEAREST_ORACLE)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t"), "value"
+    )
+    ref = base.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "t", F.col("value").alias("ref_value")
+    )
+    return (
+        asof_join(
+            base, ref, on="t", by="user_id", direction="nearest", right_prefix="ref"
+        )
+        .select("user_id", "t", "event_id", "value", "ref_t", "ref_ref_value")
+        .withColumnRenamed("ref_ref_value", "ref_value")
+    )

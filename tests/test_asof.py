@@ -87,3 +87,119 @@ def test_asof_preserves_left_rows(trades, quotes):
 def test_asof_missing_column(trades, quotes):
     with pytest.raises(ValueError, match="must exist on both sides"):
         asof_join(trades, quotes, on="nope")
+
+
+# ---------------------------------------------------------------------------
+# directions: forward / nearest
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 25), (3, "u", 40), (4, "v", 5)],
+        ["lid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [("u", 8, "a"), ("u", 25, "b"), ("u", 100, "c"), ("w", 1, "z")],
+        ["k", "t", "val"],
+    )
+    return left, right
+
+
+def test_asof_forward_keyed(spark):
+    from spark_extension_spark.operators.asof import asof_join
+
+    left, right = _mk(spark)
+    got = {
+        r["lid"]: (r["right_t"], r["right_val"])
+        for r in asof_join(left, right, on="t", by="k", direction="forward").collect()
+    }
+    assert got[1] == (25, "b")     # next at-or-after 10
+    assert got[2] == (25, "b")     # inclusive: exact time matches
+    assert got[3] == (100, "c")
+    assert got[4] == (None, None)  # key v has no right rows
+
+
+def test_asof_nearest_keyed_and_ties(spark):
+    from spark_extension_spark.operators.asof import asof_join
+
+    left, right = _mk(spark)
+    got = {
+        r["lid"]: (r["right_t"], r["right_val"])
+        for r in asof_join(left, right, on="t", by="k", direction="nearest").collect()
+    }
+    assert got[1] == (8, "a")      # dist 2 back vs 15 fwd
+    assert got[2] == (25, "b")     # exact
+    assert got[3] == (25, "b")     # dist 15 back vs 60 fwd
+    # equidistant tie -> backward (pandas semantics)
+    left2 = spark.createDataFrame([(9, "u", 16)], ["lid", "k", "t"])
+    # dist: 16-8=8 back, 25-16=9 fwd -> back; and a true tie:
+    right2 = spark.createDataFrame([("u", 10, "lo"), ("u", 20, "hi")], ["k", "t", "val"])
+    left3 = spark.createDataFrame([(1, "u", 15)], ["lid", "k", "t"])
+    tie = asof_join(left3, right2, on="t", by="k", direction="nearest").collect()[0]
+    assert tie["right_val"] == "lo"
+
+
+def test_asof_forward_tolerance(spark):
+    import pyspark.sql.functions as F
+    from spark_extension_spark.operators.asof import asof_join
+
+    left, right = _mk(spark)
+    got = {
+        r["lid"]: r["right_val"]
+        for r in asof_join(
+            left, right, on="t", by="k", direction="forward", tolerance=F.lit(20)
+        ).collect()
+    }
+    assert got[1] == "b"          # 15 ahead, within 20
+    assert got[3] is None         # 60 ahead, beyond tolerance
+
+
+def test_asof_directions_keyless(spark):
+    from spark_extension_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 25), (3, 40)], ["lid", "t"])
+    right = spark.createDataFrame([(8, "a"), (25, "b"), (100, "c")], ["t", "val"])
+    fwd = {
+        r["lid"]: r["right_val"]
+        for r in asof_join(left, right, on="t", direction="forward").collect()
+    }
+    assert fwd == {1: "b", 2: "b", 3: "c"}
+    near = {
+        r["lid"]: r["right_val"]
+        for r in asof_join(left, right, on="t", direction="nearest").collect()
+    }
+    assert near == {1: "a", 2: "b", 3: "b"}
+
+
+def test_asof_keyless_forward_partitioning_independent(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from spark_extension_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = events.select(
+        "event_id", (F.col("event_id") * 7 % 1000).alias("t"), "value"
+    )
+    ref = base.where(F.col("event_id") % 17 == 0).select(
+        "t", F.col("value").alias("ref_value")
+    ).distinct()
+    a = sorted(map(tuple, asof_join(base, ref, on="t", direction="forward").collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(
+                base.repartition(7), ref.repartition(3), on="t", direction="forward"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_asof_rejects_bad_direction(spark):
+    from spark_extension_spark.operators.asof import asof_join
+
+    left, right = _mk(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="t", by="k", direction="sideways")
