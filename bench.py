@@ -152,6 +152,7 @@ HEADLINE = [
     "char_entropy_documents",
     "asof_join_forward_events",
     "asof_join_nearest_events",
+    "dedup_report_documents",
 ]
 
 

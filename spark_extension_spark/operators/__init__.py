@@ -30,7 +30,7 @@ from .dedup import leakage_safe_splits, winnow_fingerprints, winnow_overlap_pair
 from .sampling import interleave_by_mix, repeat_upsample
 from .profile import check_constraints, psi_report
 from .ranking import bigram_lm, doc_logprob_bigram, pmi_pairs, zipf_report
-from .dedup import duplicate_source_matrix
+from .dedup import dedup_report, duplicate_source_matrix
 from .similarity import embedding_stats
 from .graph import out_degrees, pagerank
 from .scd import scd2_as_of, scd2_current, scd2_merge
@@ -220,5 +220,5 @@ __all__ = [
     "pagerank", "out_degrees",
     "scd2_merge", "scd2_current", "scd2_as_of",
     "pmi_pairs", "bigram_lm", "doc_logprob_bigram",
-    "mad_outliers", "char_entropy",
+    "mad_outliers", "char_entropy", "dedup_report",
 ]

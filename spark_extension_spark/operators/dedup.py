@@ -45,6 +45,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "duplicate_source_matrix",
+    "dedup_report",
 ]
 
 # (a, b) parameters of the universal hash family h_i(x) = (a_i*x + b_i) mod P
@@ -1093,4 +1094,61 @@ def duplicate_source_matrix(
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def dedup_report(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """Per-stratum duplication audit — the numbers a dedup decision is
+    made from, measured before touching anything: (``stratum``,
+    ``n_docs``, ``n_distinct``, ``n_dup_docs`` — docs whose content
+    recurs *corpus-wide* (not just within the stratum), ``dup_frac``,
+    ``n_cross_dup_docs`` — docs whose content also appears in some
+    OTHER stratum).  High ``dup_frac`` with low cross-dup means
+    in-feed boilerplate (dedup within the feed); high cross-dup means
+    mirrored feeds (pick a priority order first — see
+    :func:`duplicate_source_matrix` for which pairs mirror).
+
+    One hash projection, one (content, stratum) count aggregate, a
+    content-level stats frame joined back by hash — shuffle keyed by
+    content hash, never wider."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    hashed = df.select(
+        F.md5(content).alias("__h"), F.col(strata_col).alias("stratum")
+    )
+    per_hs = hashed.groupBy("__h", "stratum").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_h = per_hs.groupBy("__h").agg(
+        F.sum("__n").alias("__total"),
+        F.count(F.lit(1)).alias("__n_strata"),
+    )
+    joined = per_hs.join(per_h, "__h")
+    return (
+        joined.groupBy("stratum")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("__total") > 1, F.col("__n")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.sum(F.when(F.col("__n_strata") > 1, F.col("__n")).otherwise(0)).alias(
+                "n_cross_dup_docs"
+            ),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "n_distinct",
+            "n_dup_docs",
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")).alias(
+                "dup_frac"
+            ),
+            "n_cross_dup_docs",
+        )
     )

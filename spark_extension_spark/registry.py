@@ -4281,3 +4281,43 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "t", "event_id", "value", "ref_t", "ref_ref_value")
         .withColumnRenamed("ref_ref_value", "ref_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source duplication audit
+# ---------------------------------------------------------------------------
+
+_DEDUP_REPORT_ORACLE = f"""
+WITH corpus AS ({_DUP_SOURCES_SQL}),
+hashed AS (
+  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h, source AS stratum
+  FROM corpus
+),
+per_hs AS (SELECT h, stratum, CAST(COUNT(*) AS BIGINT) AS n FROM hashed GROUP BY 1, 2),
+per_h AS (
+  SELECT h, SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM per_hs GROUP BY 1
+)
+SELECT stratum,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN total > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN total > 1 THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+       CAST(SUM(CASE WHEN n_strata > 1 THEN n ELSE 0 END) AS BIGINT) AS n_cross_dup_docs
+FROM per_hs JOIN per_h USING (h)
+GROUP BY stratum
+"""
+
+
+@register("dedup_report_documents", _DEDUP_REPORT_ORACLE)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_report
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirrored = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    return dedup_report(docs.unionAll(mirrored))

@@ -589,3 +589,24 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(df, iterations=0)
     with _pytest.raises(ValueError):
         pagerank(df, damping=1.5)
+
+
+def test_dedup_report_classifies_duplication(spark):
+    from spark_extension_spark.operators.dedup import dedup_report
+
+    rows = [
+        (1, "web", "unique web content one"),
+        (2, "web", "repeated inside web"),
+        (3, "web", "repeated inside web"),       # in-feed dup
+        (4, "web", "mirrored across feeds"),
+        (5, "wiki", "mirrored across feeds"),    # cross-feed dup
+        (6, "wiki", "unique wiki content"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["stratum"]: r for r in dedup_report(df).collect()}
+    web, wiki = got["web"], got["wiki"]
+    assert web["n_docs"] == 4 and web["n_distinct"] == 3
+    assert web["n_dup_docs"] == 3          # 2 in-feed copies + 1 mirrored
+    assert web["n_cross_dup_docs"] == 1    # only the mirrored one
+    assert wiki["n_dup_docs"] == 1 and wiki["n_cross_dup_docs"] == 1
+    assert web["dup_frac"] == 0.75
