@@ -28,6 +28,7 @@ __all__ = [
     "foreach_batch_diff",
     "foreach_batch_near_dedup",
     "streaming_ttl_dedup",
+    "streaming_mix_monitor",
 ]
 
 
@@ -424,3 +425,62 @@ def streaming_ttl_dedup(
         timeMode="ProcessingTime",
     )
     return deduped.drop("__content_hash")
+
+
+def streaming_mix_monitor(
+    stream: DataFrame,
+    targets: dict,
+    strata_col: str = "source",
+    event_time_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed corpus-mix drift monitor: per event-time window, each
+    target stratum's observed share vs its target share, plus the
+    worst absolute deviation (``max_abs_dev`` — alert when it crosses
+    your threshold).  The streaming observability companion to
+    :func:`~spark_extension_spark.operators.sampling.interleave_by_mix`
+    / ``resample_to_mix``: is the stream actually delivering the mix
+    the pipeline was tuned for?
+
+    Like :func:`streaming_histogram`, the whole computation is ONE
+    watermarked windowed aggregate (conditional counts per target
+    stratum — no second aggregation, which Structured Streaming would
+    reject); strata outside ``targets`` fold into ``n_other``."""
+    if not targets:
+        raise ValueError("targets must not be empty")
+    total_w = float(sum(targets.values()))
+    if total_w <= 0:
+        raise ValueError("targets must sum to a positive value")
+    s = F.col(strata_col)
+    names = list(targets)
+    aggs = [
+        F.sum(F.when(s == F.lit(name), 1).otherwise(0)).alias(f"n_{name}")
+        for name in names
+    ] + [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(s.isin(names), 0).otherwise(1)).alias("n_other"),
+    ]
+    agg = (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_duration).alias("window"))
+        .agg(*aggs)
+    )
+    total = F.col("n_total").cast("double")
+    shares = []
+    devs = []
+    for name in names:
+        share = F.col(f"n_{name}").cast("double") / total
+        shares.append(share.alias(f"share_{name}"))
+        devs.append(F.abs(share - F.lit(float(targets[name]) / total_w)))
+    max_dev = devs[0]
+    for d in devs[1:]:
+        max_dev = F.greatest(max_dev, d)
+    return agg.select(
+        "window",
+        "n_total",
+        "n_other",
+        *[F.col(f"n_{name}") for name in names],
+        *shares,
+        max_dev.alias("max_abs_dev"),
+    )

@@ -319,3 +319,36 @@ def test_streaming_ttl_dedup(spark, tmp_path):
         r["doc_id"] for r in spark.sql("select * from ttl_dedup_sink").collect()
     )
     assert got == [1, 2, 4]  # doc 3 is a normalized duplicate of doc 1
+
+
+def test_streaming_mix_monitor(spark, tmp_path):
+    import datetime as _dt
+
+    from spark_extension_spark.streaming import streaming_mix_monitor
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = (
+        [(i, "web", t0) for i in range(6)]
+        + [(10 + i, "wiki", t0) for i in range(3)]
+        + [(20, "unlisted", t0)]
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, source string, ts timestamp").coalesce(
+        1
+    ).write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, source string, ts timestamp").parquet(path)
+    out = streaming_mix_monitor(
+        stream, {"web": 0.5, "wiki": 0.5}, window_duration="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mix_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r = spark.sql("select * from mix_sink").collect()[0]
+    assert r["n_total"] == 10 and r["n_other"] == 1
+    assert r["share_web"] == 0.6 and r["share_wiki"] == 0.3
+    assert r["max_abs_dev"] == pytest.approx(0.2)  # wiki 0.3 vs target 0.5
