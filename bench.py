@@ -153,6 +153,7 @@ HEADLINE = [
     "asof_join_forward_events",
     "asof_join_nearest_events",
     "dedup_report_documents",
+    "rank_normalize_events",
 ]
 
 

@@ -107,7 +107,7 @@ from .timeseries import (
     time_bucket,
     time_bucket_rollup,
 )
-from .features import approx_group_quantiles, group_quantiles, mad_outliers, pivot_counts, winsorize
+from .features import approx_group_quantiles, group_quantiles, mad_outliers, pivot_counts, rank_normalize, winsorize
 from .profile import profile
 from .semistructured import extract_json_fields
 from .ranking import sparse_cosine_pairs
@@ -220,5 +220,5 @@ __all__ = [
     "pagerank", "out_degrees",
     "scd2_merge", "scd2_current", "scd2_as_of",
     "pmi_pairs", "bigram_lm", "doc_logprob_bigram",
-    "mad_outliers", "char_entropy", "dedup_report",
+    "mad_outliers", "char_entropy", "dedup_report", "rank_normalize",
 ]

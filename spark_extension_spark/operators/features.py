@@ -20,7 +20,7 @@ __all__ = [
     "winsorize",
     "group_quantiles",
     "approx_group_quantiles",
- "mad_outliers",
+ "mad_outliers", "rank_normalize",
 ]
 
 
@@ -313,3 +313,32 @@ def mad_outliers(
     return joined.withColumn(
         out, F.col("__adev") > F.lit(float(k)) * F.col("group_mad")
     ).drop("__adev")
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+    out: str = "pct_rank",
+) -> DataFrame:
+    """Per-group percentile rank in [0, 1]: ``(rank − 1) / (n − 1)``
+    (``percent_rank`` semantics; 0 for the minimum, 1 for the maximum,
+    0.0 for singleton groups).  The calibration step for multi-source
+    quality filtering: raw classifier/perplexity scores are not
+    comparable across sources, their within-source ranks are — filter
+    on ``pct_rank`` and every source is trimmed at the same quantile.
+
+    One rank window per group (single exchange on ``by``); ties break
+    deterministically via ``tiebreak`` columns, so the output replays
+    exactly."""
+    v = F.col(value_col)
+    order = [v.asc(), *[F.col(c).asc() for c in tiebreak]]
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    wn = Window.partitionBy(*[F.col(c) for c in by])
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    pct = F.when(
+        n > 1, (rn - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out, pct)

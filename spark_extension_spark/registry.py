@@ -4321,3 +4321,25 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return dedup_report(docs.unionAll(mirrored))
+
+
+# ---------------------------------------------------------------------------
+# per-group percentile-rank calibration
+# ---------------------------------------------------------------------------
+
+_RANK_NORM_ORACLE = """
+SELECT event_id, event_type, value,
+       CASE WHEN COUNT(*) OVER (PARTITION BY event_type) > 1
+            THEN CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE)
+            ELSE 0.0 END AS pct_rank
+FROM events
+"""
+
+
+@register("rank_normalize_events", _RANK_NORM_ORACLE)
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import rank_normalize
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return rank_normalize(ev, "value", by=["event_type"], tiebreak=["event_id"])

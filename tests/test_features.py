@@ -358,3 +358,29 @@ def test_mad_outliers_partitioning_independent(spark, sf_dir):
     a = sorted(map(tuple, mad_outliers(ev, "value", by=["event_type"], tiebreak=["event_id"]).collect()))
     b = sorted(map(tuple, mad_outliers(ev.repartition(9), "value", by=["event_type"], tiebreak=["event_id"]).collect()))
     assert a == b
+
+
+def test_rank_normalize_bounds_and_calibration(spark):
+    from spark_extension_spark.operators.features import rank_normalize
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", float(i) * 1000) for i in range(5)
+    ] + [(999, "solo", 42.0)]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = {r["id"]: r["pct_rank"] for r in rank_normalize(df, "v", by=["grp"], tiebreak=["id"]).collect()}
+    assert out[0] == 0.0 and out[9] == 1.0
+    assert out[100] == 0.0 and out[104] == 1.0   # scale-free per group
+    assert out[999] == 0.0                        # singleton
+    # same quantile threshold trims the same fraction of each group
+    kept_a = sum(1 for i in range(10) if out[i] >= 0.5)
+    kept_b = sum(1 for i in range(5) if out[100 + i] >= 0.5)
+    assert kept_a == 5 and kept_b == 3
+
+
+def test_rank_normalize_partitioning_independent(spark, sf_dir):
+    from spark_extension_spark.operators.features import rank_normalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "event_type", "value")
+    a = sorted(map(tuple, rank_normalize(ev, "value", by=["event_type"], tiebreak=["event_id"]).collect()))
+    b = sorted(map(tuple, rank_normalize(ev.repartition(7), "value", by=["event_type"], tiebreak=["event_id"]).collect()))
+    assert a == b
