@@ -20,7 +20,7 @@ __all__ = [
     "winsorize",
     "group_quantiles",
     "approx_group_quantiles",
- "mad_outliers", "rank_normalize",
+ "mad_outliers", "rank_normalize", "group_ols",
 ]
 
 
@@ -342,3 +342,73 @@ def rank_normalize(
         n > 1, (rn - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double")
     ).otherwise(F.lit(0.0))
     return df.withColumn(out, pct)
+
+
+def group_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] = (),
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line: one row per group
+    with ``(n, slope, intercept, r2)`` for ``y ~ slope·x + intercept``
+    — the cheap way to ask "is this metric drifting?" for every key at
+    once (per-source quality over time, per-user spend trend,
+    per-partition row-count growth) without a per-group model fit.
+
+    Closed-form from sufficient statistics: ONE hash aggregate computes
+    ``n, Σx, Σy, Σx², Σy², Σxy`` per group (map-side combined — the
+    only shuffle carries six numbers per group, never rows), then
+    slope/intercept/R² are pure scalar arithmetic on the one-row-per-
+    group result.  This is the textbook
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    formulation; no iteration, no windows, no second pass.
+
+    Determinism: the six sums run in ``DECIMAL(38, scale)`` —
+    order-independent addition, so results are bit-identical across
+    partitionings and replayable in any engine (each product is rounded
+    once to ``scale`` decimal places before summation; the final
+    arithmetic is a fixed-order double expression).  Rows where either
+    coordinate is NULL are excluded pairwise.  A group whose ``x`` is
+    constant has no defined slope: slope/intercept/r2 are NULL.  ``r2``
+    is also NULL when ``y`` is constant (zero variance to explain).
+    """
+    dec = f"decimal(38,{int(scale)})"
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+
+    def dsum(expr: Column, name: str) -> Column:
+        return F.sum(F.when(both, expr.cast(dec))).alias(name)
+
+    keys = [F.col(c) for c in by]
+    agg = df.groupBy(*keys).agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n"),
+        dsum(x, "__sx"),
+        dsum(y, "__sy"),
+        dsum(x * x, "__sxx"),
+        dsum(y * y, "__syy"),
+        dsum(x * y, "__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(dx != 0, num / dx)
+    intercept = F.when(dx != 0, (sy - (num / dx) * sx) / n)
+    r2 = F.when((dx != 0) & (dy != 0), (num * num) / (dx * dy))
+    return agg.select(
+        *[F.col(c) for c in by],
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

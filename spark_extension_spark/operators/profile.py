@@ -22,7 +22,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "check_constraints", "psi_report"]
+__all__ = ["profile", "check_constraints", "psi_report", "corr_matrix"]
 
 
 def profile(
@@ -176,3 +176,75 @@ def psi_report(
         p_b.alias("p_b"),
         ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("psi_term"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    columns: Sequence[str],
+    by: Sequence[str] = (),
+    scale: int = 12,
+) -> DataFrame:
+    """Pairwise Pearson correlations of ``columns`` in ONE aggregate
+    pass: one output row per unordered column pair (and per ``by``
+    group) with ``(col_x, col_y, n, corr)`` — the standard
+    feature-redundancy / leakage screen before training.
+
+    All p per-column sums, p squared sums, and p·(p−1)/2 cross-product
+    sums are aggregate expressions in a single ``groupBy().agg``, so
+    the table is scanned once with map-side partials regardless of how
+    many pairs are requested (``DataFrame.stat.corr`` runs one job per
+    pair; at 100 TB that is p²/2 scans instead of one).  The one-row-
+    per-group result is unpivoted to pair rows with ``stack`` — a
+    projection over |groups| rows, free at any scale.
+
+    Observations are *listwise* complete: rows with a NULL in any
+    requested column are excluded everywhere, so every pair shares one
+    ``n`` and the matrix is positive-semidefinite (pairwise-complete
+    matrices need not be).  Sums run in ``DECIMAL(38, scale)`` —
+    order-independent, bit-identical across partitionings and engines;
+    the correlation itself is a fixed-order double expression.  A pair
+    where either side is constant has NULL correlation.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError(f"corr_matrix needs >= 2 columns, got {cols}")
+    dec = f"decimal(38,{int(scale)})"
+    complete = None
+    for c in cols:
+        cond = F.col(c).isNotNull()
+        complete = cond if complete is None else (complete & cond)
+    d = df.where(complete)
+    val = {c: F.col(c).cast("double") for c in cols}
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(val[c].cast(dec)).alias(f"__s_{c}"))
+        aggs.append(F.sum((val[c] * val[c]).cast(dec)).alias(f"__ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(F.sum((val[a] * val[b]).cast(dec)).alias(f"__sp_{i}"))
+
+    keys = [F.col(c) for c in by]
+    agg = d.groupBy(*keys).agg(*aggs)
+
+    n = F.col("__n").cast("double")
+    corr_cols = []
+    for i, (a, b) in enumerate(pairs):
+        sa = F.col(f"__s_{a}").cast("double")
+        sb = F.col(f"__s_{b}").cast("double")
+        da = n * F.col(f"__ss_{a}").cast("double") - sa * sa
+        db = n * F.col(f"__ss_{b}").cast("double") - sb * sb
+        num = n * F.col(f"__sp_{i}").cast("double") - sa * sb
+        corr_cols.append(
+            F.when((da > 0) & (db > 0), num / (F.sqrt(da) * F.sqrt(db)))
+            .alias(f"__c_{i}")
+        )
+    agg = agg.select(*[F.col(c) for c in by], "__n", *corr_cols)
+    stack = (
+        f"stack({len(pairs)}, "
+        + ", ".join(f"'{a}', '{b}', `__c_{i}`" for i, (a, b) in enumerate(pairs))
+        + ") as (col_x, col_y, corr)"
+    )
+    return agg.select(
+        *[F.col(c) for c in by], F.col("__n").alias("n"), F.expr(stack)
+    ).select(*[F.col(c) for c in by], "col_x", "col_y", "n", "corr")

@@ -4343,3 +4343,115 @@ def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return rank_normalize(ev, "value", by=["event_type"], tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# per-group OLS trend (closed-form from decimal sufficient statistics)
+# ---------------------------------------------------------------------------
+
+_GROUP_OLS_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) AS DOUBLE) / 3.6e12 AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x AS DECIMAL(38,12)) END) AS sx,
+         SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y AS DECIMAL(38,12)) END) AS sy,
+         SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x * x AS DECIMAL(38,12)) END) AS sxx,
+         SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(y * y AS DECIMAL(38,12)) END) AS syy,
+         SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN CAST(x * y AS DECIMAL(38,12)) END) AS sxy
+  FROM d GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM s
+)
+SELECT event_type, n,
+       CASE WHEN nd * sxxd - sxd * sxd <> 0
+            THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END AS slope,
+       CASE WHEN nd * sxxd - sxd * sxd <> 0
+            THEN (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd
+       END AS intercept,
+       CASE WHEN nd * sxxd - sxd * sxd <> 0 AND nd * syyd - syd * syd <> 0
+            THEN ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+       END AS r2
+FROM f
+"""
+
+
+@register("group_ols_events", _GROUP_OLS_ORACLE)
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import group_ols
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__x", F.col("ts") / F.lit(3.6e12)
+    )
+    return group_ols(ev, "__x", "value", by=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# one-pass pairwise correlation matrix
+# ---------------------------------------------------------------------------
+
+
+def _corr_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sums = ", ".join(
+        f"SUM(CAST({c} AS DECIMAL(38,12))) AS s_{c},"
+        f" SUM(CAST({c} * {c} AS DECIMAL(38,12))) AS ss_{c}"
+        for c in cols
+    )
+    crosses = ", ".join(
+        f"SUM(CAST({a} * {b} AS DECIMAL(38,12))) AS sp_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    conds = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    selects = []
+    for i, (a, b) in enumerate(pairs):
+        da = f"(nd * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        db = f"(nd * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        num = f"(nd * CAST(sp_{i} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+            f" CASE WHEN {da} > 0 AND {db} > 0"
+            f" THEN {num} / (sqrt({da}) * sqrt({db})) END AS corr FROM agg"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS l_quantity,
+         CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+         CAST(l_discount AS DOUBLE) AS l_discount,
+         CAST(l_tax AS DOUBLE) AS l_tax
+  FROM lineitem WHERE {conds}
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+         {sums}, {crosses}
+  FROM d
+)
+SELECT col_x, col_y, n, corr FROM ({union})
+"""
+
+
+_CORR_MATRIX_ORACLE = _corr_oracle()
+
+
+@register("corr_matrix_lineitem", _CORR_MATRIX_ORACLE)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import corr_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

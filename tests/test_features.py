@@ -384,3 +384,47 @@ def test_rank_normalize_partitioning_independent(spark, sf_dir):
     a = sorted(map(tuple, rank_normalize(ev, "value", by=["event_type"], tiebreak=["event_id"]).collect()))
     b = sorted(map(tuple, rank_normalize(ev.repartition(7), "value", by=["event_type"], tiebreak=["event_id"]).collect()))
     assert a == b
+
+
+class TestGroupOLS:
+    def test_matches_numpy_polyfit(self, spark):
+        import numpy as np
+
+        from spark_extension_spark.operators.features import group_ols
+
+        rows = []
+        rng = {"a": (2.0, 5.0), "b": (-1.5, 10.0)}
+        for g, (m, c) in rng.items():
+            for i in range(50):
+                x = float(i)
+                rows.append((g, x, m * x + c + ((i * 37) % 11 - 5) * 0.1))
+        df = spark.createDataFrame(rows, ["g", "x", "y"])
+        out = {r["g"]: r for r in group_ols(df, "x", "y", by=["g"]).collect()}
+        for g, (m, c) in rng.items():
+            xs = np.array([r[1] for r in rows if r[0] == g])
+            ys = np.array([r[2] for r in rows if r[0] == g])
+            slope, intercept = np.polyfit(xs, ys, 1)
+            assert out[g]["n"] == 50
+            assert abs(out[g]["slope"] - slope) < 1e-9
+            assert abs(out[g]["intercept"] - intercept) < 1e-9
+            assert 0.99 < out[g]["r2"] <= 1.0
+
+    def test_constant_x_null_slope_and_null_pairs(self, spark):
+        from spark_extension_spark.operators.features import group_ols
+
+        df = spark.createDataFrame(
+            [("k", 1.0, 2.0), ("k", 1.0, 3.0), ("k", None, 9.0), ("k", 2.0, None)],
+            ["g", "x", "y"],
+        )
+        row = group_ols(df, "x", "y", by=["g"]).collect()[0]
+        assert row["n"] == 2  # NULL-in-either rows excluded pairwise
+        assert row["slope"] is None and row["intercept"] is None and row["r2"] is None
+
+    def test_partitioning_independent(self, spark):
+        from spark_extension_spark.operators.features import group_ols
+
+        rows = [("g", float(i % 17), float((i * 31) % 13)) for i in range(500)]
+        df = spark.createDataFrame(rows, ["g", "x", "y"])
+        a = group_ols(df.coalesce(1), "x", "y", by=["g"]).collect()[0]
+        b = group_ols(df.repartition(7), "x", "y", by=["g"]).collect()[0]
+        assert a == b  # decimal sums: bit-identical across partitionings

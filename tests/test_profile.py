@@ -118,3 +118,54 @@ def test_psi_rejects_bad_range(spark):
 
     with _pytest.raises(ValueError):
         psi_report(df, df, "v", lo=5.0, hi=5.0)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from spark_extension_spark.operators.profile import corr_matrix
+
+    rows = [
+        (float(i), float(2 * i + (i * 7) % 5), float((i * 13) % 23), 1.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    out = {
+        (r["col_x"], r["col_y"]): r
+    for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert len(out) == 6
+    mat = np.corrcoef(np.array(rows).T)
+    names = ["a", "b", "c", "d"]
+    for i, x in enumerate(names):
+        for j in range(i + 1, len(names)):
+            r = out[(x, names[j])]
+            assert r["n"] == 200
+            if x == "d" or names[j] == "d":  # constant column -> NULL corr
+                assert r["corr"] is None
+            else:
+                assert abs(r["corr"] - mat[i][j]) < 1e-9
+
+
+def test_corr_matrix_listwise_complete_and_single_pass(spark):
+    from spark_extension_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, None, 1.0), (3.0, 1.0, None), (4.0, 5.0, 6.0)],
+        ["a", "b", "c"],
+    )
+    out = corr_matrix(df, ["a", "b", "c"])
+    # plan BEFORE execution: AQE's finalized string repeats the stage's
+    # exchange (ShuffleQueryStage + original node), inflating the count
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one aggregate pass, no per-pair jobs
+    assert {r["n"] for r in out.collect()} == {2}  # listwise: only complete rows
+
+
+def test_corr_matrix_validation(spark):
+    import pytest as _pytest
+
+    from spark_extension_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame([(1.0,)], ["a"])
+    with _pytest.raises(ValueError, match="needs >= 2"):
+        corr_matrix(df, ["a"])
