@@ -20,7 +20,7 @@ __all__ = [
     "winsorize",
     "group_quantiles",
     "approx_group_quantiles",
- "mad_outliers", "rank_normalize", "group_ols",
+ "mad_outliers", "rank_normalize", "group_ols", "discretize", "target_encode",
 ]
 
 
@@ -412,3 +412,131 @@ def group_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def discretize(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+    method: str = "width",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+    out: str = "bin",
+) -> DataFrame:
+    """Per-group discretization of a numeric column into ``bins``
+    integer buckets (0-based) — the standard prep for turning a
+    continuous quality/length/score signal into a categorical feature
+    or a stratification key.
+
+    ``method="width"`` — equal-width: bucket ``i`` covers
+    ``[min + i·w, min + (i+1)·w)`` with ``w = (max − min)/bins``; the
+    group maximum lands in the last bucket (half-open intervals, closed
+    at the top).  Plan: one tiny per-group min/max aggregate broadcast
+    back, then the bucket is a pure projection — scan-speed, one
+    exchange for the aggregate only.  A degenerate group (min == max)
+    puts every row in bucket 0.
+
+    ``method="freq"`` — equal-frequency: ``ntile(bins)`` minus one over
+    the per-group value order (ties broken by ``tiebreak`` columns for
+    a deterministic, engine-replayable assignment).  One window pass —
+    one exchange on ``by``; bucket populations differ by at most one
+    row.  NULL values sort last, occupy trailing ntile slots, and are
+    then masked to NULL buckets — exactly replayable SQL (``ntile``
+    cannot exclude rows from its partition without a second pass).
+    NULL values get NULL buckets in both methods.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("double")
+    keys = [F.col(c) for c in by]
+    if method == "width":
+        rng = df.groupBy(*keys).agg(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        )
+        joined = (
+            df.join(F.broadcast(rng), list(by))
+            if by
+            else df.crossJoin(F.broadcast(rng))
+        )
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+        raw = F.floor((v - F.col("__lo")) / width)
+        bucket = (
+            F.when(v.isNull(), F.lit(None).cast("long"))
+            .when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
+            .otherwise(F.least(raw, F.lit(bins - 1)).cast("long"))
+        )
+        return joined.withColumn(out, bucket).drop("__lo", "__hi")
+    if method == "freq":
+        order = [v.asc_nulls_last(), *[F.col(c).asc() for c in tiebreak]]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        bucket = F.when(
+            v.isNotNull(), (F.ntile(bins).over(w) - F.lit(1)).cast("long")
+        )
+        return df.withColumn(out, bucket)
+    raise ValueError(f"method must be 'width' or 'freq', got {method!r}")
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    leave_one_out: bool = False,
+    out: str = "te",
+    scale: int = 12,
+) -> DataFrame:
+    """Smoothed mean target encoding: replace a high-cardinality
+    categorical with the shrunk per-category target mean
+
+        te(c) = (Σ_c y + m · ȳ) / (n_c + m)
+
+    (``m = smoothing``; categories with few rows shrink toward the
+    global mean ȳ, so rare categories don't memorize their handful of
+    labels).  ``leave_one_out=True`` excludes each row's own target
+    from its encoding — ``(Σ_c y − y_i + m·ȳ) / (n_c − 1 + m)`` — the
+    standard guard against target leakage when encoding the training
+    split itself (a singleton category falls back to the prior ȳ; with
+    ``smoothing=0`` it has no information left at all and encodes NULL
+    rather than raising under ANSI arithmetic).
+    NULL targets contribute nothing and get the same encoding as their
+    category's other rows (NULL-target rows are excluded from n_c).
+
+    Plan: one per-category aggregate (|categories| rows — tiny next to
+    the input) plus a 1-row global aggregate, both broadcast back onto
+    the input; the encoding itself is a projection.  No windows over
+    the full table, no second scan.  Sums run in ``DECIMAL(38,scale)``
+    so encodings are bit-identical across partitionings and engines.
+    """
+    dec = f"decimal(38,{int(scale)})"
+    y = F.col(target_col).cast("double")
+    per_cat = df.groupBy(F.col(cat_col)).agg(
+        F.sum(F.when(y.isNotNull(), 1).otherwise(0)).cast("long").alias("__nc"),
+        F.sum(y.cast(dec)).alias("__syc"),
+    )
+    glob = df.agg(
+        F.sum(F.when(y.isNotNull(), 1).otherwise(0)).cast("long").alias("__ng"),
+        F.sum(y.cast(dec)).alias("__syg"),
+    )
+    m = F.lit(float(smoothing))
+    joined = (
+        df.join(F.broadcast(per_cat), [cat_col], "left")
+        .crossJoin(F.broadcast(glob))
+    )
+    prior = F.when(
+        F.col("__ng") > 0, F.col("__syg").cast("double") / F.col("__ng").cast("double")
+    )
+    if leave_one_out:
+        own = F.when(y.isNotNull(), y).otherwise(F.lit(0.0))
+        n_eff = F.col("__nc") - F.when(y.isNotNull(), 1).otherwise(0)
+        denom = n_eff.cast("double") + m
+        enc = F.when(
+            denom != 0,
+            ((F.col("__syc").cast("double") - own) + m * prior) / denom,
+        )
+    else:
+        denom = F.col("__nc").cast("double") + m
+        enc = F.when(
+            denom != 0, (F.col("__syc").cast("double") + m * prior) / denom
+        )
+    enc = F.when(F.col("__nc").isNull(), prior).otherwise(enc)
+    return joined.withColumn(out, enc).drop("__nc", "__syc", "__ng", "__syg")

@@ -4455,3 +4455,88 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group discretization (equal-width + equal-frequency)
+# ---------------------------------------------------------------------------
+
+_DISCRETIZE_ORACLE = """
+WITH d AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v,
+         MIN(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type) AS lo,
+         MAX(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type) AS hi
+  FROM events
+)
+SELECT event_id, event_type,
+       CASE WHEN v IS NULL THEN NULL
+            WHEN hi = lo THEN 0
+            ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 8.0)) AS BIGINT), 7)
+       END AS width_bin,
+       CASE WHEN v IS NOT NULL
+            THEN CAST(ntile(8) OVER (PARTITION BY event_type
+                                     ORDER BY v NULLS LAST, event_id) - 1 AS BIGINT)
+       END AS freq_bin
+FROM d
+"""
+
+
+@register("discretize_events", _DISCRETIZE_ORACLE)
+def q_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import discretize
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wide = discretize(
+        ev, "value", 8, method="width", by=["event_type"], out="width_bin"
+    )
+    both = discretize(
+        wide,
+        "value",
+        8,
+        method="freq",
+        by=["event_type"],
+        tiebreak=["event_id"],
+        out="freq_bin",
+    )
+    return both.select("event_id", "event_type", "width_bin", "freq_bin")
+
+
+# ---------------------------------------------------------------------------
+# smoothed mean target encoding (+ leave-one-out)
+# ---------------------------------------------------------------------------
+
+_TARGET_ENCODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS y FROM documents
+),
+pc AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         SUM(CASE WHEN y IS NOT NULL THEN CAST(y AS DECIMAL(38,12)) END) AS sy
+  FROM d GROUP BY source
+),
+g AS (
+  SELECT CAST(SUM(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_g,
+         SUM(CASE WHEN y IS NOT NULL THEN CAST(y AS DECIMAL(38,12)) END) AS syg
+  FROM d
+)
+SELECT d.doc_id, d.source,
+       (CAST(pc.sy AS DOUBLE) + 20.0 * (CAST(g.syg AS DOUBLE) / CAST(g.n_g AS DOUBLE)))
+         / (CAST(pc.n_c AS DOUBLE) + 20.0) AS te,
+       ((CAST(pc.sy AS DOUBLE) - (CASE WHEN d.y IS NOT NULL THEN d.y ELSE 0.0 END))
+         + 20.0 * (CAST(g.syg AS DOUBLE) / CAST(g.n_g AS DOUBLE)))
+         / (CAST(pc.n_c - (CASE WHEN d.y IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) + 20.0) AS te_loo
+FROM d, pc, g WHERE d.source = pc.source
+"""
+
+
+@register("target_encode_documents", _TARGET_ENCODE_ORACLE)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import target_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    enc = target_encode(docs, "source", "n_chars", smoothing=20.0, out="te")
+    enc = target_encode(
+        enc, "source", "n_chars", smoothing=20.0, leave_one_out=True, out="te_loo"
+    )
+    return enc.select("doc_id", "source", "te", "te_loo")

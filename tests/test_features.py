@@ -428,3 +428,89 @@ class TestGroupOLS:
         a = group_ols(df.coalesce(1), "x", "y", by=["g"]).collect()[0]
         b = group_ols(df.repartition(7), "x", "y", by=["g"]).collect()[0]
         assert a == b  # decimal sums: bit-identical across partitionings
+
+
+class TestDiscretize:
+    def test_equal_width_bounds_and_degenerate(self, spark):
+        from spark_extension_spark.operators.features import discretize
+
+        rows = [("g", float(v)) for v in range(0, 100)] + [("flat", 5.0)] * 3
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = discretize(df, "v", 4, method="width", by=["g"])
+        got = {(r["g"], r["v"]): r["bin"] for r in out.collect()}
+        assert got[("g", 0.0)] == 0
+        assert got[("g", 24.0)] == 0 and got[("g", 25.0)] == 1
+        assert got[("g", 99.0)] == 3  # max closes the last bucket
+        assert got[("flat", 5.0)] == 0  # degenerate group -> bucket 0
+
+    def test_equal_freq_balanced(self, spark):
+        from spark_extension_spark.operators.features import discretize
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(40)], ["g", "v"]
+        )
+        out = discretize(
+            df, "v", 4, method="freq", by=["g"], tiebreak=["v"]
+        ).collect()
+        from collections import Counter
+
+        counts = Counter(r["bin"] for r in out)
+        assert counts == {0: 10, 1: 10, 2: 10, 3: 10}
+
+        # NULLs sort last, occupy trailing ntile slots, and bucket NULL
+        withnull = df.unionByName(
+            spark.createDataFrame([("g", None)], "g string, v double")
+        )
+        out2 = discretize(
+            withnull, "v", 4, method="freq", by=["g"], tiebreak=["v"]
+        ).collect()
+        assert [r["bin"] for r in out2 if r["v"] is None] == [None]
+        assert all(r["bin"] is not None for r in out2 if r["v"] is not None)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.features import discretize
+
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        with _pytest.raises(ValueError, match="bins"):
+            discretize(df, "v", 0)
+        with _pytest.raises(ValueError, match="method"):
+            discretize(df, "v", 4, method="nope")
+
+
+class TestTargetEncode:
+    def test_shrinks_rare_categories_toward_prior(self, spark):
+        from spark_extension_spark.operators.features import target_encode
+
+        rows = [("big", 10.0)] * 100 + [("rare", 1000.0)]
+        df = spark.createDataFrame(rows, ["c", "y"])
+        out = {r["c"]: r["te"] for r in
+               target_encode(df, "c", "y", smoothing=10.0).collect()}
+        prior = (100 * 10.0 + 1000.0) / 101
+        assert abs(out["big"] - (100 * 10.0 + 10 * prior) / 110) < 1e-9
+        # singleton category: dominated by the prior, far from its own label
+        assert abs(out["rare"] - (1000.0 + 10 * prior) / 11) < 1e-9
+        assert out["rare"] < 300
+
+    def test_leave_one_out_excludes_own_label(self, spark):
+        from spark_extension_spark.operators.features import target_encode
+
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 100.0), ("b", 50.0)], ["c", "y"]
+        )
+        out = target_encode(df, "c", "y", smoothing=0.0, leave_one_out=True)
+        got = {(r["c"], r["y"]): r["te"] for r in out.collect()}
+        assert got[("a", 0.0)] == 100.0  # own 0.0 excluded
+        assert got[("a", 100.0)] == 0.0
+        # singleton with m=0: 0/0 -> NULL (no information once excluded)
+        assert got[("b", 50.0)] is None or got[("b", 50.0)] != got[("b", 50.0)]
+
+    def test_partitioning_independent(self, spark):
+        from spark_extension_spark.operators.features import target_encode
+
+        rows = [(f"c{i%7}", float((i * 13) % 101)) for i in range(300)]
+        df = spark.createDataFrame(rows, ["c", "y"])
+        a = sorted(map(tuple, target_encode(df.coalesce(1), "c", "y").collect()))
+        b = sorted(map(tuple, target_encode(df.repartition(8), "c", "y").collect()))
+        assert a == b
