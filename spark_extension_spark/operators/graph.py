@@ -27,7 +27,9 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "out_degrees"]
+from ..utils import UnpersistHandle
+
+__all__ = ["pagerank", "out_degrees", "undirected_edges", "degrees", "triangle_counts"]
 
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
@@ -154,3 +156,116 @@ g{i} AS (
         )
         prev = cur
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, rank FROM {prev}"
+
+
+def undirected_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge list: self-loops dropped, endpoints
+    ordered ``u < v``, duplicates (including reversed duplicates)
+    collapsed.  The normal form every undirected algorithm here starts
+    from — one projection + one distinct (a single exchange on the
+    edge pair)."""
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    return edges.where(F.col(src) != F.col(dst)).select(u, v).distinct()
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(id, degree) over the canonical undirected graph: number of
+    distinct neighbours per node.  One union + one count aggregate."""
+    und = undirected_edges(edges, src, dst)
+    ends = und.select(F.col("u").alias("id")).unionAll(
+        und.select(F.col("v").alias("id"))
+    )
+    return ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Per-node triangle participation over the undirected graph:
+    ``(id, degree, triangles, clustering_coef)`` — the local density
+    signal behind community/spam detection on host graphs and
+    co-occurrence networks (a high-degree node with no triangles is a
+    hub or a link farm; a clique neighbourhood has coefficient 1).
+
+    Algorithm: degree-ordered node-iterator — the scalable standard.
+    Every canonical edge is *oriented* from its lower-(degree, id)
+    endpoint to the higher; wedges are built by self-joining oriented
+    edges on their source and closed against the canonical edge list.
+    Orientation is what makes this survive power-law graphs: a node's
+    wedge fan-out is C(out_deg, 2), and directing every edge toward
+    the higher-degree endpoint bounds out-degrees by O(√m) — the
+    celebrity with 10⁸ followers generates no wedges; her *followers*
+    (out-degree toward her ≤ √m each) do.  Each triangle {x, y, z}
+    materializes exactly once, at its lowest-ranked corner.
+
+    Joins: two equi-joins over the oriented list + one closure
+    equi-join + two broadcast-sized degree joins; per-node counts come
+    from one explode-free union + aggregate.  All arithmetic is
+    integer until the final clustering coefficient (``2t / d(d−1)``,
+    one double division — engine-exact), so the whole computation
+    replays bit-identically in SQL.
+
+    Nodes with degree < 2 have coefficient 0.0 by convention.  The
+    canonical edge list is persisted (it feeds three joins); pass an
+    ``unpersist_handle`` to release the cache when done.
+    """
+    und = undirected_edges(edges, src, dst).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(und)
+    deg = degrees_from_canonical(und)
+
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("__dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("__db"),
+    )
+
+    e1 = oriented.select("a", F.col("b").alias("x"), F.col("__db").alias("__dx"))
+    e2 = oriented.select("a", F.col("b").alias("y"), F.col("__db").alias("__dy"))
+    wedges = e1.join(e2, "a").where(
+        (F.col("__dx") < F.col("__dy"))
+        | ((F.col("__dx") == F.col("__dy")) & (F.col("x") < F.col("y")))
+    )
+    tri = wedges.join(
+        und,
+        (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
+    ).select("a", "x", "y")
+
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("x").alias("id")))
+        .unionAll(tri.select(F.col("y").alias("id")))
+    )
+    per_node = corners.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+    d = F.col("degree")
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    coef = F.when(
+        d >= 2,
+        (F.lit(2) * t).cast("double") / (d * (d - F.lit(1))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "id", "left")
+        .select("id", "degree", t.alias("triangles"), coef.alias("clustering_coef"))
+    )
+
+
+def degrees_from_canonical(und: DataFrame) -> DataFrame:
+    """(id, degree) given an already-canonical ``(u, v)`` edge list."""
+    ends = und.select(F.col("u").alias("id")).unionAll(
+        und.select(F.col("v").alias("id"))
+    )
+    return ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))

@@ -4540,3 +4540,74 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc, "source", "n_chars", smoothing=20.0, leave_one_out=True, out="te_loo"
     )
     return enc.select("doc_id", "source", "te", "te_loo")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered node-iterator) over part co-occurrence
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH raw AS (
+  SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)
+  GROUP BY id
+),
+o AS (
+  SELECT CASE WHEN du.degree < dv.degree
+                   OR (du.degree = dv.degree AND e0.u < e0.v)
+              THEN e0.u ELSE e0.v END AS a,
+         CASE WHEN du.degree < dv.degree
+                   OR (du.degree = dv.degree AND e0.u < e0.v)
+              THEN e0.v ELSE e0.u END AS b,
+         CASE WHEN du.degree < dv.degree
+                   OR (du.degree = dv.degree AND e0.u < e0.v)
+              THEN dv.degree ELSE du.degree END AS db
+  FROM e0 JOIN deg du ON du.id = e0.u JOIN deg dv ON dv.id = e0.v
+),
+w AS (
+  SELECT o1.a, o1.b AS x, o2.b AS y
+  FROM o o1 JOIN o o2 ON o1.a = o2.a
+  WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)
+),
+tri AS (
+  SELECT w.a, w.x, w.y
+  FROM w JOIN e0 ON e0.u = LEAST(w.x, w.y) AND e0.v = GREATEST(w.x, w.y)
+),
+pn AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS id FROM tri UNION ALL SELECT x AS id FROM tri
+        UNION ALL SELECT y AS id FROM tri)
+  GROUP BY id
+)
+SELECT deg.id, deg.degree,
+       CAST(COALESCE(pn.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN CAST(2 * COALESCE(pn.t, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering_coef
+FROM deg LEFT JOIN pn ON pn.id = deg.id
+"""
+
+
+@register("triangle_counts_lineitem", _TRIANGLE_ORACLE)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(
+        F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+    )
+    return triangle_counts(pairs)

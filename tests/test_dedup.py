@@ -610,3 +610,63 @@ def test_dedup_report_classifies_duplication(spark):
     assert web["n_cross_dup_docs"] == 1    # only the mirrored one
     assert wiki["n_dup_docs"] == 1 and wiki["n_cross_dup_docs"] == 1
     assert web["dup_frac"] == 0.75
+
+
+class TestTriangleCounts:
+    def test_planted_clique_and_path(self, spark):
+        from spark_extension_spark.operators.graph import triangle_counts
+
+        # K4 on {1,2,3,4} (4 triangles, each node in 3) + path 4-5-6 (none)
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = k4 + [(4, 5), (5, 6), (6, 5), (5, 5)]  # dup/reverse/self noise
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        out = {r["id"]: r for r in triangle_counts(df).collect()}
+        assert {i: out[i]["triangles"] for i in sorted(out)} == {
+            1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0,
+        }
+        assert out[1]["clustering_coef"] == 1.0  # clique corner
+        assert out[5]["clustering_coef"] == 0.0
+        assert out[4]["degree"] == 4  # 3 clique neighbours + node 5
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+
+        from spark_extension_spark.operators.graph import triangle_counts
+
+        # deterministic pseudo-random graph on 30 nodes
+        edges = [
+            (i, j)
+            for i in range(30)
+            for j in range(i + 1, 30)
+            if (i * 31 + j * 17) % 7 == 0
+        ]
+        adj = {i: set() for i in range(30)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expected = {
+            i: sum(
+                1
+                for x, y in itertools.combinations(sorted(adj[i]), 2)
+                if y in adj[x]
+            )
+            for i in range(30)
+            if adj[i]
+        }
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+        assert got == expected
+
+    def test_partitioning_independent_and_unpersist(self, spark):
+        from spark_extension_spark.operators.graph import triangle_counts
+        from spark_extension_spark.utils import UnpersistHandle
+
+        edges = [(i % 11, (i * 3) % 11) for i in range(60) if i % 11 != (i * 3) % 11]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        a = sorted(map(tuple, triangle_counts(df.coalesce(1)).collect()))
+        h = UnpersistHandle()
+        b = sorted(
+            map(tuple, triangle_counts(df.repartition(7), unpersist_handle=h).collect())
+        )
+        assert a == b
+        h()  # releases the persisted canonical edge list without error
