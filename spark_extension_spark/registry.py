@@ -4611,3 +4611,63 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
     )
     return triangle_counts(pairs)
+
+
+# ---------------------------------------------------------------------------
+# compaction planning (closed-form size binning over a file list)
+# ---------------------------------------------------------------------------
+
+_COMPACTION_ORACLE = """
+WITH f AS (
+  SELECT source,
+         source || '/' || CAST(doc_id AS VARCHAR) AS filename,
+         n_chars AS bytes
+  FROM documents
+)
+SELECT source, filename, CAST(bytes AS BIGINT) AS bytes,
+       CAST(FLOOR(COALESCE(SUM(bytes) OVER (PARTITION BY source
+                                            ORDER BY filename) - bytes, 0)
+                  / 50000) AS BIGINT) AS bin
+FROM f
+"""
+
+
+@register("plan_compaction_documents", _COMPACTION_ORACLE)
+def q_plan_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.compaction import plan_compaction
+
+    files = load(spark, sf_dir, "documents").select(
+        "source",
+        F.concat_ws("/", F.col("source"), F.col("doc_id")).alias("filename"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    return plan_compaction(files, 50_000, by=["source"])
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution-tolerant union (UNION ALL BY NAME with widening)
+# ---------------------------------------------------------------------------
+
+_SAFE_UNION_ORACLE = """
+SELECT doc_id, lang, CAST(CAST(n_chars AS INT) AS BIGINT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS source
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, CAST(n_chars * 2 AS BIGINT) AS n_chars,
+       source
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+@register("safe_union_documents", _SAFE_UNION_ORACLE)
+def q_safe_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .utils import safe_union
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    b = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", (F.col("n_chars") * 2).cast("long").alias("n_chars"), "source"
+    )
+    return safe_union([a, b])

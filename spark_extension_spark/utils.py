@@ -10,7 +10,7 @@ Parity targets (see SURVEY.md §2.10/§2.13):
 from __future__ import annotations
 
 import re
-from typing import Iterable, List, Optional
+from typing import Iterable, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +22,7 @@ __all__ = [
     "UnpersistHandle",
     "SilentUnpersistHandle",
     "NoopUnpersistHandle",
+    "safe_union",
 ]
 
 _PLAIN_NAME = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
@@ -135,3 +136,102 @@ class NoopUnpersistHandle(UnpersistHandle):
 
     def __call__(self, blocking: bool = False) -> None:  # pragma: no cover - trivial
         pass
+
+
+_NUMERIC_RANK = {
+    "tinyint": 0,
+    "smallint": 1,
+    "int": 2,
+    "bigint": 3,
+    "float": 4,
+    "double": 5,
+}
+
+
+def _widen(a: str, b: str) -> Optional[str]:
+    """Least common type for schema-evolution unions, or None if the
+    pair is not safely unifiable.  Numeric chain tinyint → … → double
+    (integral + fractional → double: a bigint cannot round-trip through
+    float); date widens to timestamp; equal types are themselves."""
+    if a == b:
+        return a
+    if a in _NUMERIC_RANK and b in _NUMERIC_RANK:
+        hi = max(a, b, key=_NUMERIC_RANK.get)
+        lo = min(a, b, key=_NUMERIC_RANK.get)
+        # integral + float/double: float can't hold long exactly -> double
+        if hi == "float" and lo in ("int", "bigint"):
+            return "double"
+        return hi
+    if {a, b} == {"date", "timestamp"}:
+        return "timestamp"
+    for dec, other in ((a, b), (b, a)):
+        if dec.startswith("decimal") and other in _NUMERIC_RANK and _NUMERIC_RANK[other] <= 3:
+            # widen to full precision at the decimal's scale: a narrow
+            # decimal(5,2) cannot hold an arbitrary bigint
+            m = re.match(r"decimal\((\d+),(\d+)\)", dec)
+            scale = int(m.group(2)) if m else 0
+            return f"decimal(38,{scale})"
+    return None
+
+
+def safe_union(
+    frames: Sequence[DataFrame],
+    coerce_to_string: bool = False,
+) -> DataFrame:
+    """Schema-evolution-tolerant UNION ALL BY NAME over any number of
+    frames: the output schema is the union of all column names (in
+    first-appearance order); a frame missing a column contributes
+    NULLs; columns whose types differ across frames are widened to the
+    least common type (numeric chain ``tinyint→…→double`` — integral +
+    ``float`` widens to ``double`` because a long can't round-trip
+    through float; ``date``+``timestamp`` → ``timestamp``; integral +
+    decimal → the decimal).  The everyday need behind it: month N's
+    parquet added a column, month N−1's called it ``int`` before it
+    grew into ``bigint`` — plain ``unionByName`` refuses or, worse,
+    resolves by position.
+
+    A pair with no safe widening (e.g. ``string`` vs ``int``) raises —
+    unless ``coerce_to_string=True``, which casts both sides to
+    ``string`` (explicit lossy opt-in, never the default).
+
+    Pure projection + ``unionByName`` — no shuffle, no data movement
+    beyond the union itself; Catalyst pushes the casts into each scan.
+    """
+    frames = list(frames)
+    if not frames:
+        raise ValueError("safe_union needs at least one DataFrame")
+    order: List[str] = []
+    types: dict = {}
+    for df in frames:
+        for name, dtype in df.dtypes:
+            if name not in types:
+                order.append(name)
+                types[name] = dtype
+            else:
+                w = _widen(types[name], dtype)
+                if w is None:
+                    if coerce_to_string:
+                        w = "string"
+                    else:
+                        raise TypeError(
+                            f"safe_union: column {name!r} has incompatible "
+                            f"types {types[name]!r} and {dtype!r} "
+                            "(pass coerce_to_string=True to force strings)"
+                        )
+                types[name] = w
+    aligned = []
+    for df in frames:
+        have = dict(df.dtypes)
+        cols = [
+            (
+                F.col(c).cast(types[c])
+                if c in have
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in order
+        ]
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out
