@@ -11,7 +11,7 @@ in Spark: a broadcast non-equi join handles band lookup (see
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -25,6 +25,8 @@ __all__ = [
     "sessionize",
     "session_summary",
     "rolling_aggregates",
+    "cohort_retention",
+    "funnel",
 ]
 
 
@@ -239,3 +241,138 @@ def interval_join(
         .withColumn("overlap_end", ov_end)
         .drop("__cell")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: int,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their first activity; each ``(cohort, period_offset)`` row counts
+    how many of that cohort were active ``offset`` periods later —
+    the standard engagement/decay readout (and, for corpus curation,
+    contributor/source longevity).
+
+    ``period`` is in the time column's own units (e.g. ``86400 *
+    10**9`` for daily cohorts over a nanosecond axis); period indices
+    use integer ``div`` — no float on the time axis, so bucketing is
+    exact at any epoch magnitude.
+
+    Plan: one per-user ``min`` aggregate (shuffle on user), the
+    cohort map joined back onto activity (same key — AQE/Catalyst
+    reuses the partitioning), a distinct over ``(cohort, offset,
+    user)`` and a count — all hash aggregates, nothing quadratic, no
+    windows over the full table.  Rows with NULL user/timestamp are
+    excluded.  Returns ``(cohort, period_offset, n_active,
+    cohort_size, retention)``; ``retention`` is ``n_active /
+    cohort_size`` (offset 0 is 1.0 by construction).
+    """
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    u = F.col(user_col)
+    axis, _ = _epoch_axis(df, ts_col, 1)
+    d = (
+        df.where(u.isNotNull() & F.col(ts_col).isNotNull())
+        .select(u.alias("__u"), axis.alias("__ts"))
+        .select("__u", F.expr(f"__ts div {int(period)}").alias("__p"))
+    )
+    first = d.groupBy("__u").agg(F.min("__p").alias("cohort"))
+    act = (
+        d.join(first, "__u")
+        .select("cohort", (F.col("__p") - F.col("cohort")).alias("period_offset"), "__u")
+        .distinct()
+    )
+    per = act.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return per.join(sizes, "cohort").select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str,
+    ts_col: str,
+    event_col: str = "event_type",
+    within: Optional[int] = None,
+) -> DataFrame:
+    """Ordered-funnel conversion: one row per step with how many users
+    reached it *in order* — a user counts for step k only with an
+    event strictly after their step-(k−1) time (first-touch semantics:
+    each step's timestamp is the user's earliest qualifying event).
+    ``within`` optionally bounds the whole funnel to a window after
+    the step-1 time, in the time column's units.
+
+    Returns ``(step, event_type, n_users, frac_of_first,
+    frac_of_prev)`` — step is 1-based, step 1's fractions are 1.0.
+
+    Plan: one filtered per-user ``min`` aggregate per step (k small
+    aggregates shuffling only that step's events, all keyed on user so
+    the exchanges line up), left-joined into a per-user step-times
+    frame; the summary is ONE global aggregate over that frame,
+    unpivoted with ``stack``.  Nothing collects per-user event lists;
+    skew is bounded by events-per-user per step.  NULL user/timestamp
+    rows are excluded.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u = F.col(user_col)
+    axis, _ = _epoch_axis(df, ts_col, 1)
+    e = df.where(u.isNotNull() & F.col(ts_col).isNotNull()).select(
+        u.alias("__u"), F.col(event_col).alias("__e"), axis.alias("__t")
+    )
+    per_user = (
+        e.where(F.col("__e") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__t0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        prev_cols = ["__u", f"__t{i-1}"] + (["__t0"] if within is not None and i > 1 else [])
+        cond = F.col("__t") > F.col(f"__t{i-1}")
+        if within is not None:
+            cond = cond & (F.col("__t") <= F.col("__t0") + F.lit(int(within)))
+        nxt = (
+            e.where(F.col("__e") == step)
+            .join(per_user.select(*dict.fromkeys(prev_cols)), "__u")
+            .where(cond)
+            .groupBy("__u")
+            .agg(F.min("__t").alias(f"__t{i}"))
+        )
+        per_user = per_user.join(nxt, "__u", "left")
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"__t{i}")).cast("long").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    n0 = F.col("__n0").cast("double")
+    rows = []
+    for i, step in enumerate(steps):
+        ni = F.col(f"__n{i}").cast("double")
+        prev = F.col(f"__n{max(i-1, 0)}").cast("double")
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col(f"__n{i}").alias("n_users"),
+                F.when(n0 > 0, ni / n0).alias("frac_of_first"),
+                F.when(prev > 0, ni / prev).alias("frac_of_prev"),
+            )
+        )
+    return counts.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.step", "__r.event_type", "__r.n_users", "__r.frac_of_first", "__r.frac_of_prev")

@@ -4671,3 +4671,78 @@ def q_safe_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("n_chars") * 2).cast("long").alias("n_chars"), "source"
     )
     return safe_union([a, b])
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix (hourly cohorts over the events table)
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH d AS (
+  SELECT user_id AS u, epoch_ns(ts) // 3600000000000 AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+fc AS (SELECT u, MIN(p) AS cohort FROM d GROUP BY u),
+act AS (
+  SELECT DISTINCT fc.cohort, d.p - fc.cohort AS period_offset, d.u
+  FROM d JOIN fc USING (u)
+),
+per AS (
+  SELECT cohort, period_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM act GROUP BY 1, 2
+),
+cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fc GROUP BY cohort)
+SELECT per.cohort, per.period_offset, per.n_active, cs.cohort_size,
+       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+FROM per JOIN cs ON per.cohort = cs.cohort
+"""
+
+
+@register("cohort_retention_events", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", 3_600_000_000_000)
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS et, epoch_ns(ts) AS t
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+s0 AS (SELECT u, MIN(t) AS t0 FROM e WHERE et = 'view' GROUP BY u),
+s1 AS (SELECT e.u, MIN(e.t) AS t1 FROM e JOIN s0 ON e.u = s0.u
+       WHERE e.et = 'click' AND e.t > s0.t0 GROUP BY e.u),
+s2 AS (SELECT e.u, MIN(e.t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+       WHERE e.et = 'purchase' AND e.t > s1.t1 GROUP BY e.u),
+n AS (SELECT (SELECT COUNT(*) FROM s0) AS n0,
+             (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, CAST(n0 AS BIGINT) AS n_users,
+       CASE WHEN CAST(n0 AS DOUBLE) > 0 THEN CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS frac_of_first,
+       CASE WHEN CAST(n0 AS DOUBLE) > 0 THEN CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS frac_of_prev
+FROM n
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(n1 AS BIGINT),
+       CASE WHEN CAST(n0 AS DOUBLE) > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END,
+       CASE WHEN CAST(n0 AS DOUBLE) > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+FROM n
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(n2 AS BIGINT),
+       CASE WHEN CAST(n0 AS DOUBLE) > 0 THEN CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) END,
+       CASE WHEN CAST(n1 AS DOUBLE) > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+FROM n
+"""
+
+
+@register("funnel_events", _FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import funnel
+
+    ev = load(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], "user_id", "ts")

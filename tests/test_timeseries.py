@@ -167,3 +167,79 @@ def test_interval_join_touching_intervals_do_not_match(spark):
     left = spark.createDataFrame([(1, 0, 100)], ["lid", "ls", "le"])
     right = spark.createDataFrame([(1, 100, 200)], ["rid", "rs", "re"])
     assert interval_join(left, right, "ls", "le", "rs", "re", grid=50).count() == 0
+
+
+class TestCohortRetention:
+    def test_small_known_matrix(self, spark):
+        from spark_extension_spark.operators.timeseries import cohort_retention
+
+        # periods of width 10; users 1,2 start at p0, user 3 at p1
+        rows = [
+            (1, 5), (1, 15), (1, 25),   # active p0,p1,p2
+            (2, 7), (2, 27),            # active p0,p2
+            (3, 12), (3, 22),           # cohort p1, active p1,p2
+            (3, 13),                    # same period dup -> one active row
+            (None, 5), (4, None),       # excluded
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long")
+        out = {(r["cohort"], r["period_offset"]): r
+               for r in cohort_retention(df, "user_id", "ts", 10).collect()}
+        assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["retention"] == 1.0
+        assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+        assert out[(0, 2)]["n_active"] == 2
+        assert out[(1, 0)]["cohort_size"] == 1
+        assert out[(1, 1)]["n_active"] == 1
+        assert (1, 2) not in out
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.timeseries import cohort_retention
+
+        df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
+        with _pytest.raises(ValueError, match="period"):
+            cohort_retention(df, "user_id", "ts", 0)
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        from spark_extension_spark.operators.timeseries import funnel
+
+        rows = [
+            (1, "a", 10), (1, "b", 20), (1, "c", 30),  # full conversion
+            (2, "a", 10), (2, "b", 5),                 # b BEFORE a: no step 2
+            (3, "b", 10), (3, "c", 20),                # never did a: not counted
+            (4, "a", 10), (4, "b", 20),                # stops at b
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        out = {r["step"]: r for r in
+               funnel(df, ["a", "b", "c"], "user_id", "ts").collect()}
+        assert [out[s]["n_users"] for s in (1, 2, 3)] == [3, 2, 1]
+        assert out[1]["frac_of_first"] == 1.0
+        assert abs(out[2]["frac_of_prev"] - 2 / 3) < 1e-12
+        assert abs(out[3]["frac_of_first"] - 1 / 3) < 1e-12
+        assert out[3]["frac_of_prev"] == 0.5
+        assert [out[s]["event_type"] for s in (1, 2, 3)] == ["a", "b", "c"]
+
+    def test_within_window(self, spark):
+        from spark_extension_spark.operators.timeseries import funnel
+
+        rows = [
+            (1, "a", 0), (1, "b", 5), (1, "c", 9),    # converts within 10
+            (2, "a", 0), (2, "b", 5), (2, "c", 50),   # c outside window
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        out = {r["step"]: r["n_users"] for r in
+               funnel(df, ["a", "b", "c"], "user_id", "ts", within=10).collect()}
+        assert out == {1: 2, 2: 2, 3: 1}
+
+    def test_single_step_and_empty(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.timeseries import funnel
+
+        df = spark.createDataFrame([(1, "a", 1)], "user_id long, event_type string, ts long")
+        out = funnel(df, ["a"], "user_id", "ts").collect()
+        assert len(out) == 1 and out[0]["n_users"] == 1
+        with _pytest.raises(ValueError, match="at least one"):
+            funnel(df, [], "user_id", "ts")
