@@ -26,7 +26,7 @@ an ANSI-SQL oracle bit-for-bit.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +45,7 @@ __all__ = [
     "pmi_pairs",
     "bigram_lm",
     "doc_logprob_bigram",
+    "vocab_curve",
 ]
 
 _TOKEN_PATTERN = "[a-z0-9]+"
@@ -653,3 +654,50 @@ def doc_logprob_bigram(
             ),
         )
     )
+
+
+def vocab_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """Vocabulary coverage curve: tokens ranked by corpus frequency
+    with the cumulative fraction of all token *occurrences* each
+    vocabulary prefix covers — the sizing curve behind "how many types
+    does a 95%-coverage tokenizer vocabulary need?" and the fast
+    before/after check when changing normalization.  Returns
+    ``(rank, token, freq, cum_freq, coverage)`` ordered by rank
+    (frequency desc, token asc for a total, replayable order).
+
+    Scale shape: one token-count aggregate (shuffle bounded by
+    vocabulary, not corpus size), a 1-row total broadcast back, and a
+    *global* prefix sum over the vocabulary-sized count frame via the
+    partition-offsets technique (:func:`~spark_extension_spark.
+    operators.packing.with_running_total`) — no single-partition
+    window even for 10⁸-type vocabularies.  ``top_k`` truncates the
+    *output* after ranking; coverage is always relative to the full
+    token stream.
+    """
+    counts = (
+        _tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    from .packing import with_running_total
+    from .row_numbers import with_row_numbers
+
+    order = [F.col("freq").desc(), F.col("token").asc()]
+    cum = with_running_total(counts, "freq", order, out="cum_freq")
+    ranked = with_row_numbers(cum, "rank", order=order)
+    total = counts.agg(F.sum("freq").cast("double").alias("__total"))
+    out = ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "freq",
+        "cum_freq",
+        (F.col("cum_freq").cast("double") / F.col("__total")).alias("coverage"),
+    )
+    if top_k is not None:
+        out = out.where(F.col("rank") <= int(top_k))
+    return out

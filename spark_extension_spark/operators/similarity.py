@@ -62,6 +62,8 @@ __all__ = [
     "semantic_dedup",
     "group_centroids",
     "embedding_stats",
+    "semantic_decontam_flags",
+    "semantic_decontaminate",
 ]
 
 
@@ -931,3 +933,110 @@ def embedding_stats(
         F.min(norm).alias("min_norm"),
         F.max(norm).alias("max_norm"),
     )
+
+
+def semantic_decontam_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus
+    vector, its maximum cosine against ANY benchmark vector, plus a
+    ``contaminated`` flag at ``threshold`` — the semantic complement
+    to n-gram :mod:`~spark_extension_spark.operators.decontam`
+    (paraphrased eval questions share no 13-gram but sit next to the
+    benchmark in embedding space).
+
+    Returns ``(id_col, max_benchmark_cosine, contaminated)`` for every
+    corpus row.  Corpus rows with NULL or zero-norm vectors can't be
+    scored: NULL cosine, ``contaminated = false`` (they can't *match*
+    anything either).  NULL/zero-norm benchmark vectors are ignored.
+
+    Execution shape — the same contract as :func:`brute_force_topk`:
+    the benchmark set is eval-sized (10³–10⁵ rows), so it collects to
+    the driver once and ships to executors as a normalized matrix;
+    each Arrow batch of the corpus scores against it in ONE BLAS
+    matmul + row-max.  The corpus is scanned once, never shuffled, and
+    only (id, score) pairs come back — no candidate-pair explosion, no
+    LSH recall loss: this is *exact* at corpus-scan cost, which is the
+    right trade for a screen that must not miss contamination.
+    """
+    import numpy as np
+
+    brows = (
+        benchmark.select(vec_col).where(F.col(vec_col).isNotNull()).collect()
+    )
+    vecs = [np.asarray(r[0], dtype=np.float64) for r in brows]
+    vecs = [v for v in vecs if np.linalg.norm(v) > 0]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `max_benchmark_cosine` double"
+    if not vecs:
+        return corpus.select(id_col).select(
+            id_col,
+            F.lit(None).cast("double").alias("max_benchmark_cosine"),
+            F.lit(False).alias("contaminated"),
+        )
+    dims = {len(v) for v in vecs}
+    if len(dims) > 1:
+        raise ValueError(
+            f"benchmark vectors have inconsistent dimensions {sorted(dims)}"
+        )
+    B = np.stack(vecs)
+    Bu = (B / np.linalg.norm(B, axis=1)[:, None]).T  # (dim, b)
+    id_name, vec_name = id_col, vec_col
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_name]
+            vals = np.full(len(pdf), np.nan)
+            sub = pdf[vec_name].notna()
+            if sub.any():
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf.loc[sub, vec_name]]
+                )
+                norms = np.linalg.norm(V, axis=1)
+                ok = norms > 0
+                if ok.any():
+                    scores = (V[ok] / norms[ok, None]) @ Bu
+                    out = np.full(int(sub.sum()), np.nan)
+                    out[ok] = scores.max(axis=1)
+                    vals[sub.to_numpy()] = out
+            yield pd.DataFrame({id_name: ids, "max_benchmark_cosine": vals})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    # kernel marks unscorable rows NaN; map to NULL *before* comparing —
+    # Spark orders NaN above every number, so NaN >= threshold is TRUE
+    mbc = F.when(
+        F.isnan("max_benchmark_cosine"), F.lit(None).cast("double")
+    ).otherwise(F.col("max_benchmark_cosine"))
+    return scored.select(
+        id_col,
+        mbc.alias("max_benchmark_cosine"),
+        F.coalesce(mbc >= F.lit(float(threshold)), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop corpus rows whose embedding sits within ``threshold``
+    cosine of any benchmark vector (see
+    :func:`semantic_decontam_flags`).  The flag frame joins back on
+    ``id_col`` — same-key equi-join, no second scoring pass."""
+    flags = semantic_decontam_flags(
+        corpus, benchmark, threshold, id_col=id_col, vec_col=vec_col
+    )
+    keep = flags.where(~F.col("contaminated")).select(id_col)
+    return corpus.join(keep, id_col)

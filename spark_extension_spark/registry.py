@@ -4746,3 +4746,70 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return funnel(ev, ["view", "click", "purchase"], "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (token-frequency prefix sums)
+# ---------------------------------------------------------------------------
+
+_VOCAB_CURVE_ORACLE = f"""
+WITH toks AS ({_RANK_TOKS_SQL.strip()} WHERE doc_id % 5 = 0),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY token),
+tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM counts),
+r AS (
+  SELECT token, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+         SUM(freq) OVER (ORDER BY freq DESC, token
+                         ROWS UNBOUNDED PRECEDING) AS cum_freq
+  FROM counts
+)
+SELECT rank, token, freq, CAST(cum_freq AS BIGINT) AS cum_freq,
+       CAST(cum_freq AS DOUBLE) / total AS coverage
+FROM r CROSS JOIN tot
+WHERE rank <= 200
+"""
+
+
+@register("vocab_curve_documents", _VOCAB_CURVE_ORACLE)
+def q_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import vocab_curve
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return vocab_curve(docs, top_k=200)
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_DECONTAM_ORACLE = """
+WITH bench AS (
+  SELECT embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % 97 = 0 AND embedding IS NOT NULL
+    AND isfinite(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scorable AS (
+  SELECT vec_id, e FROM corpus
+  WHERE e IS NOT NULL
+    AND isfinite(list_sum(list_transform(e, x -> x * x)))
+    AND list_sum(list_transform(e, x -> x * x)) > 0
+),
+scored AS (
+  SELECT s.vec_id, MAX(list_cosine_similarity(s.e, b.e)) AS m
+  FROM scorable s CROSS JOIN bench b GROUP BY s.vec_id
+)
+SELECT c.vec_id, scored.m AS max_benchmark_cosine,
+       COALESCE(scored.m >= 0.9, FALSE) AS contaminated
+FROM corpus c LEFT JOIN scored ON c.vec_id = scored.vec_id
+"""
+
+
+@register("semantic_decontam_embeddings", _SEMANTIC_DECONTAM_ORACLE)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_decontam_flags
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    return semantic_decontam_flags(emb, bench, threshold=0.9)

@@ -307,3 +307,80 @@ def test_doc_logprob_bigram_partitioning_independent(spark, sf_dir):
     a = sorted(map(tuple, doc_logprob_bigram(docs).collect()))
     b = sorted(map(tuple, doc_logprob_bigram(docs.repartition(7)).collect()))
     assert a == b
+
+
+class TestVocabCurve:
+    def test_known_coverage(self, spark):
+        from spark_extension_spark.operators.ranking import vocab_curve
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b. C!")], ["doc_id", "text"]
+        )
+        # freqs: a=4, b=3, c=2 -> total 9
+        out = {r["rank"]: r for r in vocab_curve(df).collect()}
+        assert [out[i]["token"] for i in (1, 2, 3)] == ["a", "b", "c"]
+        assert [out[i]["freq"] for i in (1, 2, 3)] == [4, 3, 2]
+        assert out[1]["cum_freq"] == 4 and out[3]["cum_freq"] == 9
+        assert abs(out[2]["coverage"] - 7 / 9) < 1e-12
+        assert out[3]["coverage"] == 1.0
+
+    def test_top_k_truncates_output_not_total(self, spark):
+        from spark_extension_spark.operators.ranking import vocab_curve
+
+        df = spark.createDataFrame([(1, "x x x y z")], ["doc_id", "text"])
+        out = vocab_curve(df, top_k=1).collect()
+        assert len(out) == 1
+        assert abs(out[0]["coverage"] - 3 / 5) < 1e-12  # denominator is ALL tokens
+
+
+class TestSemanticDecontam:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_flags_near_benchmark(self, spark):
+        from spark_extension_spark.operators.similarity import (
+            semantic_decontam_flags,
+            semantic_decontaminate,
+        )
+
+        corpus = self._df(
+            spark,
+            [
+                (1, [1.0, 0.0]),        # exactly a benchmark direction
+                (2, [0.99, 0.14]),      # close to it
+                (3, [0.0, 1.0]),        # orthogonal
+                (4, None),              # unscorable
+                (5, [0.0, 0.0]),        # zero norm
+            ],
+        )
+        bench = self._df(spark, [(100, [2.0, 0.0])])
+        out = {r["vec_id"]: r for r in
+               semantic_decontam_flags(corpus, bench, threshold=0.95).collect()}
+        assert out[1]["contaminated"] and abs(out[1]["max_benchmark_cosine"] - 1.0) < 1e-12
+        assert out[2]["contaminated"]
+        assert not out[3]["contaminated"] and abs(out[3]["max_benchmark_cosine"]) < 1e-12
+        assert out[4]["max_benchmark_cosine"] is None and not out[4]["contaminated"]
+        assert out[5]["max_benchmark_cosine"] is None and not out[5]["contaminated"]
+
+        kept = semantic_decontaminate(corpus, bench, threshold=0.95)
+        assert sorted(r["vec_id"] for r in kept.collect()) == [3, 4, 5]
+
+    def test_empty_or_degenerate_benchmark(self, spark):
+        from spark_extension_spark.operators.similarity import semantic_decontam_flags
+
+        corpus = self._df(spark, [(1, [1.0, 0.0])])
+        bench = self._df(spark, [(9, None), (10, [0.0, 0.0])])
+        out = semantic_decontam_flags(corpus, bench).collect()
+        assert len(out) == 1
+        assert out[0]["max_benchmark_cosine"] is None
+        assert out[0]["contaminated"] is False
+
+    def test_ragged_benchmark_raises(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.similarity import semantic_decontam_flags
+
+        corpus = self._df(spark, [(1, [1.0, 0.0])])
+        bench = self._df(spark, [(2, [1.0, 0.0]), (3, [1.0, 0.0, 0.0])])
+        with _pytest.raises(ValueError, match="inconsistent dimensions"):
+            semantic_decontam_flags(corpus, bench)
