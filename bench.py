@@ -154,7 +154,22 @@ HEADLINE = [
     "asof_join_nearest_events",
     "dedup_report_documents",
     "rank_normalize_events",
+    "group_ols_events",
+    "corr_matrix_lineitem",
+    "discretize_events",
+    "target_encode_documents",
+    "triangle_counts_lineitem",
+    "plan_compaction_documents",
+    "safe_union_documents",
+    "cohort_retention_events",
+    "funnel_events",
+    "vocab_curve_documents",
+    "semantic_decontam_embeddings",
 ]
+
+# drift guard: any registry query not listed above still gets a bench row
+# (appended after the stable prefix so historical q{i} keys keep meaning)
+HEADLINE += [q for q in QUERIES if q not in HEADLINE]
 
 
 def main() -> None:

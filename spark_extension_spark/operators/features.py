@@ -20,7 +20,7 @@ __all__ = [
     "winsorize",
     "group_quantiles",
     "approx_group_quantiles",
- "mad_outliers", "rank_normalize", "group_ols", "discretize", "target_encode",
+ "mad_outliers", "rank_normalize", "group_ols", "discretize", "target_encode", "group_ttest",
 ]
 
 
@@ -540,3 +540,78 @@ def target_encode(
         )
     enc = F.when(F.col("__nc").isNull(), prior).otherwise(enc)
     return joined.withColumn(out, enc).drop("__nc", "__syc", "__ng", "__syg")
+
+
+def group_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    scale: int = 12,
+) -> DataFrame:
+    """Welch's two-sample t statistic between two named groups of
+    ``group_col`` — the quick "did the metric move?" readout for A/B
+    slices, before/after cohorts, or source-vs-source quality scores.
+    Welch's form (unpooled variances) is the safe default: it does not
+    assume the two groups share a variance, and reduces to Student's t
+    when they do.
+
+    Returns one row: ``(n_a, n_b, mean_a, mean_b, var_a, var_b,
+    t_stat, dof)`` with sample (n−1) variances and the
+    Welch–Satterthwaite degrees of freedom.  No p-value column: Spark
+    has no incomplete-beta builtin, and shipping a homegrown
+    approximation silently is worse than letting the caller feed
+    ``t_stat``/``dof`` to scipy — the statistic and dof are the
+    portable part.  Groups with fewer than 2 observations yield NULL
+    ``t_stat``/``dof``.
+
+    Plan: ONE conditional aggregate over the data (six decimal sums —
+    map-side combined, order-independent, bit-identical across
+    partitionings); everything after is scalar arithmetic on a single
+    row.  NULL values are excluded.
+    """
+    dec = f"decimal(38,{int(scale)})"
+    v = F.col(value_col).cast("double")
+    in_a = (F.col(group_col) == F.lit(group_a)) & v.isNotNull()
+    in_b = (F.col(group_col) == F.lit(group_b)) & v.isNotNull()
+
+    agg = df.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("__na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("__nb"),
+        F.sum(F.when(in_a, v.cast(dec))).alias("__sa"),
+        F.sum(F.when(in_b, v.cast(dec))).alias("__sb"),
+        F.sum(F.when(in_a, (v * v).cast(dec))).alias("__ssa"),
+        F.sum(F.when(in_b, (v * v).cast(dec))).alias("__ssb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    ssa = F.col("__ssa").cast("double")
+    ssb = F.col("__ssb").cast("double")
+    mean_a = F.when(F.col("__na") > 0, sa / na)
+    mean_b = F.when(F.col("__nb") > 0, sb / nb)
+    var_a = F.when(F.col("__na") > 1, (ssa - sa * sa / na) / (na - 1))
+    var_b = F.when(F.col("__nb") > 1, (ssb - sb * sb / nb) / (nb - 1))
+    ok = (F.col("__na") > 1) & (F.col("__nb") > 1)
+    se2 = var_a / na + var_b / nb
+    t = F.when(ok & (se2 > 0), (mean_a - mean_b) / F.sqrt(se2))
+    dof = F.when(
+        ok & (se2 > 0),
+        (se2 * se2)
+        / (
+            (var_a / na) * (var_a / na) / (na - 1)
+            + (var_b / nb) * (var_b / nb) / (nb - 1)
+        ),
+    )
+    return agg.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        t.alias("t_stat"),
+        dof.alias("dof"),
+    )

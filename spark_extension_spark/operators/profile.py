@@ -22,7 +22,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "check_constraints", "psi_report", "corr_matrix"]
+__all__ = ["profile", "check_constraints", "psi_report", "corr_matrix", "categorical_association"]
 
 
 def profile(
@@ -248,3 +248,106 @@ def corr_matrix(
     return agg.select(
         *[F.col(c) for c in by], F.col("__n").alias("n"), F.expr(stack)
     ).select(*[F.col(c) for c in by], "col_x", "col_y", "n", "corr")
+
+
+def categorical_association(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 12,
+) -> DataFrame:
+    """Association strength between two categorical columns in one
+    small-footprint pass: returns a single row ``(n, n_x, n_y, mi,
+    nmi, chi2, cramers_v)`` — mutual information (nats), normalized MI
+    (``MI / √(H(x)·H(y))``), the χ² statistic over the full r×c grid,
+    and Cramér's V (``√(χ² / (n·min(r−1, c−1)))``).  The standard
+    feature-redundancy / label-leakage screen for categorical features
+    (a feature with NMI ≈ 1 against the label is the label).
+
+    Plan: ONE contingency aggregate over the data (shuffle bounded by
+    r·c distinct pairs, map-side combined), marginals re-aggregated
+    from that cell frame (not the data), and the χ² grid built by
+    cross-joining the two marginal frames (r×c rows — category-sized,
+    never data-sized) with observed cells left-joined in, so
+    unobserved cells contribute their expected mass to χ² as they
+    must.  Per-cell terms are fixed-order double expressions summed in
+    ``DECIMAL(38, scale)`` — bit-identical across partitionings and
+    engines.  Rows with NULL in either column are excluded.
+    Degenerate inputs (a single category on either side) yield 0.0
+    statistics, not NULLs/NaNs.
+    """
+    dec = f"decimal(38,{int(scale)})"
+    d = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    cells = d.groupBy(
+        F.col(x_col).cast("string").alias("__x"),
+        F.col(y_col).cast("string").alias("__y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nxy"))
+    mx = cells.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    my = cells.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    tot = cells.agg(
+        F.sum("__nxy").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__cells"),
+    )
+
+    nd = F.col("__n").cast("double")
+    # full expected grid: marginals cross-joined, observed counts joined in
+    grid = (
+        mx.crossJoin(my)
+        .join(cells, ["__x", "__y"], "left")
+        .select(
+            "__x",
+            "__y",
+            F.coalesce(F.col("__nxy"), F.lit(0)).cast("long").alias("__o"),
+            "__nx",
+            "__ny",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__nx").cast("double") * F.col("__ny").cast("double") / nd
+    o = F.col("__o").cast("double")
+    chi_term = (o - e) * (o - e) / e
+    mi_term = F.when(
+        F.col("__o") > 0,
+        (o / nd)
+        * F.log((o * nd) / (F.col("__nx").cast("double") * F.col("__ny").cast("double"))),
+    ).otherwise(F.lit(0.0))
+    sums = grid.agg(
+        F.sum(chi_term.cast(dec)).cast("double").alias("__chi2"),
+        F.sum(mi_term.cast(dec)).cast("double").alias("__mi"),
+        F.count_distinct(F.col("__x")).cast("long").alias("__r"),
+        F.count_distinct(F.col("__y")).cast("long").alias("__c"),
+        F.max("__n").alias("__n2"),
+    )
+    hx_term = -(F.col("__nx").cast("double") / nd) * F.log(
+        F.col("__nx").cast("double") / nd
+    )
+    hy_term = -(F.col("__ny").cast("double") / nd) * F.log(
+        F.col("__ny").cast("double") / nd
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hx_term.cast(dec)).cast("double").alias("__hx"))
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hy_term.cast(dec)).cast("double").alias("__hy"))
+    )
+    one = sums.crossJoin(hx).crossJoin(hy)
+    mind = F.least(F.col("__r") - 1, F.col("__c") - 1).cast("double")
+    n2d = F.col("__n2").cast("double")
+    return one.select(
+        F.col("__n2").alias("n"),
+        F.col("__r").alias("n_x"),
+        F.col("__c").alias("n_y"),
+        F.col("__mi").alias("mi"),
+        F.when(
+            (F.col("__hx") > 0) & (F.col("__hy") > 0),
+            F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("nmi"),
+        F.col("__chi2").alias("chi2"),
+        F.when(mind > 0, F.sqrt(F.col("__chi2") / (n2d * mind)))
+        .otherwise(F.lit(0.0))
+        .alias("cramers_v"),
+    )

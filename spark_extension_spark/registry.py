@@ -4813,3 +4813,128 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     bench = emb.where(F.col("vec_id") % 97 == 0)
     return semantic_decontam_flags(emb, bench, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# categorical association (MI / NMI / chi-squared / Cramér's V)
+# ---------------------------------------------------------------------------
+
+_CAT_ASSOC_ORACLE = """
+WITH d AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM d GROUP BY 1, 2),
+mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY x),
+my AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY y),
+tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT mx.x, my.y, CAST(COALESCE(cells.nxy, 0) AS BIGINT) AS o,
+         mx.nx, my.ny, tot.n
+  FROM mx CROSS JOIN my
+  LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y
+  CROSS JOIN tot
+),
+sums AS (
+  SELECT
+    CAST(SUM(CAST(
+      (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(o AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+    CAST(SUM(CAST(
+      CASE WHEN o > 0
+           THEN (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+           ELSE 0.0 END
+      AS DECIMAL(38,12))) AS DOUBLE) AS mi,
+    CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+    CAST(COUNT(DISTINCT y) AS BIGINT) AS c,
+    MAX(n) AS n
+  FROM grid
+),
+hx AS (
+  SELECT CAST(SUM(CAST(
+    -(CAST(nx AS DOUBLE) / CAST(tot.n AS DOUBLE))
+    * LN(CAST(nx AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS hx
+  FROM mx CROSS JOIN tot
+),
+hy AS (
+  SELECT CAST(SUM(CAST(
+    -(CAST(ny AS DOUBLE) / CAST(tot.n AS DOUBLE))
+    * LN(CAST(ny AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS hy
+  FROM my CROSS JOIN tot
+)
+SELECT sums.n AS n, sums.r AS n_x, sums.c AS n_y, sums.mi AS mi,
+       CASE WHEN hx.hx > 0 AND hy.hy > 0
+            THEN sums.mi / sqrt(hx.hx * hy.hy) ELSE 0.0 END AS nmi,
+       sums.chi2 AS chi2,
+       CASE WHEN CAST(LEAST(sums.r - 1, sums.c - 1) AS DOUBLE) > 0
+            THEN sqrt(sums.chi2 / (CAST(sums.n AS DOUBLE)
+                 * CAST(LEAST(sums.r - 1, sums.c - 1) AS DOUBLE)))
+            ELSE 0.0 END AS cramers_v
+FROM sums CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+@register("cat_assoc_documents", _CAT_ASSOC_ORACLE)
+def q_cat_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import categorical_association
+
+    docs = load(spark, sf_dir, "documents")
+    return categorical_association(docs, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t statistic from decimal sufficient statistics
+# ---------------------------------------------------------------------------
+
+_TTEST_ORACLE = """
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'click' AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    SUM(CASE WHEN event_type = 'click' AND value IS NOT NULL
+             THEN CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12)) END) AS sa,
+    SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+             THEN CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12)) END) AS sb,
+    SUM(CASE WHEN event_type = 'click' AND value IS NOT NULL
+             THEN CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,12)) END) AS ssa,
+    SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+             THEN CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,12)) END) AS ssb
+  FROM events
+),
+f AS (
+  SELECT na, nb,
+         CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+         CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+         CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd
+  FROM s
+),
+g AS (
+  SELECT na, nb,
+         CASE WHEN na > 0 THEN sad / nad END AS mean_a,
+         CASE WHEN nb > 0 THEN sbd / nbd END AS mean_b,
+         CASE WHEN na > 1 THEN (ssad - sad * sad / nad) / (nad - 1) END AS var_a,
+         CASE WHEN nb > 1 THEN (ssbd - sbd * sbd / nbd) / (nbd - 1) END AS var_b,
+         nad, nbd
+  FROM f
+)
+SELECT na AS n_a, nb AS n_b, mean_a, mean_b, var_a, var_b,
+       CASE WHEN na > 1 AND nb > 1 AND (var_a / nad + var_b / nbd) > 0
+            THEN (mean_a - mean_b) / sqrt(var_a / nad + var_b / nbd) END AS t_stat,
+       CASE WHEN na > 1 AND nb > 1 AND (var_a / nad + var_b / nbd) > 0
+            THEN ((var_a / nad + var_b / nbd) * (var_a / nad + var_b / nbd))
+                 / ((var_a / nad) * (var_a / nad) / (nad - 1)
+                    + (var_b / nbd) * (var_b / nbd) / (nbd - 1)) END AS dof
+FROM g
+"""
+
+
+@register("ttest_events", _TTEST_ORACLE)
+def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import group_ttest
+
+    ev = load(spark, sf_dir, "events")
+    return group_ttest(ev, "value", "event_type", "click", "purchase")

@@ -514,3 +514,46 @@ class TestTargetEncode:
         a = sorted(map(tuple, target_encode(df.coalesce(1), "c", "y").collect()))
         b = sorted(map(tuple, target_encode(df.repartition(8), "c", "y").collect()))
         assert a == b
+
+
+class TestGroupTTest:
+    def test_matches_scipy_formula(self, spark):
+        from spark_extension_spark.operators.features import group_ttest
+
+        a = [10.1, 9.8, 10.5, 10.0, 9.6, 10.3]
+        b = [11.2, 11.0, 10.8, 11.5]
+        rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0), ("a", None)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = group_ttest(df, "v", "g", "a", "b").collect()[0]
+
+        import numpy as np
+
+        na, nb = len(a), len(b)
+        ma, mb = np.mean(a), np.mean(b)
+        va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+        se2 = va / na + vb / nb
+        t = (ma - mb) / se2**0.5
+        dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert abs(r["mean_a"] - ma) < 1e-9 and abs(r["var_b"] - vb) < 1e-9
+        assert abs(r["t_stat"] - t) < 1e-9
+        assert abs(r["dof"] - dof) < 1e-9
+
+    def test_degenerate_groups_null_stat(self, spark):
+        from spark_extension_spark.operators.features import group_ttest
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+        )
+        r = group_ttest(df, "v", "g", "a", "b").collect()[0]
+        assert r["n_a"] == 1 and r["var_a"] is None
+        assert r["t_stat"] is None and r["dof"] is None
+
+    def test_partitioning_independent(self, spark):
+        from spark_extension_spark.operators.features import group_ttest
+
+        rows = [("a" if i % 3 else "b", float((i * 7) % 23)) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        x = group_ttest(df.coalesce(1), "v", "g", "a", "b").collect()[0]
+        y = group_ttest(df.repartition(8), "v", "g", "a", "b").collect()[0]
+        assert x == y

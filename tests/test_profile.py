@@ -169,3 +169,50 @@ def test_corr_matrix_validation(spark):
     df = spark.createDataFrame([(1.0,)], ["a"])
     with _pytest.raises(ValueError, match="needs >= 2"):
         corr_matrix(df, ["a"])
+
+
+def test_categorical_association_known_values(spark):
+    import math
+
+    from spark_extension_spark.operators.profile import categorical_association
+
+    # perfectly dependent: y == x
+    rows = [(c, c) for c in "aabbcc"]
+    df = spark.createDataFrame(list(rows), ["x", "y"])
+    r = categorical_association(df, "x", "y").collect()[0]
+    assert r["n"] == 6 and r["n_x"] == 3 and r["n_y"] == 3
+    assert abs(r["nmi"] - 1.0) < 1e-12          # identical variables
+    assert abs(r["mi"] - math.log(3)) < 1e-12   # H(x) = ln 3 (uniform)
+    assert abs(r["cramers_v"] - 1.0) < 1e-12    # chi2 = n*min(r-1,c-1)
+
+    # independent: every (x, y) combo equally likely
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = categorical_association(df, "x", "y").collect()[0]
+    assert abs(r["mi"]) < 1e-12
+    assert abs(r["chi2"]) < 1e-12
+    assert r["cramers_v"] == 0.0
+
+
+def test_categorical_association_unobserved_cells_count_in_chi2(spark):
+    from spark_extension_spark.operators.profile import categorical_association
+
+    # x=a only ever sees y=c; cell (a, d) is unobserved but expected>0
+    df = spark.createDataFrame(
+        [("a", "c")] * 4 + [("b", "c")] * 2 + [("b", "d")] * 2, ["x", "y"]
+    )
+    r = categorical_association(df, "x", "y").collect()[0]
+    # hand-computed chi2 over the FULL 2x2 grid (o=4,2,0,2; e=3,1,3,1... )
+    n = 8.0
+    exp = {("a","c"): 4*6/n, ("a","d"): 4*2/n, ("b","c"): 4*6/n, ("b","d"): 4*2/n}
+    obs = {("a","c"): 4, ("a","d"): 0, ("b","c"): 2, ("b","d"): 2}
+    chi2 = sum((obs[k]-e)**2/e for k, e in exp.items())
+    assert abs(r["chi2"] - chi2) < 1e-9
+
+
+def test_categorical_association_degenerate_single_category(spark):
+    from spark_extension_spark.operators.profile import categorical_association
+
+    df = spark.createDataFrame([("a", "c"), ("a", "d")], ["x", "y"])
+    r = categorical_association(df, "x", "y").collect()[0]
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0 and r["cramers_v"] == 0.0
