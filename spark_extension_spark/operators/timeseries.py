@@ -27,6 +27,7 @@ __all__ = [
     "rolling_aggregates",
     "cohort_retention",
     "funnel",
+    "resample_interpolate",
 ]
 
 
@@ -376,3 +377,104 @@ def funnel(
     return counts.select(
         F.explode(F.array(*rows)).alias("__r")
     ).select("__r.step", "__r.event_type", "__r.n_users", "__r.frac_of_first", "__r.frac_of_prev")
+
+
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step: int,
+    by: Sequence[str] = (),
+    method: str = "linear",
+    scale: int = 12,
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed grid and fill the
+    gaps: one row per ``step``-wide bucket from each group's first to
+    last observation, with observed buckets averaged and missing
+    buckets filled by ``method`` — the prep step before rolling
+    features, FFT-ish analyses, or anything that assumes an evenly
+    sampled axis.
+
+    ``step`` is in the time column's own units (e.g. ``3600 * 10**9``
+    for hourly over nanoseconds); bucket indices use integer ``div``.
+    Returns ``(by…, bucket_ts, value, interpolated)`` where
+    ``bucket_ts`` is the bucket's start on the original axis and
+    ``interpolated`` marks filled rows.
+
+    ``method="linear"`` interpolates between the nearest observed
+    buckets on each side (leading/trailing gaps stay NULL — there is
+    nothing to anchor to); ``"ffill"`` holds the last observation
+    (trailing fills, leading gaps stay NULL).
+
+    Plan: one per-(group, bucket) aggregate (observed means in
+    ``DECIMAL(38, scale)`` — order-independent), a per-group min/max
+    aggregate whose ``sequence()`` explode generates the spine
+    (spine size = time span / step per group — choose ``step`` so
+    this is bounded; it is rows-out, never held in memory), a left
+    join of observations onto the spine (both sides keyed the same),
+    and ONE ordered window pass per direction for the anchors.  No
+    driver materialization, no per-gap jobs.
+    """
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    if method not in ("linear", "ffill"):
+        raise ValueError(f"method must be 'linear' or 'ffill', got {method!r}")
+    dec = f"decimal(38,{int(scale)})"
+    keys = [F.col(c) for c in by]
+    axis, _ = _epoch_axis(df, ts_col, 1)
+    v = F.col(value_col).cast("double")
+    d = df.where(F.col(ts_col).isNotNull() & v.isNotNull()).select(
+        *keys, axis.alias("__ax"), v.alias("__v")
+    )
+    d = d.select(
+        *[F.col(c) for c in by],
+        F.expr(f"__ax div {int(step)}").alias("__idx"),
+        "__v",
+    )
+    obs = d.groupBy(*[F.col(c) for c in by], F.col("__idx")).agg(
+        (
+            F.sum(F.col("__v").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__obs")
+    )
+    span = d.groupBy(*[F.col(c) for c in by]).agg(
+        F.min("__idx").alias("__lo"), F.max("__idx").alias("__hi")
+    )
+    spine = span.select(
+        *[F.col(c) for c in by],
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__idx"),
+    )
+    joined = spine.join(obs, [*by, "__idx"], "left")
+    w_prev = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col("__idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col("__idx"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("__obs").isNotNull(), F.col("__idx"))
+    prev_v = F.last("__obs", ignorenulls=True).over(w_prev)
+    prev_i = F.last(obs_idx, ignorenulls=True).over(w_prev)
+    next_v = F.first("__obs", ignorenulls=True).over(w_next)
+    next_i = F.first(obs_idx, ignorenulls=True).over(w_next)
+    if method == "linear":
+        frac = (F.col("__idx") - prev_i).cast("double") / (
+            next_i - prev_i
+        ).cast("double")
+        filled = F.when(F.col("__obs").isNotNull(), F.col("__obs")).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v + (next_v - prev_v) * frac,
+            )
+        )
+    else:
+        filled = F.coalesce(F.col("__obs"), prev_v)
+    return joined.select(
+        *[F.col(c) for c in by],
+        (F.col("__idx") * F.lit(int(step))).alias("bucket_ts"),
+        filled.alias("value"),
+        F.col("__obs").isNull().alias("interpolated"),
+    )

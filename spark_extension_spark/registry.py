@@ -4938,3 +4938,64 @@ def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return group_ttest(ev, "value", "event_type", "click", "purchase")
+
+
+# ---------------------------------------------------------------------------
+# grid resampling + gap interpolation
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH d AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS idx, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE user_id % 50 = 0 AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+obs AS (
+  SELECT user_id, idx,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obsv
+  FROM d GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(idx) AS lo, MAX(idx) AS hi FROM d GROUP BY 1),
+spine AS (
+  SELECT user_id, lo + u.i AS idx
+  FROM span, UNNEST(generate_series(0, hi - lo)) AS u(i)
+),
+j AS (
+  SELECT s.user_id, s.idx, o.obsv
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.idx = o.idx
+),
+w AS (
+  SELECT user_id, idx, obsv,
+    LAST_VALUE(obsv IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY idx
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN obsv IS NOT NULL THEN idx END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY idx
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+    FIRST_VALUE(obsv IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY idx
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN obsv IS NOT NULL THEN idx END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY idx
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM j
+)
+SELECT user_id, idx * 3600000000000 AS bucket_ts,
+       CASE WHEN obsv IS NOT NULL THEN obsv
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+       END AS value,
+       obsv IS NULL AS interpolated
+FROM w
+"""
+
+
+@register("resample_interpolate_events", _RESAMPLE_ORACLE)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import resample_interpolate
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    return resample_interpolate(
+        ev, "ts", "value", 3_600_000_000_000, by=["user_id"]
+    )

@@ -243,3 +243,46 @@ class TestFunnel:
         assert len(out) == 1 and out[0]["n_users"] == 1
         with _pytest.raises(ValueError, match="at least one"):
             funnel(df, [], "user_id", "ts")
+
+
+class TestResampleInterpolate:
+    def test_linear_fill_known_values(self, spark):
+        from spark_extension_spark.operators.timeseries import resample_interpolate
+
+        # key g: observed at buckets 0 (v=10) and 3 (v=40); gaps at 1,2
+        df = spark.createDataFrame(
+            [("g", 5, 10.0), ("g", 35, 40.0), ("g", 36, 44.0)],
+            "k string, ts long, v double",
+        )
+        out = {r["bucket_ts"]: r for r in
+               resample_interpolate(df, "ts", "v", 10, by=["k"]).collect()}
+        assert sorted(out) == [0, 10, 20, 30]
+        assert out[0]["value"] == 10.0 and out[0]["interpolated"] is False
+        assert out[30]["value"] == 42.0  # bucket mean of 40, 44
+        assert abs(out[10]["value"] - (10 + (42 - 10) / 3)) < 1e-9
+        assert abs(out[20]["value"] - (10 + 2 * (42 - 10) / 3)) < 1e-9
+        assert out[10]["interpolated"] is True
+
+    def test_ffill_and_edges(self, spark):
+        from spark_extension_spark.operators.timeseries import resample_interpolate
+
+        df = spark.createDataFrame(
+            [("g", 10, 5.0), ("g", 40, 8.0)], "k string, ts long, v double"
+        )
+        lin = {r["bucket_ts"]: r["value"] for r in
+               resample_interpolate(df, "ts", "v", 10, by=["k"]).collect()}
+        ff = {r["bucket_ts"]: r["value"] for r in
+              resample_interpolate(df, "ts", "v", 10, by=["k"], method="ffill").collect()}
+        assert ff[20] == 5.0 and ff[30] == 5.0  # held, not interpolated
+        assert lin[20] == 6.0 and lin[30] == 7.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.timeseries import resample_interpolate
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "k string, ts long, v double")
+        with _pytest.raises(ValueError, match="step"):
+            resample_interpolate(df, "ts", "v", 0)
+        with _pytest.raises(ValueError, match="method"):
+            resample_interpolate(df, "ts", "v", 10, method="spline")
