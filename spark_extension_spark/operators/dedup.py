@@ -32,6 +32,7 @@ __all__ = [
     "shingles",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "prefix_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -1151,4 +1152,106 @@ def dedup_report(
             ),
             "n_cross_dup_docs",
         )
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """All pairs with exact n-gram Jaccard ≥ ``threshold`` via *prefix
+    filtering* (the PPJoin family) — same output contract as
+    :func:`ngram_jaccard_pairs` (``id_a, id_b, common, size_a, size_b,
+    jaccard``), different candidate generator with a provable
+    no-recall-loss guarantee.
+
+    Prefix filter: order every document's shingles by one GLOBAL total
+    order (document frequency ascending, shingle ascending — rarest
+    first) and keep only the first ``|d| − ⌈t·|d|⌉ + 1`` as its
+    *prefix*.  Two documents with Jaccard ≥ t must share at least one
+    prefix shingle (if all shared shingles sat outside both prefixes,
+    the overlap would be too small to reach t), so joining on prefix
+    shingles alone finds every qualifying pair — unlike
+    ``max_shingle_freq`` stop-shingle capping, which trades recall for
+    skew safety.  Because prefixes are built from the *rarest*
+    shingles, the join's postings lists are short by construction:
+    the boilerplate shingle shared by a million documents never enters
+    anyone's prefix at realistic thresholds — this is the skew guard,
+    derived instead of imposed.
+
+    Candidates are then verified exactly against the full shingle sets
+    (``array_intersect`` on per-document arrays — per-candidate work
+    is O(doc shingles), never a second corpus join).  The ⌈·⌉ is
+    computed as ``ceil(t·|d| − 1e-9)``: if FP noise ever tips it, it
+    tips toward a *longer* prefix — more candidates, never fewer, so
+    exactness survives float rounding.
+
+    Shuffles: doc-frequency aggregate + one per-document rank window +
+    prefix self-join + two set joins; the full-postings self-join of
+    the inverted-index formulation is gone.  The shingle frame is
+    persisted (it feeds the frequency, prefix, and verification
+    branches); pass an ``unpersist_handle`` to release it.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingles(df, id_col, text_col, n).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(sh)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    wn = Window.partitionBy(id_col)
+    ranked = sh.join(dfreq, "shingle").select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(w).alias("__pos"),
+        F.count(F.lit(1)).over(wn).alias("__size"),
+    )
+    plen = (
+        F.col("__size")
+        - F.ceil(F.lit(float(threshold)) * F.col("__size") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("__pos") <= plen).select(F.col(id_col), "shingle")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("__toks"),
+        F.count(F.lit(1)).cast("long").alias("__size"),
+    )
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__size").alias("size_a"),
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__size").alias("size_b"),
+    )
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
+    jac = inter.cast("double") / (
+        F.col("size_a") + F.col("size_b") - inter
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            inter.alias("common"),
+            "size_a",
+            "size_b",
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
     )

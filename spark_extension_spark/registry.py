@@ -4999,3 +4999,23 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         ev, "ts", "value", 3_600_000_000_000, by=["user_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered (PPJoin-style) exact Jaccard pairs — the oracle is the
+# brute inverted-index formulation: prefix filtering must lose nothing
+# ---------------------------------------------------------------------------
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT id_a, id_b, common, size_a, size_b, jaccard FROM pairs
+"""
+
+
+@register("prefix_jaccard_documents", _PREFIX_JACCARD_ORACLE)
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.6
+    )

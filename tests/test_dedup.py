@@ -670,3 +670,69 @@ class TestTriangleCounts:
         )
         assert a == b
         h()  # releases the persisted canonical edge list without error
+
+
+class TestPrefixJaccard:
+    def test_equals_inverted_index_formulation(self, spark, sf_dir):
+        from conftest import load
+
+        from spark_extension_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_jaccard_pairs,
+        )
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+        brute = {
+            (r["id_a"], r["id_b"], r["common"])
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5, max_shingle_freq=None
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["common"])
+            for r in prefix_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+        }
+        assert pref == brute  # lossless: prefix filter == full index join
+
+    def test_low_threshold_long_prefixes_still_exact(self, spark):
+        from spark_extension_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_jaccard_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon eta"),
+                (3, "one two three four five six"),
+                (4, "one two three four five seven"),
+                (5, "totally different words here entirely now"),
+            ],
+            ["doc_id", "text"],
+        )
+        # threshold 0.1 exercises the ceil(t*size) FP edge (prefix = whole doc)
+        for t in (0.1, 0.34, 0.9):
+            brute = {
+                (r["id_a"], r["id_b"])
+                for r in ngram_jaccard_pairs(
+                    docs, n=2, threshold=t, max_shingle_freq=None
+                ).collect()
+            }
+            pref = {
+                (r["id_a"], r["id_b"])
+                for r in prefix_jaccard_pairs(docs, n=2, threshold=t).collect()
+            }
+            assert pref == brute
+
+    def test_validation_and_handle(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.dedup import prefix_jaccard_pairs
+        from spark_extension_spark.utils import UnpersistHandle
+
+        docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="threshold"):
+            prefix_jaccard_pairs(docs, threshold=0.0)
+        h = UnpersistHandle()
+        prefix_jaccard_pairs(docs, n=2, threshold=0.5, unpersist_handle=h).collect()
+        h()
