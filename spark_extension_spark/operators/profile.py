@@ -22,7 +22,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "check_constraints", "psi_report", "corr_matrix", "categorical_association"]
+__all__ = ["profile", "check_constraints", "psi_report", "corr_matrix", "categorical_association", "reliability_report"]
 
 
 def profile(
@@ -350,4 +350,62 @@ def categorical_association(
         F.when(mind > 0, F.sqrt(F.col("__chi2") / (n2d * mind)))
         .otherwise(F.lit(0.0))
         .alias("cramers_v"),
+    )
+
+
+def reliability_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    scale: int = 12,
+) -> DataFrame:
+    """Calibration (reliability-diagram) table for a [0, 1] confidence
+    score against a binary outcome: scores are cut into ``bins``
+    equal-width buckets; each row reports the bucket's mean score
+    (confidence), observed positive rate (accuracy), their absolute
+    gap, and the bucket's weight — so ``Σ weight · abs_gap`` is the
+    Expected Calibration Error.  The standard audit for
+    quality-classifier scores before thresholding them into keep/drop
+    decisions: a model can rank well and still be wildly miscalibrated.
+
+    Returns ``(bin, n, avg_score, frac_positive, abs_gap, weight,
+    ece_term)``; only observed buckets appear.  Scores are clamped
+    into [0, 1] (values outside land in the edge buckets); NULL score
+    or label rows are excluded.  One hash aggregate (decimal sums —
+    order-independent) + a 1-row total broadcast: scan-speed at any
+    size.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    dec = f"decimal(38,{int(scale)})"
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    d = df.where(s.isNotNull() & y.isNotNull())
+    bucket = F.least(
+        F.greatest(F.floor(s * F.lit(int(bins))).cast("long"), F.lit(0)),
+        F.lit(int(bins) - 1),
+    )
+    per = d.groupBy(bucket.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s.cast(dec)).alias("__ss"),
+        F.sum(y.cast(dec)).alias("__sy"),
+    )
+    tot = per.agg(F.sum("n").cast("double").alias("__total"))
+    nd = F.col("n").cast("double")
+    avg_score = F.col("__ss").cast("double") / nd
+    frac_pos = F.col("__sy").cast("double") / nd
+    gap = F.abs(frac_pos - avg_score)
+    weight = nd / F.col("__total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            avg_score.alias("avg_score"),
+            frac_pos.alias("frac_positive"),
+            gap.alias("abs_gap"),
+            weight.alias("weight"),
+            (weight * gap).alias("ece_term"),
+        )
     )

@@ -5019,3 +5019,100 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(
         _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.6
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot-to-snapshot change summary (diff + count rollup)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DELTA_ORACLE = """
+WITH o AS (SELECT * FROM orders),
+n AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+j AS (
+  SELECT COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+              THEN 'C' ELSE 'N' END AS action
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderstatus, action, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM j GROUP BY 1, 2
+"""
+
+
+@register("snapshot_delta_orders", _SNAPSHOT_DELTA_ORACLE)
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import snapshot_delta
+
+    old = load(spark, sf_dir, "orders")
+    changed = old.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = old.where(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    new = changed.unionByName(inserted)
+    return snapshot_delta(old, new, ["o_orderkey"], by=["o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration (reliability diagram + ECE terms)
+# ---------------------------------------------------------------------------
+
+_RELIABILITY_ORACLE = """
+WITH d AS (
+  SELECT CAST((n_chars % 1000) AS DOUBLE) / 1000.0 AS s,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+per AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(s * 10) AS BIGINT), 0), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(s AS DECIMAL(38,12))) AS ss,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sy
+  FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM per)
+SELECT bin, n,
+       CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS avg_score,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS frac_positive,
+       abs(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap,
+       CAST(n AS DOUBLE) / total AS weight,
+       (CAST(n AS DOUBLE) / total)
+         * abs(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) AS ece_term
+FROM per CROSS JOIN tot
+"""
+
+
+@register("reliability_documents", _RELIABILITY_ORACLE)
+def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import reliability_report
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            ((F.col("n_chars") % 1000).cast("double") / F.lit(1000.0)).alias("s"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+    )
+    return reliability_report(docs, "s", "y", bins=10)

@@ -216,3 +216,42 @@ def test_categorical_association_degenerate_single_category(spark):
     df = spark.createDataFrame([("a", "c"), ("a", "d")], ["x", "y"])
     r = categorical_association(df, "x", "y").collect()[0]
     assert r["mi"] == 0.0 and r["nmi"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_reliability_report_perfect_and_miscalibrated(spark):
+    from spark_extension_spark.operators.profile import reliability_report
+
+    # perfectly calibrated: in each bin, positives occur at the bin's score
+    rows = []
+    for b in range(10):
+        s = b / 10 + 0.05
+        npos = int(round(s * 20))
+        rows += [(s, 1.0)] * npos + [(s, 0.0)] * (20 - npos)
+    df = spark.createDataFrame(rows, "s double, y double")
+    out = reliability_report(df, "s", "y", bins=10).collect()
+    import pyspark.sql.functions as F
+
+    ece = sum(r["ece_term"] for r in out)
+    assert ece < 0.011  # rounding of npos only
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-12
+
+    # overconfident: score 0.95 but only 20% positive
+    df2 = spark.createDataFrame([(0.95, 1.0)] * 2 + [(0.95, 0.0)] * 8, "s double, y double")
+    r = reliability_report(df2, "s", "y", bins=10).collect()[0]
+    assert r["bin"] == 9
+    assert abs(r["abs_gap"] - 0.75) < 1e-12
+    assert abs(r["ece_term"] - 0.75) < 1e-12
+
+
+def test_reliability_report_clamps_and_validates(spark):
+    import pytest as _pytest
+
+    from spark_extension_spark.operators.profile import reliability_report
+
+    df = spark.createDataFrame(
+        [(-0.5, 0.0), (1.7, 1.0), (None, 1.0), (0.5, None)], "s double, y double"
+    )
+    out = {r["bin"]: r["n"] for r in reliability_report(df, "s", "y", bins=10).collect()}
+    assert out == {0: 1, 9: 1}  # clamped into edge bins; NULLs excluded
+    with _pytest.raises(ValueError, match="bins"):
+        reliability_report(df, "s", "y", bins=0)

@@ -83,3 +83,28 @@ def test_scd2_rejects_bad_args(spark, dim):
         scd2_merge(dim, bad, ["id"], F.lit(1))
     with pytest.raises(ValueError, match="missing columns"):
         scd2_merge(dim, upd, ["id"], F.lit(1), compare_cols=["nope"])
+
+
+class TestSnapshotDelta:
+    def test_counts_all_four_actions(self, spark):
+        from spark_extension_spark.operators.scd import snapshot_delta
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)], ["id", "src", "v"]
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 99), (4, "b", 40)], ["id", "src", "v"]
+        )
+        out = {r["action"]: r["n_rows"] for r in
+               snapshot_delta(old, new, ["id"]).collect()}
+        assert out == {"N": 1, "C": 1, "D": 1, "I": 1}
+
+    def test_by_takes_new_side_except_deletes(self, spark):
+        from spark_extension_spark.operators.scd import snapshot_delta
+
+        old = spark.createDataFrame([(1, "olddim", 1), (2, "x", 2)], ["id", "src", "v"])
+        new = spark.createDataFrame([(1, "newdim", 9)], ["id", "src", "v"])
+        out = {(r["src"], r["action"]): r["n_rows"] for r in
+               snapshot_delta(old, new, ["id"], by=["src"]).collect()}
+        assert out[("newdim", "C")] == 1  # C rows labelled with the NEW dim
+        assert out[("x", "D")] == 1       # D rows can only use the old dim
