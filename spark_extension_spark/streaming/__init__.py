@@ -29,6 +29,7 @@ __all__ = [
     "foreach_batch_near_dedup",
     "streaming_ttl_dedup",
     "streaming_mix_monitor",
+    "streaming_asof_enrich",
 ]
 
 
@@ -484,3 +485,44 @@ def streaming_mix_monitor(
         *shares,
         max_dev.alias("max_abs_dev"),
     )
+
+
+def streaming_asof_enrich(
+    stream: DataFrame,
+    dimension: DataFrame,
+    on: str,
+    by=None,
+    on_batch: Callable[[DataFrame, int], None] = None,
+    tolerance=None,
+    direction: str = "backward",
+):
+    """Enrich a stream with the time-nearest row of a *static* slowly-
+    changing dimension: every micro-batch is as-of joined (via the
+    batch :func:`~spark_extension_spark.operators.asof.asof_join`)
+    against ``dimension`` and handed to ``on_batch`` — the streaming
+    counterpart of "attach the quote in effect at trade time" /
+    "attach the model version live at event time".
+
+    ``foreachBatch`` is the right mechanism, not a stream-stream join:
+    the dimension is bounded and batch-readable, the as-of semantics
+    (union + ordered window) are already exact in the batch operator,
+    and each micro-batch joins against the dimension *as of that
+    batch's execution* — re-reading a dimension that grew between
+    batches is the desired behavior for slowly-changing enrichment.
+    Returns a ``DataStreamWriter``; call ``.start()`` with a
+    checkpoint location.
+    """
+    from ..operators.asof import asof_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            batch_df,
+            dimension,
+            on,
+            by=by,
+            tolerance=tolerance,
+            direction=direction,
+        )
+        on_batch(enriched, batch_id)
+
+    return stream.writeStream.foreachBatch(process)

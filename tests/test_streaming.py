@@ -352,3 +352,30 @@ def test_streaming_mix_monitor(spark, tmp_path):
     assert r["n_total"] == 10 and r["n_other"] == 1
     assert r["share_web"] == 0.6 and r["share_wiki"] == 0.3
     assert r["max_abs_dev"] == pytest.approx(0.2)  # wiki 0.3 vs target 0.5
+
+
+def test_streaming_asof_enrich(spark, tmp_path, tmp_path_factory):
+    from spark_extension_spark.streaming import streaming_asof_enrich
+
+    path = str(tmp_path_factory.mktemp("stream") / "trades")
+    spark.createDataFrame(
+        [(1, 100, 10.0), (2, 205, 20.0), (3, 50, 30.0)], "id long, t long, v double"
+    ).write.parquet(path)
+    quotes = spark.createDataFrame(
+        [(90, "q90"), (200, "q200")], "t long, quote string"
+    )
+    stream = spark.readStream.schema("id long, t long, v double").parquet(path)
+    got = {}
+
+    def on_batch(df, batch_id):
+        for r in df.collect():
+            got[r["id"]] = r["right_quote"]
+
+    q = (
+        streaming_asof_enrich(stream, quotes, "t", on_batch=on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == {1: "q90", 2: "q200", 3: None}  # nearest quote at-or-before
