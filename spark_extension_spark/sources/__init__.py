@@ -9,6 +9,7 @@ from .bucketed import colocated_join, read_bucketed, write_bucketed
 from .layout import with_z_value, write_zordered, z_value
 from .partitioned_write import write_partitioned_by
 from .skipping import file_column_ranges, prune_files, read_pruned
+from .compaction import compact_files, plan_compaction
 
 __all__ = [
     "write_bucketed",
@@ -26,4 +27,6 @@ __all__ = [
     "file_column_ranges",
     "prune_files",
     "read_pruned",
+    "plan_compaction",
+    "compact_files",
 ]
