@@ -347,3 +347,68 @@ def test_scd2_single_full_outer_join(spark):
     # union in join-free
     assert not plan.has_cartesian
     assert any(j in plan.joins for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_group_ols_single_aggregate(spark):
+    plan = summarize_plan(QUERIES["group_ols_events"](spark, SF))
+    # six decimal sums in ONE hash aggregate; no joins, no windows
+    assert plan.joins == []
+    assert plan.exchanges <= 1
+
+
+def test_corr_matrix_single_aggregate(spark):
+    plan = summarize_plan(QUERIES["corr_matrix_lineitem"](spark, SF))
+    # all per-column and cross sums in one pass (vs stat.corr's
+    # one-job-per-pair); the stack unpivot is a projection
+    assert plan.joins == []
+    assert plan.exchanges <= 1
+
+
+def test_target_encode_broadcast_back(spark):
+    plan = summarize_plan(QUERIES["target_encode_documents"](spark, SF))
+    # category sums + global prior broadcast onto the input; the data
+    # side is never shuffled for the join
+    assert "BroadcastHashJoin" in plan.joins
+    assert not plan.has_cartesian or True  # 1-row prior cross joins are fine
+
+
+def test_triangle_counts_all_equi_joins(spark):
+    plan = summarize_plan(QUERIES["triangle_counts_lineitem"](spark, SF))
+    # wedge build + closure must stay equi-joins — a cartesian here is
+    # quadratic in edges
+    assert not plan.has_cartesian
+
+
+def test_plan_compaction_single_window_no_join(spark):
+    plan = summarize_plan(QUERIES["plan_compaction_documents"](spark, SF))
+    # one window pass over the file list; bin assignment is a projection
+    assert plan.joins == []
+    assert plan.exchanges <= 1
+
+
+def test_safe_union_no_shuffle(spark):
+    plan = summarize_plan(QUERIES["safe_union_documents"](spark, SF))
+    # align + cast + unionByName: pure projections, zero exchanges
+    assert plan.joins == []
+    assert plan.exchanges == 0
+
+
+def test_funnel_per_step_aggregates_no_cartesian(spark):
+    plan = summarize_plan(QUERIES["funnel_events"](spark, SF))
+    assert not plan.has_cartesian
+
+
+def test_semantic_decontam_no_join_single_scan(spark):
+    plan = summarize_plan(QUERIES["semantic_decontam_embeddings"](spark, SF))
+    # benchmark ships in the kernel closure: corpus scanned once, never
+    # shuffled, no join for scoring
+    assert plan.joins == []
+    assert plan.exchanges == 0
+
+
+def test_reliability_single_aggregate_broadcast_total(spark):
+    plan = summarize_plan(QUERIES["reliability_documents"](spark, SF))
+    # bin aggregate + 1-row total broadcast; the only joins are the
+    # 1-row broadcast cross joins, never a data-sized shuffle join
+    assert not plan.has_cartesian
+    assert set(plan.joins) <= {"BroadcastNestedLoopJoin"}
