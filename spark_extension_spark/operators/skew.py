@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..utils import distinct_prefix_for
 
-__all__ = ["salted_join", "with_salt", "heavy_keys"]
+__all__ = ["salted_join", "with_salt", "heavy_keys", "differential_join"]
 
 
 def heavy_keys(df: DataFrame, keys: Sequence[str], k: int = 10) -> DataFrame:
@@ -99,3 +99,65 @@ def salted_join(
     )
     joined = left.join(right, keys + [salt_col], how)
     return joined.drop(salt_col)
+
+
+def differential_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    how: str = "inner",
+    heavy_threshold: int = 100_000,
+    max_heavy_keys: int = 1000,
+) -> DataFrame:
+    """Skew-adaptive equi-join: keys whose left-side row count exceeds
+    ``heavy_threshold`` take a *broadcast* path (the right rows for
+    just those keys broadcast against the heavy left rows — no
+    shuffle can melt down on them), everything else takes the normal
+    shuffled join.  The union of the two paths is row-for-row equal to
+    the plain join — the split is an execution strategy, never a
+    semantics change (the correctness gate's oracle is the plain
+    join).
+
+    This is the classic differentiated/skew-join decomposition —
+    what AQE's ``skewJoin`` does for *sort-merge partitions* at
+    runtime, done explicitly at the *key* level so it also covers
+    cases AQE can't: a single key too hot for any partition split, or
+    a downstream that needs the plan stable across runs.  Compared to
+    :func:`salted_join` (which replicates the ENTIRE small side
+    ``salt``×), only the heavy keys' right rows are replicated — for
+    the typical "5 hot keys in a billion" profile that is a few rows
+    broadcast instead of a full copy per salt bucket.
+
+    The heavy-key list materializes to the driver (bounded by
+    ``max_heavy_keys``; raises if the threshold admits more — a
+    threshold that low means the profile isn't "few hot keys" and
+    :func:`salted_join` is the right tool).  Supported: inner / left
+    (left_semi would need dedup bookkeeping across paths).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"differential_join supports inner/left, got: {how}")
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+    counts = (
+        left.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > heavy_threshold)
+    )
+    heavy_rows = counts.limit(max_heavy_keys + 1).collect()
+    if len(heavy_rows) > max_heavy_keys:
+        raise ValueError(
+            f"more than {max_heavy_keys} keys exceed heavy_threshold="
+            f"{heavy_threshold}; this is broad skew, not hot keys — "
+            "use salted_join instead"
+        )
+    if not heavy_rows:
+        return left.join(right, keys, how)
+    heavy = left.sparkSession.createDataFrame(
+        [tuple(r[k] for k in keys) for r in heavy_rows],
+        left.select(*keys).schema,
+    )
+    is_heavy_l = left.join(F.broadcast(heavy), keys, "left_semi")
+    not_heavy_l = left.join(F.broadcast(heavy), keys, "left_anti")
+    heavy_r = right.join(F.broadcast(heavy), keys, "left_semi")
+    hot = is_heavy_l.join(F.broadcast(heavy_r), keys, how)
+    cold = not_heavy_l.join(right, keys, how)
+    return hot.unionByName(cold)

@@ -28,6 +28,7 @@ __all__ = [
     "cohort_retention",
     "funnel",
     "resample_interpolate",
+    "transition_matrix",
 ]
 
 
@@ -477,4 +478,55 @@ def resample_interpolate(
         (F.col("__idx") * F.lit(int(step))).alias("bucket_ts"),
         filled.alias("value"),
         F.col("__obs").isNull().alias("interpolated"),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str = "event_type",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    one row per observed ``(from_event, to_event)`` with the count and
+    the row-normalized probability — the Markov complement to
+    :func:`funnel` (funnel asks "did they reach step k?", this asks
+    "where do they go next from anywhere?"; the classic inputs to
+    drop-off analysis and next-action models).
+
+    Consecutive pairs come from ONE ``lead`` window per user (ordered
+    by time, ties totalized by ``tiebreak`` columns so the sequence —
+    and therefore the matrix — replays identically on any
+    partitioning); counts are a hash aggregate over pairs; the
+    normalizing per-``from`` totals re-aggregate from the pair frame
+    (|event types|² rows, never the data) and broadcast back.  A
+    user's last event has no successor and contributes nothing.  NULL
+    user/time rows are excluded.
+
+    Returns ``(from_event, to_event, n, prob)``.
+    """
+    u = F.col(user_col)
+    axis, _ = _epoch_axis(df, ts_col, 1)
+    d = df.where(u.isNotNull() & F.col(ts_col).isNotNull()).select(
+        u.alias("__u"),
+        axis.alias("__t"),
+        F.col(event_col).alias("from_event"),
+        *[F.col(c) for c in tiebreak],
+    )
+    w = Window.partitionBy("__u").orderBy(
+        F.col("__t").asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    pairs = (
+        d.withColumn("to_event", F.lead("from_event").over(w))
+        .where(F.col("to_event").isNotNull())
+        .groupBy("from_event", "to_event")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_event").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(totals), "from_event").select(
+        "from_event",
+        "to_event",
+        "n",
+        (F.col("n").cast("double") / F.col("__tot").cast("double")).alias("prob"),
     )

@@ -5116,3 +5116,67 @@ def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return reliability_report(docs, "s", "y", bins=10)
+
+
+# ---------------------------------------------------------------------------
+# first-order event transition matrix
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH d AS (
+  SELECT user_id AS u, epoch_ns(ts) AS t, event_type AS from_event, event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+seq AS (
+  SELECT from_event,
+         LEAD(from_event) OVER (PARTITION BY u ORDER BY t, event_id) AS to_event
+  FROM d
+),
+pairs AS (
+  SELECT from_event, to_event, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_event IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_event, SUM(n) AS t FROM pairs GROUP BY 1)
+SELECT p.from_event, p.to_event, p.n,
+       CAST(p.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS prob
+FROM pairs p JOIN tot USING (from_event)
+"""
+
+
+@register("transition_matrix_events", _TRANSITION_ORACLE)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import transition_matrix
+
+    ev = load(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# skew-adaptive differential join — oracle is the PLAIN join (the split
+# is an execution strategy, never a semantics change)
+# ---------------------------------------------------------------------------
+
+_DIFFERENTIAL_JOIN_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey % 20 = 0
+"""
+
+
+@register("differential_join_lineitem_orders", _DIFFERENTIAL_JOIN_ORACLE)
+def q_differential_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import differential_join
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_totalprice"
+    )
+    # threshold 5 keeps the hot-key list bounded (hundreds at sf0.01,
+    # thousands at sf0.1) while exercising both the hot and cold paths
+    return differential_join(
+        li, orders, "l_orderkey", heavy_threshold=5, max_heavy_keys=50_000
+    )

@@ -63,3 +63,56 @@ class TestHeavyKeys:
         df = spark.createDataFrame([("x",), ("y",)], ["k"])
         rows = heavy_keys(df, ["k"], k=2).orderBy("rank").collect()
         assert [r["k"] for r in rows] == ["x", "y"]
+
+
+class TestDifferentialJoin:
+    def test_equals_plain_join_and_both_paths(self, spark):
+        from pyspark.sql import functions as F
+
+        from spark_extension_spark.operators.skew import differential_join
+
+        left = spark.createDataFrame(
+            [(1, i) for i in range(500)]        # key 1: hot
+            + [(2, i) for i in range(3)]         # cold
+            + [(3, i) for i in range(2)]         # cold
+            + [(9, 0)],                          # no match on right
+            ["k", "lv"],
+        )
+        right = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three"), (8, "eight")], ["k", "rv"]
+        )
+        plain = set(map(tuple, left.join(right, "k").collect()))
+        diffj = set(map(tuple, differential_join(
+            left, right, "k", heavy_threshold=100).collect()))
+        assert diffj == plain
+
+        leftj = set(map(tuple, differential_join(
+            left, right, "k", how="left", heavy_threshold=100).collect()))
+        assert leftj == set(map(tuple, left.join(right, "k", "left").collect()))
+
+    def test_no_heavy_keys_falls_through(self, spark):
+        from spark_extension_spark.operators.skew import differential_join
+
+        left = spark.createDataFrame([(1, 1), (2, 2)], ["k", "lv"])
+        right = spark.createDataFrame([(1, "x")], ["k", "rv"])
+        out = differential_join(left, right, "k", heavy_threshold=100)
+        assert set(map(tuple, out.collect())) == {(1, 1, "x")}
+
+    def test_too_many_heavy_keys_rejected(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.skew import differential_join
+
+        left = spark.createDataFrame([(i, j) for i in range(50) for j in range(3)], ["k", "lv"])
+        right = spark.createDataFrame([(1, "x")], ["k", "rv"])
+        with _pytest.raises(ValueError, match="broad skew"):
+            differential_join(left, right, "k", heavy_threshold=1, max_heavy_keys=10)
+
+    def test_rejects_unsupported_how(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.skew import differential_join
+
+        df = spark.createDataFrame([(1, 1)], ["k", "v"])
+        with _pytest.raises(ValueError, match="supports inner/left"):
+            differential_join(df, df, "k", how="full")

@@ -286,3 +286,35 @@ class TestResampleInterpolate:
             resample_interpolate(df, "ts", "v", 0)
         with _pytest.raises(ValueError, match="method"):
             resample_interpolate(df, "ts", "v", 10, method="spline")
+
+
+class TestTransitionMatrix:
+    def test_known_sequences(self, spark):
+        from spark_extension_spark.operators.timeseries import transition_matrix
+
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),   # a->b, b->c
+            (3, 9, "z"),                              # no successor
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+        out = {(r["from_event"], r["to_event"]): r for r in
+               transition_matrix(df, "user_id", "ts").collect()}
+        assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["prob"] == 1.0
+        assert out[("b", "a")]["prob"] == 0.5 and out[("b", "c")]["prob"] == 0.5
+        assert ("z", None) not in out and all(k[0] != "z" for k in out)
+
+    def test_tiebreak_determinism(self, spark):
+        from spark_extension_spark.operators.timeseries import transition_matrix
+
+        # two events at the SAME timestamp: order decided by id tiebreak
+        df = spark.createDataFrame(
+            [(1, 10, 100, "x"), (1, 10, 101, "y"), (1, 20, 102, "z")],
+            "user_id long, ts long, event_id long, event_type string",
+        )
+        a = sorted(map(tuple, transition_matrix(
+            df.coalesce(1), "user_id", "ts", tiebreak=["event_id"]).collect()))
+        b = sorted(map(tuple, transition_matrix(
+            df.repartition(5), "user_id", "ts", tiebreak=["event_id"]).collect()))
+        assert a == b
+        assert ("x", "y", 1, 1.0) in a  # 100 before 101 at equal ts
