@@ -1,0 +1,108 @@
+"""Market-basket co-occurrence mining: frequent item pairs and
+association-rule metrics (support / confidence / lift) over a
+(basket, item) relation — order↔part affinity, doc↔entity
+co-mention, user↔feature adoption.
+
+The text-side twin is :func:`~spark_extension_spark.operators.ranking.
+pmi_pairs` (windowed token collocations); this operates on explicit
+basket membership and reports the rule metrics a recommender /
+cross-sell analysis expects.
+
+Execution shape: distinct membership → per-basket self-equi-join on
+the basket key (pairs only form inside a basket — never a global
+cross join) → pair-count aggregate, with item counts and the basket
+total broadcast back.  The self-join is quadratic in *basket size*,
+not corpus size; ``max_basket_size`` drops pathological baskets (the
+"one order containing the whole catalog" guard) with the same
+explicit-cap discipline as the dedup operators.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["association_rules"]
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket_size: Optional[int] = 1000,
+) -> DataFrame:
+    """Association rules over item pairs co-occurring in a basket:
+    one row per ordered pair ``(antecedent, consequent)`` whose
+    co-occurrence count reaches ``min_count``, with
+
+    - ``support``     = P(a ∧ b)  — co-baskets / total baskets,
+    - ``confidence``  = P(b | a)  — co-baskets / antecedent baskets,
+    - ``lift``        = confidence / P(b) — >1 means genuinely
+      associated, not just individually popular.
+
+    Both directions of every qualifying pair are emitted (confidence
+    and lift are asymmetric).  Membership is set-valued: duplicate
+    (basket, item) rows count once; NULL basket/item rows are
+    excluded.  Baskets above ``max_basket_size`` items are dropped
+    entirely (quadratic pair fan-out; ``None`` disables the cap).
+    All metrics are exact integer ratios evaluated as single double
+    divisions — engine-replayable.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    b, i = F.col(basket_col), F.col(item_col)
+    mem = (
+        df.where(b.isNotNull() & i.isNotNull())
+        .select(b.alias("__b"), i.alias("__i"))
+        .distinct()
+    )
+    if max_basket_size is not None:
+        ok = (
+            mem.groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .where(F.col("__sz") <= int(max_basket_size))
+            .select("__b")
+        )
+        mem = mem.join(ok, "__b", "left_semi")
+    n_baskets = mem.agg(
+        F.count_distinct(F.col("__b")).cast("long").alias("__nb")
+    )
+    item_counts = mem.groupBy(F.col("__i").alias("antecedent")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    a = mem.select(F.col("__b"), F.col("__i").alias("antecedent"))
+    c = mem.select(F.col("__b"), F.col("__i").alias("consequent"))
+    pairs = (
+        a.join(c, "__b")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_count))
+    )
+    cons_counts = item_counts.select(
+        F.col("antecedent").alias("consequent"), F.col("__na").alias("__nc")
+    )
+    out = (
+        pairs.join(F.broadcast(item_counts), "antecedent")
+        .join(F.broadcast(cons_counts), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    nb = F.col("__nb").cast("double")
+    support = F.col("n_ab").cast("double") / nb
+    confidence = F.col("n_ab").cast("double") / F.col("__na").cast("double")
+    lift = (
+        F.col("n_ab").cast("double") / F.col("__na").cast("double")
+    ) / (F.col("__nc").cast("double") / nb)
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.col("__na").alias("n_antecedent"),
+        F.col("__nc").alias("n_consequent"),
+        support.alias("support"),
+        confidence.alias("confidence"),
+        lift.alias("lift"),
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..utils import UnpersistHandle
 
-__all__ = ["pagerank", "out_degrees", "undirected_edges", "degrees", "triangle_counts"]
+__all__ = ["pagerank", "out_degrees", "undirected_edges", "degrees", "triangle_counts", "k_core"]
 
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
@@ -212,8 +212,11 @@ def triangle_counts(
     replays bit-identically in SQL.
 
     Nodes with degree < 2 have coefficient 0.0 by convention.  The
-    canonical edge list is persisted (it feeds three joins); pass an
-    ``unpersist_handle`` to release the cache when done.
+    canonical and oriented edge lists are persisted (each feeds two+
+    plan branches — without the cache the degree joins replay per
+    branch); pass an ``unpersist_handle`` to release them when done
+    (the handle tracks the larger oriented frame; the canonical list
+    is released with it via lineage or explicitly by a second call).
     """
     und = undirected_edges(edges, src, dst).persist()
     if unpersist_handle is not None:
@@ -230,7 +233,9 @@ def triangle_counts(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("__db"),
-    )
+    ).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(oriented)
 
     e1 = oriented.select("a", F.col("b").alias("x"), F.col("__db").alias("__dx"))
     e2 = oriented.select("a", F.col("b").alias("y"), F.col("__db").alias("__dy"))
@@ -269,3 +274,87 @@ def degrees_from_canonical(und: DataFrame) -> DataFrame:
         und.select(F.col("v").alias("id"))
     )
     return ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Nodes of the ``k``-core (the maximal subgraph where every node
+    keeps degree ≥ k) after ``rounds`` synchronous peeling passes,
+    with their within-core degree — the standard "dense backbone"
+    extraction for host graphs and co-occurrence networks (spam rings
+    and boilerplate clusters live in high cores; long-tail pages
+    don't).
+
+    Each pass: compute degrees on the surviving subgraph, drop nodes
+    below ``k``, drop their incident edges — one aggregate + two
+    semi-joins per pass, nothing quadratic.  Peeling converges *from
+    above* and is monotone: once a pass drops nothing, every further
+    pass is a no-op, so a fixed ``rounds`` either reaches the exact
+    k-core (typical well before 10 rounds) or a supergraph of it —
+    deterministic either way and exactly replicable in SQL
+    (:func:`k_core_sql` unrolls the same passes).  Long peel chains
+    (a path graph peels one node per pass) need more rounds; raise
+    ``rounds`` when the survivor count hasn't stabilized.
+
+    Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` passes — the iterative-plan guard shared
+    with :func:`pagerank` and connected components.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cur = undirected_edges(edges, src, dst)
+    for r in range(int(rounds)):
+        deg = degrees_from_canonical(cur)
+        keep = deg.where(F.col("degree") >= int(k)).select("id")
+        cur = (
+            cur.join(keep.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
+        )
+        if checkpoint_every and (r + 1) % int(checkpoint_every) == 0 and r + 1 < rounds:
+            cur = cur.localCheckpoint(eager=True)
+    return degrees_from_canonical(cur).where(F.col("degree") >= int(k))
+
+
+def k_core_sql(edges_subquery: str, k: int, rounds: int = 10) -> str:
+    """DuckDB query computing :func:`k_core` exactly — the fixed pass
+    count unrolls into one degree CTE + one filtered edge CTE per
+    pass."""
+    parts = [
+        f"raw AS ({edges_subquery})",
+        "e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v"
+        " FROM raw WHERE src <> dst)",
+    ]
+    prev = "e0"
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
+  GROUP BY id
+),
+keep{r} AS (SELECT id FROM d{r} WHERE degree >= {int(k)}),
+e{r} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN keep{r} ku ON ku.id = e.u
+  JOIN keep{r} kv ON kv.id = e.v
+)"""
+        )
+        prev = f"e{r}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id, degree FROM (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
+  GROUP BY id
+) WHERE degree >= {int(k)}"""
+    )

@@ -4551,6 +4551,7 @@ WITH raw AS (
   SELECT l1.l_partkey AS src, l2.l_partkey AS dst
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_orderkey % 3 = 0
 ),
 e0 AS (
   SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
@@ -4602,7 +4603,11 @@ FROM deg LEFT JOIN pn ON pn.id = deg.id
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import triangle_counts
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
     pairs = li.alias("l1").join(
         li.alias("l2"),
         (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
@@ -5180,3 +5185,74 @@ def q_differential_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return differential_join(
         li, orders, "l_orderkey", heavy_threshold=5, max_heavy_keys=50_000
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (order -> parts affinity)
+# ---------------------------------------------------------------------------
+
+_ASSOC_RULES_ORACLE = """
+WITH mem AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    AND l_orderkey % 4 = 0
+),
+nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM mem),
+ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM mem GROUP BY i),
+pairs AS (
+  SELECT a.i AS antecedent, c.i AS consequent, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM mem a JOIN mem c ON a.b = c.b AND a.i <> c.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.antecedent, p.consequent, p.n_ab,
+       ia.n AS n_antecedent, ci.n AS n_consequent,
+       CAST(p.n_ab AS DOUBLE) / CAST(nb.nb AS DOUBLE) AS support,
+       CAST(p.n_ab AS DOUBLE) / CAST(ia.n AS DOUBLE) AS confidence,
+       (CAST(p.n_ab AS DOUBLE) / CAST(ia.n AS DOUBLE))
+         / (CAST(ci.n AS DOUBLE) / CAST(nb.nb AS DOUBLE)) AS lift
+FROM pairs p
+JOIN ic ia ON ia.i = p.antecedent
+JOIN ic ci ON ci.i = p.consequent
+CROSS JOIN nb
+"""
+
+
+@register("association_rules_lineitem", _ASSOC_RULES_ORACLE)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.basket import association_rules
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    return association_rules(li, "l_orderkey", "l_partkey", min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# k-core extraction (synchronous peeling, SQL-unrolled oracle)
+# ---------------------------------------------------------------------------
+
+from .operators.graph import k_core_sql as _k_core_sql  # noqa: E402
+
+_KCORE_EDGES_SQL = """SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+WHERE l1.l_orderkey % 2 = 0"""
+
+_KCORE_ORACLE = _k_core_sql(_KCORE_EDGES_SQL, k=3, rounds=8)
+
+
+@register("k_core_lineitem", _KCORE_ORACLE)
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import k_core
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(
+        F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+    )
+    return k_core(pairs, k=3, rounds=8)
