@@ -215,8 +215,7 @@ def triangle_counts(
     canonical and oriented edge lists are persisted (each feeds two+
     plan branches — without the cache the degree joins replay per
     branch); pass an ``unpersist_handle`` to release them when done
-    (the handle tracks the larger oriented frame; the canonical list
-    is released with it via lineage or explicitly by a second call).
+    (the handle tracks both frames and one call releases them).
     """
     und = undirected_edges(edges, src, dst).persist()
     if unpersist_handle is not None:
@@ -235,7 +234,7 @@ def triangle_counts(
         F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("__db"),
     ).persist()
     if unpersist_handle is not None:
-        unpersist_handle.set_dataframe(oriented)
+        unpersist_handle.add_dataframe(oriented)
 
     e1 = oriented.select("a", F.col("b").alias("x"), F.col("__db").alias("__dx"))
     e2 = oriented.select("a", F.col("b").alias("y"), F.col("__db").alias("__dy"))

@@ -100,20 +100,37 @@ def names_contain(haystack: Iterable[str], needle: str, case_sensitive: bool) ->
 
 class UnpersistHandle:
     """Handle to eventually unpersist a DataFrame cached inside an operator
-    (e.g. :func:`with_row_numbers`).  Call the handle to unpersist."""
+    (e.g. :func:`with_row_numbers`).  Call the handle to unpersist.
+
+    ``set_dataframe`` is single-shot (reference parity: the handle cannot be
+    reused across operator invocations); operators that persist *several*
+    frames internally register the extras with :meth:`add_dataframe`, and a
+    single call releases them all.
+    """
 
     def __init__(self) -> None:
         self._df: Optional[DataFrame] = None
+        self._extra: list[DataFrame] = []
 
     def set_dataframe(self, df: DataFrame) -> None:
         if self._df is not None:
             raise RuntimeError("DataFrame has been set already, it cannot be reused.")
         self._df = df
 
+    def add_dataframe(self, df: DataFrame) -> None:
+        """Register an additional persisted frame released by the same call
+        (for operators that cache more than one intermediate)."""
+        if self._df is None:
+            self.set_dataframe(df)
+        else:
+            self._extra.append(df)
+
     def __call__(self, blocking: bool = False) -> None:
         if self._df is None:
             raise RuntimeError("DataFrame has to be set first")
         self._df.unpersist(blocking)
+        for df in self._extra:
+            df.unpersist(blocking)
 
 
 class SilentUnpersistHandle(UnpersistHandle):
@@ -122,10 +139,14 @@ class SilentUnpersistHandle(UnpersistHandle):
     def set_dataframe(self, df: DataFrame) -> None:
         if self._df is None:
             self._df = df
+        else:
+            self._extra.append(df)
 
     def __call__(self, blocking: bool = False) -> None:
         if self._df is not None:
             self._df.unpersist(blocking)
+        for df in self._extra:
+            df.unpersist(blocking)
 
 
 class NoopUnpersistHandle(UnpersistHandle):
