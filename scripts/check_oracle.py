@@ -44,8 +44,26 @@ def canon(rows, columns):
     return out
 
 
+CHUNK = 40
+
+
 def main() -> int:
     only = set(sys.argv[1:])
+    if not only:
+        # A single long-lived local Spark JVM accumulates open file
+        # handles across 130+ queries (shuffle/persist/parquet) and
+        # eventually starves DuckDB of descriptors (hard ulimit 20000).
+        # With no explicit query list, run the sweep in CHUNK-sized
+        # subprocesses so each JVM stays well under the limit.
+        import subprocess
+
+        names = list(entry.queries())
+        rc = 0
+        for i in range(0, len(names), CHUNK):
+            batch = names[i : i + CHUNK]
+            r = subprocess.run([sys.executable, os.path.abspath(__file__), *batch])
+            rc = rc or r.returncode
+        return rc
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("check_oracle")
@@ -97,6 +115,7 @@ def main() -> int:
             print(f"{name}: OK ({len(spark_rows)} rows)")
         else:
             failures += 1
+        spark.catalog.clearCache()
     return 1 if failures else 0
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..utils import UnpersistHandle
 
-__all__ = ["pagerank", "out_degrees", "undirected_edges", "degrees", "triangle_counts", "k_core"]
+__all__ = ["pagerank", "out_degrees", "undirected_edges", "degrees", "triangle_counts", "k_core", "label_propagation", "label_propagation_sql"]
 
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
@@ -357,3 +357,100 @@ SELECT id, degree FROM (
   GROUP BY id
 ) WHERE degree >= {int(k)}"""
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+    unpersist_handle: Optional[UnpersistHandle] = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected graph: (``id``, ``label``) after ``iterations`` rounds.
+    Where connected components answers "what is reachable", LPA finds
+    *densely linked* groups inside one component — mirror clusters and
+    template families in host graphs, topic pockets in co-occurrence
+    graphs — with no parameter beyond the round count.
+
+    Every node starts as its own label; each round every node adopts
+    the most frequent label among its neighbours **plus its own
+    current label** (the self-vote damps the two-colouring oscillation
+    synchronous LPA is known for), ties broken toward the smallest
+    label.  The argmax rule makes the update deterministic, so a fixed
+    iteration count yields a pure function of the edge list —
+    reproducible across runs/partitionings and exactly replicable in
+    SQL (:func:`label_propagation_sql`).
+
+    Scale shape per round (what must hold at 10^10 edges): ONE
+    equi-join (labels onto the directed-both edge list, keyed by
+    source) + ONE map-side-combined count aggregate + ONE per-node
+    window over (node, label) counts — label-cardinality-sized, not
+    edge-sized.  State is ``localCheckpoint``-ed every
+    ``checkpoint_every`` rounds to truncate lineage.  The canonical
+    edge list is persisted (it feeds every round); pass an
+    ``unpersist_handle`` to release it.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    und = undirected_edges(edges, src, dst)
+    both = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(both)
+
+    labels = both.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+
+    w = Window.partitionBy("id").orderBy(F.col("__c").desc(), F.col("label").asc())
+    for i in range(int(iterations)):
+        votes = (
+            both.join(labels.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), "label")
+            .unionAll(labels)  # self-vote
+        )
+        counts = votes.groupBy("id", "label").agg(F.count(F.lit(1)).alias("__c"))
+        labels = (
+            counts.select("id", "label", F.row_number().over(w).alias("__rn"))
+            .where(F.col("__rn") == 1)
+            .select("id", "label")
+        )
+        if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+
+    return labels
+
+
+def label_propagation_sql(edges_subquery: str, iterations: int = 5) -> str:
+    """DuckDB query computing :func:`label_propagation` exactly — one
+    CTE per round with the identical vote/argmax arithmetic."""
+    parts = [
+        f"e0 AS ({edges_subquery})",
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0 WHERE src <> dst)",
+        "both_e AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)",
+        "l0 AS (SELECT DISTINCT u AS id, u AS label FROM both_e)",
+    ]
+    prev = "l0"
+    for i in range(1, int(iterations) + 1):
+        cur = f"l{i}"
+        parts.append(
+            f"""v{i} AS (
+  SELECT b.v AS id, l.label FROM both_e b JOIN {prev} l ON b.u = l.id
+  UNION ALL SELECT id, label FROM {prev}
+),
+c{i} AS (SELECT id, label, COUNT(*) AS c FROM v{i} GROUP BY 1, 2),
+{cur} AS (
+  SELECT id, label FROM (
+    SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = cur
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM {prev}"

@@ -22,7 +22,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "check_constraints", "psi_report", "corr_matrix", "categorical_association", "reliability_report"]
+__all__ = ["profile", "check_constraints", "psi_report", "ks_report", "corr_matrix", "categorical_association", "reliability_report"]
 
 
 def profile(
@@ -408,4 +408,103 @@ def reliability_report(
             weight.alias("weight"),
             (weight * gap).alias("ece_term"),
         )
+    )
+
+
+def ks_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    snapshots of a numeric column, optionally per group — the
+    non-parametric complement to :func:`psi_report`: no grid to pick,
+    detects *any* distributional change (location, scale, shape), and
+    the statistic has a distribution-free significance approximation.
+
+    ``D = sup_x |F_a(x) − F_b(x)|`` over the empirical CDFs.  Because
+    both CDFs are right-continuous step functions that only jump at
+    sample points, the supremum is attained at one of the observed
+    values, so the exact statistic is a max over distinct values —
+    no approximation.
+
+    Returns one row per group: ``(by…, n_a, n_b, ks_stat, ks_at,
+    p_approx)`` where ``ks_at`` is the value attaining the supremum
+    (smallest such value on ties — deterministic) and ``p_approx`` is
+    the asymptotic two-sided significance ``2·exp(−2·m·D²)`` with
+    ``m = n_a·n_b/(n_a+n_b)`` (clamped to 1; meaningful for
+    n ≳ 35 per side, as in the classical tables).
+
+    Scale shape: one map-side-combined count per (group, distinct
+    value) per side, a union, one window pass ordered by value inside
+    each group (Spark sorts within hash partitions — groups spread
+    across the cluster, no global sort), one row-number pass to locate
+    the supremum.  Shuffle volume is distinct-values-sized, never
+    row-sized; NULLs are dropped (a CDF is undefined there — use
+    :func:`profile` for null drift).
+    """
+    from pyspark.sql import Window
+
+    keys = list(by)
+    v = F.col(value_col).cast("double")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.where(v.isNotNull())
+            .groupBy(*keys, v.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(
+                *keys,
+                "__v",
+                F.col("__c").alias(f"__c_{tag}"),
+                F.lit(0).cast("long").alias(f"__c_{'b' if tag == 'a' else 'a'}"),
+            )
+        )
+
+    cols = [*keys, "__v", "__c_a", "__c_b"]
+    per_val = (
+        side(a, "a").select(*cols)
+        .unionByName(side(b, "b").select(*cols))
+        .groupBy(*keys, "__v")
+        .agg(F.sum("__c_a").alias("__na"), F.sum("__c_b").alias("__nb"))
+    )
+
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    stepped = per_val.select(
+        *keys,
+        "__v",
+        F.sum("__na").over(w_cum).alias("__ca"),
+        F.sum("__nb").over(w_cum).alias("__cb"),
+        F.sum("__na").over(w_tot).alias("__ta"),
+        F.sum("__nb").over(w_tot).alias("__tb"),
+    )
+    # D evaluated at each jump point; a side with zero rows yields an
+    # empty CDF -> statistic degenerates to the other side's sup = 1.0
+    d = F.abs(
+        F.when(F.col("__ta") > 0, F.col("__ca") / F.col("__ta")).otherwise(F.lit(0.0))
+        - F.when(F.col("__tb") > 0, F.col("__cb") / F.col("__tb")).otherwise(F.lit(0.0))
+    )
+    w_pick = Window.partitionBy(*keys).orderBy(F.col("__d").desc(), F.col("__v"))
+    picked = (
+        stepped.select(*keys, "__v", "__ta", "__tb", d.alias("__d"))
+        .select(*keys, "__v", "__ta", "__tb", "__d",
+                F.row_number().over(w_pick).alias("__rn"))
+        .where(F.col("__rn") == 1)
+    )
+    m = (F.col("__ta") * F.col("__tb")).cast("double") / (
+        F.col("__ta") + F.col("__tb")
+    ).cast("double")
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * m * F.col("__d") * F.col("__d")))
+    return picked.select(
+        *keys,
+        F.col("__ta").alias("n_a"),
+        F.col("__tb").alias("n_b"),
+        F.col("__d").alias("ks_stat"),
+        F.col("__v").alias("ks_at"),
+        p.alias("p_approx"),
     )

@@ -43,6 +43,8 @@ __all__ = [
     "interleave_by_mix",
     "interleave_by_mix_sql",
     "repeat_upsample",
+    "temperature_mix",
+    "temperature_mix_sql",
 ]
 
 _TWO_32 = float(2**32)
@@ -584,3 +586,79 @@ def repeat_upsample(
     empty = F.array_remove(F.array(F.lit(1)), 1)
     copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty)
     return df.select("*", F.posexplode(copies).alias(out, "__copy")).drop("__copy")
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: Union[str, Column],
+    alpha: float,
+    id_col: Union[str, Column],
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled mixture downsampling (the multilingual
+    "alpha sampling" of mC4 / XLM-R): resample so stratum shares become
+    proportional to ``count^alpha`` instead of ``count``.  ``alpha=1``
+    keeps the natural mix (no-op rates), ``alpha=0`` targets a uniform
+    mix; the usual 0.3–0.7 range lifts low-resource strata without
+    letting the head domains dominate.
+
+    Realized exactly like :func:`resample_to_mix` — the largest corpus
+    achieving the target shares keeps the binding stratum at 100%.
+    With ``t_g ∝ c_g^α`` the per-stratum keep rate collapses to the
+    closed form ``(c_min / c_g)^(1-α)``: the *smallest* stratum is
+    always the binding one, everything larger is thinned toward it.
+    The draw is the deterministic :func:`hash_uniform`, so the output
+    is frozen across runs and partitionings.
+
+    Scale shape: one map-side-combined count aggregate, a 1-row min,
+    a ≤|strata|-row broadcast rate table joined back — the corpus scans
+    twice (count + filter) and never shuffles.  Unlike
+    :func:`resample_to_mix` there is no target dict to maintain: the
+    mix is derived from the data, so new strata are handled without
+    config changes.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    strata = _col(strata_col)
+    counts = df.groupBy(strata.alias("__stratum")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    mn = counts.agg(F.min("__c").alias("__cmin"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "__stratum",
+        F.pow(
+            F.col("__cmin").cast("double") / F.col("__c").cast("double"),
+            F.lit(1.0 - float(alpha)),
+        ).alias("__rate"),
+    )
+    joined = df.join(F.broadcast(rates), strata.eqNullSafe(F.col("__stratum")), "inner")
+    return joined.where(hash_uniform(id_col, seed) < F.col("__rate")).drop(
+        "__stratum", "__rate"
+    )
+
+
+def temperature_mix_sql(
+    table: str,
+    strata_expr: str,
+    alpha: float,
+    id_expr: str,
+    columns: str = "d.*",
+    seed: int = 42,
+) -> str:
+    """DuckDB query computing exactly :func:`temperature_mix` — kept in
+    lock-step for the oracle gates."""
+    return f"""
+WITH counts AS (
+  SELECT {strata_expr} AS stratum, COUNT(*) AS c
+  FROM {table} d GROUP BY 1
+),
+mn AS (SELECT MIN(c) AS cmin FROM counts),
+rates AS (
+  SELECT stratum,
+         pow(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE), {1.0 - float(alpha)!r}) AS rate
+  FROM counts CROSS JOIN mn
+)
+SELECT {columns}
+FROM {table} d JOIN rates r ON {strata_expr} IS NOT DISTINCT FROM r.stratum
+WHERE {hash_uniform_sql(id_expr, seed)} < r.rate
+"""

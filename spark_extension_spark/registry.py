@@ -5256,3 +5256,115 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
     )
     return k_core(pairs, k=3, rounds=8)
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov–Smirnov drift test (per group)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH pv AS (
+  SELECT user_id % 4 AS seg, CAST(value AS DOUBLE) AS v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+stepped AS (
+  SELECT seg, v,
+         SUM(na) OVER (PARTITION BY seg ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(nb) OVER (PARTITION BY seg ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(na) OVER (PARTITION BY seg) AS ta,
+         SUM(nb) OVER (PARTITION BY seg) AS tb
+  FROM pv
+),
+d AS (
+  SELECT seg, v, ta, tb,
+         abs((CASE WHEN ta > 0 THEN CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) ELSE 0.0 END)
+           - (CASE WHEN tb > 0 THEN CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) ELSE 0.0 END)) AS dd
+  FROM stepped
+),
+picked AS (
+  SELECT seg, v, ta, tb, dd,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY dd DESC, v) AS rn
+  FROM d
+)
+SELECT CAST(seg AS BIGINT) AS seg,
+       CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       dd AS ks_stat, v AS ks_at,
+       least(1.0, 2.0 * exp(-2.0 * (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                                    / CAST(ta + tb AS DOUBLE)) * dd * dd)) AS p_approx
+FROM picked WHERE rn = 1
+"""
+
+
+@register("ks_report_events", _KS_ORACLE)
+def q_ks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import ks_report
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("seg"), "event_type", "value"
+    )
+    return ks_report(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        by=["seg"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture downsampling (alpha sampling)
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import temperature_mix_sql as _temperature_mix_sql
+
+_TEMPERATURE_ORACLE = _temperature_mix_sql(
+    "documents", "d.source", 0.5, "d.doc_id", columns="d.doc_id, d.source, d.lang"
+)
+
+
+@register("temperature_mix_documents", _TEMPERATURE_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import temperature_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mix(docs, "source", 0.5, "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+from .operators.graph import label_propagation_sql as _label_propagation_sql
+
+_LPA_EDGES_SQL = """SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+WHERE l1.l_orderkey % 4 = 0"""
+
+_LPA_ORACLE = _label_propagation_sql(_LPA_EDGES_SQL, iterations=4)
+
+
+@register("label_propagation_lineitem", _LPA_ORACLE)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(
+        F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+    )
+    return label_propagation(pairs, iterations=4)

@@ -736,3 +736,56 @@ class TestPrefixJaccard:
         h = UnpersistHandle()
         prefix_jaccard_pairs(docs, n=2, threshold=0.5, unpersist_handle=h).collect()
         h()
+
+
+class TestLabelPropagation:
+    def test_bridged_cliques_split_but_connected(self, spark):
+        from spark_extension_spark.operators.dedup import connected_components
+        from spark_extension_spark.operators.graph import label_propagation
+
+        # two 5-cliques joined by one bridge edge: one component, two communities
+        c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+        c2 = [(a + 10, b + 10) for a in range(5) for b in range(5) if a < b]
+        edges = spark.createDataFrame(c1 + c2 + [(4, 10)], ["src", "dst"])
+
+        cc = connected_components(
+            edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b")
+        )
+        assert cc.select("cluster_id").distinct().count() == 1
+
+        labels = {r["id"]: r["label"] for r in label_propagation(edges, iterations=5).collect()}
+        assert len(set(labels.values())) == 2
+        assert len({labels[i] for i in range(5)}) == 1
+        assert len({labels[i + 10] for i in range(5)}) == 1
+
+    def test_matches_sql_oracle_and_partitioning(self, spark):
+        import duckdb
+
+        from spark_extension_spark.operators.graph import (
+            label_propagation,
+            label_propagation_sql,
+        )
+
+        edges = [(i % 23, (i * 7 + 3) % 23) for i in range(60)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(map(tuple, label_propagation(df, iterations=4).collect()))
+        got2 = sorted(map(tuple, label_propagation(df.repartition(7), iterations=4).collect()))
+        assert got == got2
+
+        con = duckdb.connect()
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        sql = label_propagation_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=4
+        )
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want
+
+    def test_bad_iterations_raises(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with _pytest.raises(ValueError):
+            label_propagation(df, iterations=0)

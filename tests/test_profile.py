@@ -255,3 +255,52 @@ def test_reliability_report_clamps_and_validates(spark):
     assert out == {0: 1, 9: 1}  # clamped into edge bins; NULLs excluded
     with _pytest.raises(ValueError, match="bins"):
         reliability_report(df, "s", "y", bins=0)
+
+
+def test_ks_report_matches_bruteforce(spark):
+    import numpy as np
+
+    from spark_extension_spark.operators.profile import ks_report
+
+    rng = [((i * 37) % 101) / 10.0 for i in range(300)]
+    a_vals = rng[:180]
+    b_vals = [v + (0.8 if v > 5 else 0.0) for v in rng[180:]]
+    a = spark.createDataFrame([(v,) for v in a_vals], ["v"])
+    b = spark.createDataFrame([(v,) for v in b_vals], ["v"])
+
+    row = ks_report(a, b, "v").collect()[0]
+
+    xs = np.array(sorted(set(a_vals) | set(b_vals)))
+    fa = np.searchsorted(np.sort(a_vals), xs, side="right") / len(a_vals)
+    fb = np.searchsorted(np.sort(b_vals), xs, side="right") / len(b_vals)
+    d = np.abs(fa - fb)
+    assert row["ks_stat"] == max(d)
+    assert row["ks_at"] == float(xs[int(np.argmax(d))])
+    assert row["n_a"] == 180 and row["n_b"] == 120
+    assert 0.0 <= row["p_approx"] <= 1.0
+
+
+def test_ks_report_identical_zero_and_groups(spark):
+    from spark_extension_spark.operators.profile import ks_report
+
+    rows = [("g%d" % (i % 3), float((i * 7) % 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    rep = {r["g"]: r for r in ks_report(df, df, "v", by=["g"]).collect()}
+    assert set(rep) == {"g0", "g1", "g2"}
+    for r in rep.values():
+        assert r["ks_stat"] == 0.0
+        assert r["p_approx"] == 1.0
+
+
+def test_ks_report_disjoint_supports_is_one(spark):
+    from spark_extension_spark.operators.profile import ks_report
+
+    a = spark.createDataFrame([(float(i),) for i in range(50)], ["v"])
+    b = spark.createDataFrame([(float(i + 100),) for i in range(50)], ["v"])
+    row = ks_report(a, b, "v").collect()[0]
+    assert row["ks_stat"] == 1.0
+    assert row["ks_at"] == 49.0  # smallest value attaining the sup
+    # nulls are dropped, not binned
+    a2 = spark.createDataFrame([(None,), (1.0,)], ["v"])
+    row2 = ks_report(a2, a2, "v").collect()[0]
+    assert row2["n_a"] == 1 and row2["ks_stat"] == 0.0

@@ -384,3 +384,48 @@ def test_repeat_upsample_rejects_bad(spark):
         repeat_upsample(df, -1.0, "doc_id")
     with _pytest.raises(ValueError):
         repeat_upsample(df, {"a": 1.0}, "doc_id")  # dict without strata_col
+
+
+class TestTemperatureMix:
+    def test_alpha_one_keeps_everything(self, spark):
+        from spark_extension_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        assert temperature_mix(df, "source", 1.0, "doc_id").count() == 300
+
+    def test_alpha_zero_targets_uniform(self, spark):
+        from spark_extension_spark.operators.sampling import temperature_mix
+
+        # skewed strata: 600 / 200 / 60 rows
+        rows = (
+            [(i, "big") for i in range(600)]
+            + [(1000 + i, "mid") for i in range(200)]
+            + [(2000 + i, "small") for i in range(60)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = temperature_mix(df, "source", 0.0, "doc_id")
+        by = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+        ).collect()}
+        # binding (smallest) stratum kept 100%; others ~c_min each
+        assert by["small"] == 60
+        assert abs(by["big"] - 60) <= 25 and abs(by["mid"] - 60) <= 25
+
+    def test_deterministic_and_partitioning_independent(self, spark):
+        from spark_extension_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "s%d" % (i % 4)) for i in range(400)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        a = sorted(r["doc_id"] for r in temperature_mix(df.coalesce(1), "source", 0.5, "doc_id").collect())
+        b = sorted(r["doc_id"] for r in temperature_mix(df.repartition(13), "source", 0.5, "doc_id").collect())
+        assert a == b
+
+    def test_bad_alpha_raises(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.sampling import temperature_mix
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+        with _pytest.raises(ValueError):
+            temperature_mix(df, "source", 1.5, "doc_id")
