@@ -5368,3 +5368,97 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
     )
     return label_propagation(pairs, iterations=4)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (aHash) image fingerprints + banded hamming near-dup
+# ---------------------------------------------------------------------------
+
+# the kernel's integer arithmetic replayed over the ASCII corpus (byte i
+# of the FAKE payload == character i of text; the decode gate already
+# pins the payload identity)
+_AHASH_CORE = """
+bytes AS (
+  SELECT doc_id, L, ord(substring(text, i, 1)) AS b,
+         ((i - 1) * 64) // L AS cell
+  FROM docs, UNNEST(generate_series(1, L)) AS u(i)
+),
+cells AS (
+  SELECT doc_id, cell, SUM(b) AS s, COUNT(*) AS w, ANY_VALUE(L) AS L
+  FROM bytes GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, SUM(b) AS total FROM bytes GROUP BY 1),
+bits AS (
+  SELECT c.doc_id, c.cell,
+         CASE WHEN c.s * c.L > t.total * c.w THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, cell // 8 AS band,
+         CAST(SUM(bit << (7 - (cell % 8))) AS INT) AS val
+  FROM bits GROUP BY 1, 2
+),
+packed AS (
+  SELECT d.doc_id, r.range AS band, CAST(COALESCE(bd.val, 0) AS INT) AS val
+  FROM (SELECT DISTINCT doc_id FROM docs) d CROSS JOIN range(0, 8) r
+  LEFT JOIN bands bd ON bd.doc_id = d.doc_id AND bd.band = r.range
+)"""
+
+_AHASH_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS L FROM documents),
+{_AHASH_CORE}
+SELECT doc_id, list(val ORDER BY band) AS bands FROM packed GROUP BY doc_id
+"""
+
+
+@register("ahash_documents", _AHASH_ORACLE)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        _mm.make_fake_image_blob(
+            F.col("text"), F.col("doc_id") % 64 + 1, F.col("doc_id") % 48 + 1
+        ).alias("blob"),
+    )
+    return _mm.image_ahash(blobs)
+
+
+_AHASH_PAIRS_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || 'z' AS text, length(text) + 1 AS L
+  FROM documents WHERE doc_id % 5 = 0
+),
+{_AHASH_CORE},
+sig AS (SELECT doc_id, band, val FROM packed),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(bit_count(CAST(xor(sa.val, sb.val) AS BIGINT))) AS INT) AS hamming
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.band = sa.band
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
+@register("ahash_near_dup_documents", _AHASH_PAIRS_ORACLE)
+def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tweaked = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("z")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(tweaked)
+    blobs = corpus.select(
+        "doc_id",
+        _mm.make_fake_image_blob(F.col("text"), F.lit(8), F.lit(8)).alias("blob"),
+    )
+    return _mm.ahash_near_dup_pairs(blobs, max_distance=3)

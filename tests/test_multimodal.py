@@ -131,3 +131,83 @@ def test_multimodal_stubs_reject_real_formats(spark):
         resize_images(png, 8, 8).collect()
     with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
         sample_frames(png).collect()
+
+
+class TestImageAHash:
+    @staticmethod
+    def _ref_hash(payload: bytes):
+        L = len(payload)
+        if L == 0:
+            return [0] * 8
+        cells = [[] for _ in range(64)]
+        for p, b in enumerate(payload):
+            cells[p * 64 // L].append(b)
+        total = sum(payload)
+        bits = [
+            1 if (sum(c) * L > total * len(c)) else 0 if c else 0
+            for c in cells
+        ]
+        return [
+            sum(bits[8 * j + k] << (7 - k) for k in range(8)) for j in range(8)
+        ]
+
+    def test_matches_reference_and_empty(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_extension_spark.operators.multimodal import (
+            image_ahash,
+            make_fake_image_blob,
+        )
+
+        texts = ["hello world " * 20, "aAbBcC" * 50, "x", ""]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).select(
+            "doc_id",
+            make_fake_image_blob(F.col("text"), F.lit(8), F.lit(8)).alias("blob"),
+        )
+        got = {r["doc_id"]: list(r["bands"]) for r in image_ahash(df).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == self._ref_hash(t.encode()), f"doc {i}"
+        assert got[3] == [0] * 8  # empty payload -> all-zero hash
+
+    def test_near_dup_pairs_planted(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_extension_spark.operators.multimodal import (
+            ahash_near_dup_pairs,
+            make_fake_image_blob,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 30
+        light_edit = base[:-6] + "cat043"          # tiny tail change
+        unrelated = "".join(chr(33 + (i * 7) % 90) for i in range(1200))
+        rows = [(0, base), (1, base), (2, light_edit), (3, unrelated)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+            "doc_id",
+            make_fake_image_blob(F.col("text"), F.lit(8), F.lit(8)).alias("blob"),
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in ahash_near_dup_pairs(df, max_distance=7).collect()}
+        assert pairs[(0, 1)] == 0              # identical images
+        assert (0, 2) in pairs                 # light edit survives
+        assert all(3 not in p for p in pairs)  # unrelated image not paired
+
+        # partitioning independence
+        again = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in ahash_near_dup_pairs(df.repartition(5), max_distance=7).collect()}
+        assert pairs == again
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.multimodal import (
+            ahash_near_dup_pairs,
+            image_ahash,
+        )
+
+        df = spark.createDataFrame([(1, bytearray(b"PNG-not-fake"))], ["doc_id", "blob"])
+        with _pytest.raises(ValueError):
+            ahash_near_dup_pairs(df, max_distance=8)
+        with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
+            image_ahash(df).collect()
