@@ -128,12 +128,12 @@ def pagerank_sql(
     arithmetic (decimal contribution sums, double combination)."""
     d = float(damping)
     parts = [
-        f"e AS ({edges_subquery})",
+        f"e AS MATERIALIZED ({edges_subquery})",
         "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
         "deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1)",
         "base AS (SELECT n.id, COALESCE(deg.out_deg, 0) AS out_deg FROM nodes n LEFT JOIN deg USING (id))",
         "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base)",
-        "r0 AS (SELECT id, out_deg, 1.0 / n AS rank, n FROM base CROSS JOIN tot)",
+        "r0 AS MATERIALIZED (SELECT id, out_deg, 1.0 / n AS rank, n FROM base CROSS JOIN tot)",
     ]
     prev = "r0"
     for i in range(1, int(iterations) + 1):
@@ -147,7 +147,7 @@ g{i} AS (
   SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,20))) AS DOUBLE), 0.0) AS dang
   FROM {prev} WHERE out_deg = 0
 ),
-{cur} AS (
+{cur} AS MATERIALIZED (
   SELECT r.id, r.out_deg,
          {1.0 - d!r} / r.n + {d!r} * (COALESCE(c{i}.cin, 0.0) + g{i}.dang / r.n) AS rank,
          r.n
@@ -327,20 +327,20 @@ def k_core_sql(edges_subquery: str, k: int, rounds: int = 10) -> str:
     count unrolls into one degree CTE + one filtered edge CTE per
     pass."""
     parts = [
-        f"raw AS ({edges_subquery})",
-        "e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v"
+        f"raw AS MATERIALIZED ({edges_subquery})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v"
         " FROM raw WHERE src <> dst)",
     ]
     prev = "e0"
     for r in range(1, int(rounds) + 1):
         parts.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
   FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
   GROUP BY id
 ),
-keep{r} AS (SELECT id FROM d{r} WHERE degree >= {int(k)}),
-e{r} AS (
+keep{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE degree >= {int(k)}),
+e{r} AS MATERIALIZED (
   SELECT e.u, e.v FROM {prev} e
   JOIN keep{r} ku ON ku.id = e.u
   JOIN keep{r} kv ON kv.id = e.v
@@ -431,9 +431,9 @@ def label_propagation_sql(edges_subquery: str, iterations: int = 5) -> str:
     """DuckDB query computing :func:`label_propagation` exactly — one
     CTE per round with the identical vote/argmax arithmetic."""
     parts = [
-        f"e0 AS ({edges_subquery})",
+        f"e0 AS MATERIALIZED ({edges_subquery})",
         "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0 WHERE src <> dst)",
-        "both_e AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)",
+        "both_e AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)",
         "l0 AS (SELECT DISTINCT u AS id, u AS label FROM both_e)",
     ]
     prev = "l0"
@@ -445,7 +445,7 @@ def label_propagation_sql(edges_subquery: str, iterations: int = 5) -> str:
   UNION ALL SELECT id, label FROM {prev}
 ),
 c{i} AS (SELECT id, label, COUNT(*) AS c FROM v{i} GROUP BY 1, 2),
-{cur} AS (
+{cur} AS MATERIALIZED (
   SELECT id, label FROM (
     SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
     FROM c{i}
