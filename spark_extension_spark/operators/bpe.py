@@ -1,0 +1,258 @@
+"""Distributed byte-pair-encoding (BPE) statistics, training, and
+segmentation — the tokenizer-construction workload of an LLM data
+pipeline, expressed Spark-first.
+
+The classical observation (Sennrich et al., and every production BPE
+trainer since) is that training never needs the corpus after one pass:
+all pair statistics are linear in the **word frequency table**, which
+is vocabulary-sized.  So the corpus is scanned exactly once
+(:func:`word_counts` — one token explode + one map-side-combined
+aggregate), and every merge iteration runs on the tiny distinct-word
+table: one pair-count aggregate + one ``regexp_replace`` projection.
+Only the argmax pair (a single row) ever reaches the driver.
+
+Words are symbolized as a space-joined, space-padded character string
+(``"hello"`` → ``" h e l l o "``); applying merge ``(a, b)`` is the
+regex ``" a b(?= )"`` → ``" ab"`` — leftmost, non-overlapping, with a
+lookahead boundary so chained occurrences (``"x y x y"``) all merge in
+one pass.  This is exactly the greedy left-to-right merge order of the
+reference BPE algorithm, and it is a JVM-side codegen'd projection —
+no Python UDF anywhere.
+
+Determinism: the winning pair is chosen by (count desc, left asc,
+right asc), so training is a pure function of the corpus.  The
+initial pair statistics (single-character symbols) replay exactly in
+SQL (:func:`bpe_pair_counts_sql`); the merge loop itself needs
+lookahead regex, which RE2 (DuckDB) lacks, so the trainer is verified
+against a pure-Python reference implementation in the test suite
+instead of a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+__all__ = [
+    "word_counts",
+    "bpe_pair_counts",
+    "bpe_pair_counts_sql",
+    "bpe_train",
+    "bpe_segment",
+    "bpe_segment_sql",
+]
+
+_TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the normalized token stream — the one corpus
+    scan BPE training needs.  Map-side combined; output is
+    vocabulary-sized."""
+    toks = F.regexp_extract_all(
+        normalize_text(text_col), F.lit(_TOKEN_PATTERN), F.lit(0)
+    )
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _spaced(word: Column) -> Column:
+    """' h e l l o ' — split at every intra-word boundary, join with
+    spaces, pad both ends (the merge regex anchors on the padding)."""
+    return F.concat(F.lit(" "), F.array_join(F.split(word, "(?!^)"), " "), F.lit(" "))
+
+
+def _pair_counts_from_spaced(vocab: DataFrame) -> DataFrame:
+    """(sym_a, sym_b, cnt) adjacent-pair statistics over a symbolized
+    vocabulary — one explode over per-word pair lists, weighted by word
+    frequency, one aggregate.  Shuffle volume is pair-vocabulary-sized."""
+    syms = F.split(F.trim(F.col("spaced")), " ")
+    n = F.size(syms)
+    pairs = F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("sym_a"),
+        F.slice(syms, 2, n - 1).alias("sym_b"),
+    )
+    return (
+        vocab.where(n >= 2)
+        .select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent character-pair counts ``(sym_a, sym_b,
+    cnt)`` — the iteration-zero statistics of BPE training (and a
+    corpus signature in their own right: the head of this table is
+    what the first merges will be).
+
+    One corpus scan (word counts) + one vocabulary-sized pair
+    aggregate; the corpus itself never shuffles.
+    """
+    vocab = word_counts(df, text_col).select(
+        _spaced(F.col("word")).alias("spaced"), "cnt"
+    )
+    return _pair_counts_from_spaced(vocab)
+
+
+def bpe_pair_counts_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB query computing :func:`bpe_pair_counts` exactly (initial
+    single-character symbols == plain substrings)."""
+    return f"""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM {table},
+       UNNEST(regexp_extract_all(trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+')) AS t(w)
+  GROUP BY 1
+)
+SELECT substring(word, i, 1) AS sym_a,
+       substring(word, i + 1, 1) AS sym_b,
+       CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM words, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+WHERE length(word) >= 2
+GROUP BY 1, 2
+"""
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    table ``(rank, sym_a, sym_b, merged)`` in application order.
+
+    Scale shape: the corpus is scanned ONCE into the distinct-word
+    frequency table (persisted); each merge iteration is one
+    pair-count aggregate + a 1-row ``limit(1)`` argmax collect + one
+    ``regexp_replace`` projection over the vocabulary — all
+    vocabulary-sized, nothing corpus-sized.  Lineage is truncated via
+    ``localCheckpoint`` every ``checkpoint_every`` merges (the
+    re-symbolized vocabulary would otherwise chain ``n_merges``
+    projections).  Training stops early when no pair reaches
+    ``min_pair_count``.
+
+    Determinism: winner by (count desc, sym_a asc, sym_b asc) — a pure
+    function of the corpus, verified against a reference Python BPE in
+    the test suite.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    vocab = (
+        word_counts(df, text_col)
+        .select(_spaced(F.col("word")).alias("spaced"), "cnt")
+        .persist()
+    )
+    vocab.count()  # materialize once: every iteration reuses this scan
+
+    merges: List[Tuple[int, str, str, str]] = []
+    current = vocab
+    try:
+        for k in range(int(n_merges)):
+            top = (
+                _pair_counts_from_spaced(current)
+                .where(F.col("cnt") >= int(min_pair_count))
+                .orderBy(F.col("cnt").desc(), F.col("sym_a"), F.col("sym_b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["sym_a"], top[0]["sym_b"]
+            merges.append((k, a, b, a + b))
+            current = current.select(
+                F.regexp_replace(
+                    F.col("spaced"), f" {a} {b}(?= )", f" {a}{b}"
+                ).alias("spaced"),
+                "cnt",
+            )
+            if checkpoint_every and (k + 1) % int(checkpoint_every) == 0:
+                current = current.localCheckpoint(eager=True)
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, sym_a string, sym_b string, merged string"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "tokens",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list: ``(id, tokens
+    array<string>)`` with merges applied in rank order inside every
+    word — the same greedy pass the trainer used.
+
+    Implementation: one projection — words via ``regexp_extract_all``,
+    each word symbolized and run through the chained merge
+    ``regexp_replace``s inside an array ``transform`` lambda, then
+    flattened.  Zero shuffles, zero UDFs; the merge chain is a fixed
+    expression tree (keep learned merge lists to a few hundred for one
+    projection — split into two passes beyond that).
+
+    ``merges`` accepts the trainer's output rows, ``(sym_a, sym_b)``
+    tuples, or ``(rank, sym_a, sym_b, merged)`` tuples.
+    """
+    norm: List[Tuple[str, str]] = []
+    for m in merges:
+        if hasattr(m, "__fields__") or (isinstance(m, tuple) and len(m) == 4):
+            norm.append((m[1], m[2]))
+        else:
+            norm.append((m[0], m[1]))
+
+    def apply_merges(word: Column) -> Column:
+        s = _spaced(word)
+        for a, b in norm:
+            s = F.regexp_replace(s, f" {a} {b}(?= )", f" {a}{b}")
+        return F.split(F.trim(s), " ")
+
+    words = F.regexp_extract_all(
+        normalize_text(text_col), F.lit(_TOKEN_PATTERN), F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.flatten(F.transform(words, apply_merges)).alias(out),
+    )
+
+
+def bpe_segment_sql(
+    table: str,
+    merges: Sequence[Tuple[str, str]],
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    out: str = "tokens",
+    passes: int = 6,
+) -> str:
+    """DuckDB query computing :func:`bpe_segment` for a FIXED merge
+    list.  RE2 has no lookahead, so each merge's boundary-anchored
+    rewrite is realized as the plain (space-consuming) ``replace``
+    iterated ``passes`` times: the consuming form misses every second
+    space-adjacent occurrence per pass but converges to the same
+    leftmost-greedy normal form (merging a pair never creates an
+    earlier occurrence of that pair), and ``passes`` = 6 covers chains
+    up to 2^6 adjacent occurrences — far beyond any real word."""
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for a, b in [(m[0], m[1]) if len(m) != 4 else (m[1], m[2]) for m in merges]:
+        for _ in range(int(passes)):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+SELECT {id_expr} AS doc_id,
+       flatten(list_transform(
+         regexp_extract_all(trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+'),
+         w -> string_split(trim({expr}), ' ')
+       )) AS {out}
+FROM {table}
+"""

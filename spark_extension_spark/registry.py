@@ -5462,3 +5462,38 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mm.make_fake_image_blob(F.col("text"), F.lit(8), F.lit(8)).alias("blob"),
     )
     return _mm.ahash_near_dup_pairs(blobs, max_distance=3)
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE: pair statistics, training, segmentation
+# ---------------------------------------------------------------------------
+
+from .operators import bpe as _bpe  # noqa: E402
+
+_BPE_PAIRS_ORACLE = _bpe.bpe_pair_counts_sql("documents", "text")
+
+
+@register("bpe_pair_counts_documents", _BPE_PAIRS_ORACLE)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _bpe.bpe_pair_counts(docs)
+
+
+# the trainer's merge loop needs lookahead regex (Java), which RE2/DuckDB
+# lacks — rows-only gate; the algorithm itself is verified against a
+# pure-Python reference BPE in tests/test_text.py::TestBpe
+@register("bpe_train_documents")
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _bpe.bpe_train(docs, n_merges=12)
+
+
+_BPE_SEG_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
+
+_BPE_SEG_ORACLE = _bpe.bpe_segment_sql("documents", _BPE_SEG_MERGES)
+
+
+@register("bpe_segment_documents", _BPE_SEG_ORACLE)
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _bpe.bpe_segment(docs, _BPE_SEG_MERGES)

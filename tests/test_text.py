@@ -381,3 +381,123 @@ def test_char_entropy_partitioning_independent(spark, sf_dir):
     a = sorted(map(tuple, char_entropy(docs).collect()))
     b = sorted(map(tuple, char_entropy(docs.repartition(11)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_train(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python reference BPE (Sennrich-style greedy trainer)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        pairs = {p: c for p, c in pairs.items() if c >= min_pair_count}
+        if not pairs:
+            break
+        (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _ref_segment(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+class TestBpe:
+    CORPUS = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+
+    def test_pair_counts_match_reference(self, spark):
+        from collections import Counter
+
+        from spark_extension_spark.operators.bpe import bpe_pair_counts
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(self.CORPUS)], ["doc_id", "text"])
+        got = {(r["sym_a"], r["sym_b"]): r["cnt"] for r in bpe_pair_counts(df).collect()}
+
+        words = Counter(w for t in self.CORPUS for w in t.split())
+        want = Counter()
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                want[(w[i], w[i + 1])] += c
+        assert got == dict(want)
+
+    def test_train_matches_reference_bpe(self, spark):
+        from collections import Counter
+
+        from spark_extension_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(self.CORPUS)], ["doc_id", "text"])
+        got = [(r["sym_a"], r["sym_b"]) for r in bpe_train(df, 8).orderBy("rank").collect()]
+        words = Counter(w for t in self.CORPUS for w in t.split())
+        want = _ref_bpe_train(words, 8)
+        assert got == want
+
+    def test_segment_matches_reference_and_roundtrip(self, spark):
+        from collections import Counter
+
+        from spark_extension_spark.operators.bpe import bpe_segment, bpe_train
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(self.CORPUS)], ["doc_id", "text"])
+        merges_rows = bpe_train(df, 6).orderBy("rank").collect()
+        merges = [(r["sym_a"], r["sym_b"]) for r in merges_rows]
+
+        seg = {r["doc_id"]: list(r["tokens"]) for r in bpe_segment(df, merges_rows).collect()}
+        for i, t in enumerate(self.CORPUS):
+            want = [tok for w in t.split() for tok in _ref_segment(w, merges)]
+            assert seg[i] == want, f"doc {i}"
+            # lossless: concatenation restores the normalized text
+            assert "".join(seg[i]) == t.replace(" ", "")
+
+    def test_train_deterministic_across_partitionings(self, spark):
+        from spark_extension_spark.operators.bpe import bpe_train
+
+        rows = [(i, self.CORPUS[i % len(self.CORPUS)]) for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = [tuple(r) for r in bpe_train(df.coalesce(1), 5).collect()]
+        b = [tuple(r) for r in bpe_train(df.repartition(7), 5).collect()]
+        assert a == b
+
+    def test_train_early_stop_and_guard(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(0, "ab cd ef")], ["doc_id", "text"])
+        # every pair occurs once -> below min_pair_count=2 -> no merges
+        assert bpe_train(df, 5).count() == 0
+        with _pytest.raises(ValueError):
+            bpe_train(df, 0)
