@@ -18,6 +18,7 @@ SECTIONS = [
     ("Row numbers", "spark_extension_spark.operators.row_numbers"),
     ("Packing & batching", "spark_extension_spark.operators.packing"),
     ("Sampling & mixing", "spark_extension_spark.operators.sampling"),
+    ("BPE tokenization", "spark_extension_spark.operators.bpe"),
     ("Importance resampling", "spark_extension_spark.operators.importance"),
     ("Text analysis", "spark_extension_spark.operators.text"),
     ("Deduplication", "spark_extension_spark.operators.dedup"),
