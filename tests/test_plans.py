@@ -412,3 +412,37 @@ def test_reliability_single_aggregate_broadcast_total(spark):
     # 1-row broadcast cross joins, never a data-sized shuffle join
     assert not plan.has_cartesian
     assert set(plan.joins) <= {"BroadcastNestedLoopJoin"}
+
+
+def test_ks_report_single_group_keyed_window_chain(spark):
+    plan = summarize_plan(QUERIES["ks_report_events"](spark, SF))
+    # distinct-value counts -> union -> group-keyed windows: no joins at
+    # all, and no cartesian anywhere
+    assert plan.joins == [] and not plan.has_cartesian
+
+
+def test_temperature_mix_rate_table_broadcast(spark):
+    plan = summarize_plan(QUERIES["temperature_mix_documents"](spark, SF))
+    # the <=|strata| rate table joins back broadcast; the corpus itself
+    # never shuffles
+    assert any("Broadcast" in j for j in plan.joins)
+    assert not plan.has_cartesian
+
+
+def test_ahash_near_dup_banded_equi_join_only(spark):
+    plan = summarize_plan(QUERIES["ahash_near_dup_documents"](spark, SF))
+    # candidates come from the banded equi-join - a cartesian/BNLJ here
+    # would be the all-pairs blowup the banding exists to avoid
+    assert not plan.has_cartesian
+    assert any("SortMergeJoin" in j or "HashJoin" in j for j in plan.joins)
+
+
+def test_bpe_segment_zero_shuffle_projection(spark):
+    plan = summarize_plan(QUERIES["bpe_segment_documents"](spark, SF))
+    # one scan, one projection: merges run inside an array transform
+    assert plan.joins == [] and plan.exchanges == 0
+
+
+def test_label_propagation_no_cartesian_equi_joins(spark):
+    plan = summarize_plan(QUERIES["label_propagation_lineitem"](spark, SF))
+    assert not plan.has_cartesian
