@@ -11,8 +11,10 @@ edges): ONE equi-join (ranks onto edges, keyed by source) + ONE
 aggregate (contributions keyed by destination) + a 1-row broadcast
 (dangling mass).  No driver-side collection of anything wider than the
 dangling-mass scalar; iteration state is ``localCheckpoint``-ed every
-few rounds to truncate lineage (the exponential-plan guard inherited
-from :func:`~spark_extension_spark.operators.dedup.connected_components`).
+round by default — each round references the previous state 2-3 times,
+so any sparser cadence recomputes b^c rounds of work between
+checkpoints (measured 87 s -> 7 s on the sf0.1 k-core gate going from
+every-4 to every-1).
 
 Determinism: per-destination contribution sums and the dangling mass
 run in DECIMAL(38,20) — order-independent, so ranks are bit-identical
@@ -45,7 +47,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over a directed edge list: (``id``, ``rank``) after
     ``iterations`` synchronous power-iteration steps with uniform
@@ -281,7 +283,7 @@ def k_core(
     rounds: int = 10,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Nodes of the ``k``-core (the maximal subgraph where every node
     keeps degree ≥ k) after ``rounds`` synchronous peeling passes,
@@ -364,7 +366,7 @@ def label_propagation(
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
     unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation over the

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "decayed_aggregates",
     "time_bucket",
     "time_bucket_rollup",
     "range_join_bands",
@@ -529,4 +530,66 @@ def transition_matrix(
         "to_event",
         "n",
         (F.col("n").cast("double") / F.col("__tot").cast("double")).alias("prob"),
+    )
+
+
+def decayed_aggregates(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    half_life: float,
+    by: Sequence[str] = (),
+    at: Optional[object] = None,
+) -> DataFrame:
+    """Exponentially time-decayed per-group counters — the feature-store
+    staple ("activity in the recent past, smoothly forgotten"):
+
+    ``decayed_count = Σ_i 0.5^(Δt_i / half_life)``
+    ``decayed_sum   = Σ_i v_i · 0.5^(Δt_i / half_life)``
+
+    with ``Δt_i`` the age of row *i* against the reference instant —
+    ``at`` (same unit as the time axis) when given, else the
+    corpus-wide ``max(ts)`` so the freshest event has weight 1.
+    ``half_life`` is in SECONDS for timestamp/NTZ columns and in the
+    column's native unit for raw-numeric time axes (the same
+    convention as :func:`time_bucket_rollup`'s width).  Unlike a
+    windowed count, every event contributes forever at exponentially
+    decaying weight, so rankings degrade gracefully instead of
+    cliff-dropping at the window edge.  Returns ``(by…, n_rows,
+    decayed_count, decayed_sum)``.
+
+    Determinism at scale: each per-row term is one ``pow`` on an
+    exactly-derived double (integer ages divided by the integer
+    half-life), and the per-group sums run in DECIMAL(38,18) —
+    order-independent, so results are bit-identical across
+    partitionings and replay exactly in SQL.  Scale shape: a 1-row
+    max broadcast + ONE map-side-combined aggregate; NULL timestamps
+    and values contribute nothing.
+    """
+    if half_life <= 0:
+        raise ValueError(f"half_life must be > 0, got {half_life}")
+    keys = list(by)
+    axis, per_sec = _epoch_axis(df, ts_col, 1)
+    hl = F.lit(int(half_life * per_sec)).cast("long")
+
+    if at is not None:
+        dtype = df.schema[ts_col].dataType
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            ref = F.unix_micros(F.to_timestamp(F.lit(at)))
+        else:
+            ref = F.lit(int(at)).cast("long")
+        based = df
+    else:
+        mx = df.agg(F.max(axis).alias("__ref"))
+        based = df.crossJoin(F.broadcast(mx))
+        ref = F.col("__ref")
+
+    age = (ref - axis).cast("double") / hl.cast("double")
+    w = F.when(axis.isNotNull(), F.pow(F.lit(0.5), age))
+    term = w * F.col(value_col).cast("double")
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    return based.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec(w).alias("decayed_count"),
+        dec(term).alias("decayed_sum"),
     )

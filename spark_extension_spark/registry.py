@@ -5497,3 +5497,37 @@ _BPE_SEG_ORACLE = _bpe.bpe_segment_sql("documents", _BPE_SEG_MERGES)
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return _bpe.bpe_segment(docs, _BPE_SEG_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# exponentially time-decayed per-group counters
+# ---------------------------------------------------------------------------
+
+_DECAYED_ORACLE = """
+WITH mx AS (SELECT MAX(epoch_us(ts) * 1000) AS ref FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(
+         CASE WHEN ts IS NOT NULL
+              THEN pow(0.5, CAST(ref - epoch_us(ts) * 1000 AS DOUBLE)
+                            / CAST(3600000000000 AS DOUBLE))
+         END AS DECIMAL(38,18))) AS DOUBLE) AS decayed_count,
+       CAST(SUM(CAST(
+         CASE WHEN ts IS NOT NULL
+              THEN pow(0.5, CAST(ref - epoch_us(ts) * 1000 AS DOUBLE)
+                            / CAST(3600000000000 AS DOUBLE))
+                   * CAST(value AS DOUBLE)
+         END AS DECIMAL(38,18))) AS DOUBLE) AS decayed_sum
+FROM events CROSS JOIN mx
+GROUP BY 1
+"""
+
+
+@register("decayed_aggregates_events", _DECAYED_ORACLE)
+def q_decayed_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import decayed_aggregates
+
+    ev = load(spark, sf_dir, "events")
+    # library contract: events.ts is epoch NANOSECONDS as long -> the
+    # half-life is given in the axis unit (1h = 3.6e12 ns)
+    return decayed_aggregates(ev, "ts", "value", 3600 * 10**9, by=["event_type"])

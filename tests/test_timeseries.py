@@ -318,3 +318,51 @@ class TestTransitionMatrix:
             df.repartition(5), "user_id", "ts", tiebreak=["event_id"]).collect()))
         assert a == b
         assert ("x", "y", 1, 1.0) in a  # 100 before 101 at equal ts
+
+
+class TestDecayedAggregates:
+    def test_matches_numpy_and_partitioning(self, spark):
+        import numpy as np
+        from datetime import datetime, timedelta
+
+        from spark_extension_spark.operators.timeseries import decayed_aggregates
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            ("g%d" % (i % 2), t0 + timedelta(seconds=i * 37), float((i * 13) % 50))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["g", "ts", "v"])
+        got = {r["g"]: r for r in decayed_aggregates(df, "ts", "v", 3600.0, by=["g"]).collect()}
+        got2 = {r["g"]: r for r in decayed_aggregates(df.repartition(7), "ts", "v", 3600.0, by=["g"]).collect()}
+
+        tmax = max(r[1] for r in rows)
+        for g in ("g0", "g1"):
+            ages = np.array([(tmax - r[1]).total_seconds() for r in rows if r[0] == g])
+            vals = np.array([r[2] for r in rows if r[0] == g])
+            w = 0.5 ** (ages / 3600.0)
+            assert abs(got[g]["decayed_count"] - w.sum()) < 1e-9
+            assert abs(got[g]["decayed_sum"] - (w * vals).sum()) < 1e-6
+            assert got[g]["n_rows"] == len(vals)
+            # bit-identical across partitionings (decimal sums)
+            assert got[g]["decayed_count"] == got2[g]["decayed_count"]
+            assert got[g]["decayed_sum"] == got2[g]["decayed_sum"]
+
+    def test_explicit_reference_time_and_guard(self, spark):
+        from datetime import datetime
+
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.timeseries import decayed_aggregates
+
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1), 10.0)], ["ts", "v"]
+        )
+        # one half-life after the event: weight exactly 0.5
+        row = decayed_aggregates(
+            df, "ts", "v", 86400.0, at="2024-01-02 00:00:00"
+        ).collect()[0]
+        assert row["decayed_count"] == 0.5
+        assert row["decayed_sum"] == 5.0
+        with _pytest.raises(ValueError):
+            decayed_aggregates(df, "ts", "v", 0.0)
