@@ -36,6 +36,8 @@ __all__ = [
     "sample_frame_indices",
     "image_ahash",
     "ahash_near_dup_pairs",
+    "make_fake_audio_blob",
+    "audio_stats",
 ]
 
 _MAGICS = [
@@ -365,4 +367,67 @@ def ahash_near_dup_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_distance)
+    )
+
+
+def make_fake_audio_blob(text: Column, sample_rate: Column) -> Column:
+    """Deterministic stand-in for audio bytes: an ``AUD1`` header with
+    the sample rate, then the payload (conceptually 8-bit PCM
+    samples)."""
+    header = F.concat_ws("|", F.lit("AUD1"), sample_rate.cast("string"))
+    return F.encode(F.concat(header, F.lit("|"), text), "utf-8")
+
+
+def audio_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode audio blobs to per-clip stats ``(id, sample_rate,
+    n_samples, duration_ms, energy, peak)`` — the triage pass of an
+    audio-curation pipeline (drop silence, cap clip length, find
+    clipped recordings) with everything downstream of the decode pure
+    integers, so results are bit-identical across engines.
+
+    - ``duration_ms = n_samples * 1000 // sample_rate`` (integer floor)
+    - ``energy``    = Σ s_i² over the 8-bit sample values (int64)
+    - ``peak``      = max sample value (0 for empty clips)
+
+    Arrow-batched ``mapInPandas`` numpy kernel — the seam where a real
+    decoder (ffmpeg/soundfile) plugs in; only the deterministic
+    ``FAKE`` container decodes in this build, anything else raises
+    ``NotImplementedError`` (same stub contract as
+    :func:`decode_images`).
+    """
+    import numpy as np
+
+    id_name, blob_name = id_col, blob_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, durs, energies, peaks = [], [], [], [], [], []
+            for doc_id, raw in zip(pdf[id_name], pdf[blob_name]):
+                data = bytes(raw)
+                if not data.startswith(b"AUD1|"):
+                    raise NotImplementedError(
+                        "real audio decoding requires ffmpeg/soundfile; only "
+                        "the deterministic FAKE container is supported in "
+                        "this build"
+                    )
+                _, rate, payload = data.split(b"|", 2)
+                rate = int(rate)
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                ids.append(doc_id)
+                rates.append(rate)
+                ns.append(int(arr.size))
+                durs.append(int(arr.size) * 1000 // rate if rate > 0 else 0)
+                energies.append(int((arr * arr).sum()))
+                peaks.append(int(arr.max()) if arr.size else 0)
+            yield pd.DataFrame(
+                {id_name: ids, "sample_rate": rates, "n_samples": ns,
+                 "duration_ms": durs, "energy": energies, "peak": peaks}
+            )
+
+    return df.select(id_name, blob_name).mapInPandas(
+        kernel,
+        f"{id_name} long, sample_rate int, n_samples long, duration_ms long,"
+        " energy long, peak int",
     )

@@ -5531,3 +5531,39 @@ def q_decayed_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # library contract: events.ts is epoch NANOSECONDS as long -> the
     # half-life is given in the axis unit (1h = 3.6e12 ns)
     return decayed_aggregates(ev, "ts", "value", 3600 * 10**9, by=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# audio blob stats (stub decode, integer-exact)
+# ---------------------------------------------------------------------------
+
+_AUDIO_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         CAST(8000 + doc_id % 3 * 8000 AS INT) AS rate
+  FROM documents
+),
+by_char AS (
+  SELECT doc_id, SUM(ord(substring(text, i, 1)) * ord(substring(text, i, 1))) AS energy,
+         MAX(ord(substring(text, i, 1))) AS peak
+  FROM d, UNNEST(generate_series(1, n)) AS u(i)
+  GROUP BY 1
+)
+SELECT d.doc_id, d.rate AS sample_rate, CAST(d.n AS BIGINT) AS n_samples,
+       CAST(d.n * 1000 // d.rate AS BIGINT) AS duration_ms,
+       CAST(COALESCE(b.energy, 0) AS BIGINT) AS energy,
+       CAST(COALESCE(b.peak, 0) AS INT) AS peak
+FROM d LEFT JOIN by_char b USING (doc_id)
+"""
+
+
+@register("audio_stats_documents", _AUDIO_ORACLE)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        _mm.make_fake_audio_blob(
+            F.col("text"), F.lit(8000) + F.col("doc_id") % 3 * 8000
+        ).alias("blob"),
+    )
+    return _mm.audio_stats(blobs)

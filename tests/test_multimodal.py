@@ -211,3 +211,38 @@ class TestImageAHash:
             ahash_near_dup_pairs(df, max_distance=8)
         with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
             image_ahash(df).collect()
+
+
+class TestAudioStats:
+    def test_matches_reference(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_extension_spark.operators.multimodal import (
+            audio_stats,
+            make_fake_audio_blob,
+        )
+
+        texts = ["abc", "", "hello world"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).select(
+            "doc_id",
+            make_fake_audio_blob(F.col("text"), F.lit(16000)).alias("blob"),
+        )
+        got = {r["doc_id"]: r for r in audio_stats(df).collect()}
+        for i, t in enumerate(texts):
+            b = t.encode()
+            assert got[i]["sample_rate"] == 16000
+            assert got[i]["n_samples"] == len(b)
+            assert got[i]["duration_ms"] == len(b) * 1000 // 16000
+            assert got[i]["energy"] == sum(x * x for x in b)
+            assert got[i]["peak"] == (max(b) if b else 0)
+
+    def test_non_fake_raises(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.multimodal import audio_stats
+
+        df = spark.createDataFrame([(1, bytearray(b"RIFF...."))], ["doc_id", "blob"])
+        with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
+            audio_stats(df).collect()
