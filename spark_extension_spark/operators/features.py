@@ -10,12 +10,16 @@ executor memory is never a problem.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "zscore_normalize",
+    "feature_hash",
     "pivot_counts",
     "winsorize",
     "group_quantiles",
@@ -614,4 +618,117 @@ def group_ttest(
         var_b.alias("var_b"),
         t.alias("t_stat"),
         dof.alias("dof"),
+    )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    out: str = "zscore",
+    ddof: int = 0,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-group standardization ``(v − mean) / stddev`` — the other
+    standard cross-source calibration next to :func:`rank_normalize`
+    (z-scores preserve distances and outlier magnitude; ranks do not).
+    Zero-variance and singleton groups yield 0.0 (not NULL/NaN), so
+    downstream filters never silently drop whole groups.
+
+    Determinism at scale: mean and the raw moments accumulate in
+    DECIMAL(38,12) (order-independent sums), the final
+    ``sqrt``/division are single correctly-rounded IEEE ops — output
+    is bit-identical across partitionings and engines.  Scale shape:
+    ONE map-side-combined moment aggregate (count/sum/sum-of-squares
+    per group) broadcast-joined back; the data side never shuffles.
+    ``ddof`` picks population (0, default) or sample (1) variance.
+    Set ``broadcast=False`` when group cardinality exceeds broadcast
+    size (the join then shuffles both sides on the keys).
+    """
+    if ddof not in (0, 1):
+        raise ValueError(f"ddof must be 0 or 1, got {ddof}")
+    keys = list(by)
+    v = F.col(value_col).cast("double")
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    stats = df.where(v.isNotNull()).groupBy(
+        *[F.col(c).alias(f"__k_{c}") for c in keys]
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        dec(v).alias("__s"),
+        dec(v * v).alias("__ss"),
+    )
+    cond = (
+        functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in keys],
+        )
+        if keys
+        else F.lit(True)
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s") / n
+    var = (F.col("__ss") / n - mean * mean) * F.when(
+        F.col("__n") > ddof, n / (n - F.lit(float(ddof)))
+    ).otherwise(F.lit(0.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(sd > 0.0, (v - mean) / sd).otherwise(F.lit(0.0))
+    joined = df.join(F.broadcast(stats) if broadcast else stats, cond, "left")
+    return joined.select(
+        *df.columns, F.coalesce(z, F.lit(0.0)).alias(out)
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    cols: Sequence[str],
+    dim: int = 1024,
+    id_col: str = "id",
+    numeric_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): map arbitrary
+    categorical columns into a fixed ``dim``-dimensional space with no
+    vocabulary to build, ship, or keep in sync — the standard
+    featurizer for web-scale linear/GBDT models where the category
+    universe is unbounded (URLs, tokens, user agents).
+
+    Output is SPARSE — one row per (row id, feature index):
+    ``(id, idx, weight)`` with ``idx = h(col ":" value) mod dim`` and
+    ``weight`` the ±1 sign hash (collisions cancel in expectation —
+    the property that makes the trick unbiased).  Numeric columns
+    contribute their value times the sign instead.  Weights of
+    colliding features within a row are summed (integer/exact for
+    categoricals).  NULL values emit no feature.
+
+    Everything is md5 column arithmetic — engine-exact, no UDF, no
+    fitted state; one explode-free union of per-column projections +
+    one aggregate.  Densify downstream only if the model needs it
+    (``groupBy(id).pivot`` or a vector assembler); at 100 TB the
+    sparse triplet form is the one you can actually shuffle.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if not cols and not numeric_cols:
+        raise ValueError("feature_hash needs at least one input column")
+
+    def _h31(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % (1 << 31)
+
+    def part(c: str, numeric: bool) -> DataFrame:
+        key = F.concat(F.lit(c + ":"), F.col(c).cast("string"))
+        sign = F.when(_h31(F.concat(F.lit("#"), key)) % 2 == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+        w = sign * F.col(c).cast("double") if numeric else sign
+        return df.where(F.col(c).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            (_h31(key) % dim).cast("int").alias("idx"),
+            w.alias("weight"),
+        )
+
+    parts = [part(c, False) for c in cols] + [part(c, True) for c in numeric_cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.groupBy("id", "idx").agg(
+        F.sum(F.col("weight").cast("decimal(38,12)")).cast("double").alias("weight")
     )

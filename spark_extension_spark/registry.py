@@ -5567,3 +5567,88 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blob"),
     )
     return _mm.audio_stats(blobs)
+
+
+# ---------------------------------------------------------------------------
+# per-group z-score standardization
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_type AS k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       COALESCE(
+         CASE WHEN sqrt(greatest(ss / CAST(n AS DOUBLE)
+                                 - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0)) > 0.0
+              THEN (CAST(e.value AS DOUBLE) - s / CAST(n AS DOUBLE))
+                   / sqrt(greatest(ss / CAST(n AS DOUBLE)
+                                   - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)), 0.0))
+              ELSE 0.0 END, 0.0) AS zscore
+FROM events e LEFT JOIN stats ON e.event_type IS NOT DISTINCT FROM stats.k
+"""
+
+
+@register("zscore_events", _ZSCORE_ORACLE)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import zscore_normalize
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_normalize(ev, "value", by=["event_type"]).select(
+        "event_id", "event_type", "zscore"
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick featurization (sparse triplets)
+# ---------------------------------------------------------------------------
+
+def _fh_idx(col: str, val_expr: str, dim: int) -> str:
+    key = f"CONCAT('{col}:', CAST({val_expr} AS VARCHAR))"
+    return (
+        f"(CAST(CONCAT('0x', substr(md5({key}), 1, 8)) AS BIGINT) % 2147483648) % {dim}"
+    )
+
+
+def _fh_sign(col: str, val_expr: str) -> str:
+    key = f"CONCAT('#', CONCAT('{col}:', CAST({val_expr} AS VARCHAR)))"
+    h = f"(CAST(CONCAT('0x', substr(md5({key}), 1, 8)) AS BIGINT) % 2147483648)"
+    return f"(CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+
+_FEATURE_HASH_ORACLE = f"""
+WITH parts AS (
+  SELECT event_id AS id,
+         CAST({_fh_idx('event_type', 'event_type', 64)} AS INT) AS idx,
+         {_fh_sign('event_type', 'event_type')} AS weight
+  FROM events WHERE event_type IS NOT NULL
+  UNION ALL
+  SELECT event_id AS id,
+         CAST({_fh_idx('user_id', 'user_id', 64)} AS INT) AS idx,
+         {_fh_sign('user_id', 'user_id')} AS weight
+  FROM events WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT event_id AS id,
+         CAST({_fh_idx('value', 'value', 64)} AS INT) AS idx,
+         {_fh_sign('value', 'value')} * CAST(value AS DOUBLE) AS weight
+  FROM events WHERE value IS NOT NULL
+)
+SELECT id, idx,
+       CAST(SUM(CAST(weight AS DECIMAL(38,12))) AS DOUBLE) AS weight
+FROM parts GROUP BY 1, 2
+"""
+
+
+@register("feature_hash_events", _FEATURE_HASH_ORACLE)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import feature_hash
+
+    ev = load(spark, sf_dir, "events")
+    return feature_hash(
+        ev, ["event_type", "user_id"], dim=64, id_col="event_id",
+        numeric_cols=["value"],
+    )

