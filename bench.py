@@ -175,6 +175,18 @@ HEADLINE = [
     "differential_join_lineitem_orders",
     "association_rules_lineitem",
     "k_core_lineitem",
+    "ks_report_events",
+    "temperature_mix_documents",
+    "label_propagation_lineitem",
+    "ahash_documents",
+    "ahash_near_dup_documents",
+    "bpe_pair_counts_documents",
+    "bpe_train_documents",
+    "bpe_segment_documents",
+    "decayed_aggregates_events",
+    "audio_stats_documents",
+    "zscore_events",
+    "feature_hash_events",
 ]
 
 # drift guard: any registry query not listed above still gets a bench row
