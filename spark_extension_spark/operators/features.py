@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "zscore_normalize",
     "feature_hash",
+    "weighted_quantiles",
     "pivot_counts",
     "winsorize",
     "group_quantiles",
@@ -732,3 +733,62 @@ def feature_hash(
     return out.groupBy("id", "idx").agg(
         F.sum(F.col("weight").cast("decimal(38,12)")).cast("double").alias("weight")
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact weighted quantiles per group: for each ``q`` the smallest
+    value whose cumulative weight reaches ``q x total weight`` (the
+    left-continuous weighted quantile).  The token-budget analogue of
+    :func:`group_quantiles`: "the document length below which half the
+    TOKENS (not documents) live" is a weighted median — unweighted
+    quantiles over-represent short documents.
+
+    Returns one row per (group, q): ``(by…, q, value)``.
+
+    Scale shape: one map-side-combined (group, value) weight aggregate,
+    one cumulative window per group (distinct-values-sized, never
+    row-sized), a broadcast cross join with the tiny ``qs`` spine, and
+    a min-aggregate — no row-level sort of the raw data.  Cumulative
+    weights accumulate in DECIMAL(38,12) so thresholds compare
+    identically across partitionings and engines.  Rows with NULL or
+    non-positive weight are ignored.
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must not be empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"each q must be in (0, 1], got {q}")
+    keys = list(by)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+
+    per_val = (
+        df.where(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(*keys, v.alias("__v"))
+        .agg(F.sum(w.cast("decimal(38,12)")).alias("__w"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    stepped = per_val.select(
+        *keys,
+        "__v",
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = stepped.crossJoin(F.broadcast(spine)).where(
+        F.col("__cum").cast("double") >= F.col("q") * F.col("__tot").cast("double")
+    )
+    return hit.groupBy(*keys, "q").agg(F.min("__v").alias("value"))

@@ -5652,3 +5652,51 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type", "user_id"], dim=64, id_col="event_id",
         numeric_cols=["value"],
     )
+
+
+# ---------------------------------------------------------------------------
+# exact weighted quantiles per group
+# ---------------------------------------------------------------------------
+
+_WQ_ORACLE = """
+WITH d AS (
+  SELECT lang, n_chars,
+         len(regexp_extract_all(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+')) AS n_toks
+  FROM documents
+),
+pv AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+         SUM(CAST(CAST(n_toks AS DOUBLE) AS DECIMAL(38,12))) AS w
+  FROM d
+  WHERE n_chars IS NOT NULL AND n_toks > 0
+  GROUP BY 1, 2
+),
+stepped AS (
+  SELECT lang, v,
+         SUM(w) OVER (PARTITION BY lang ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY lang) AS tot
+  FROM pv
+),
+spine AS (SELECT * FROM (VALUES (0.5), (0.9)) AS s(q))
+SELECT lang, q, MIN(v) AS value
+FROM stepped CROSS JOIN spine
+WHERE CAST(cum AS DOUBLE) >= q * CAST(tot AS DOUBLE)
+GROUP BY 1, 2
+"""
+
+
+@register("weighted_quantiles_documents", _WQ_ORACLE)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.features import weighted_quantiles
+
+    from .operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(
+            F.regexp_extract_all(normalize_text("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("n_toks"),
+    )
+    return weighted_quantiles(docs, "n_chars", "n_toks", qs=[0.5, 0.9], by=["lang"])

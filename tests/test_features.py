@@ -627,3 +627,51 @@ class TestFeatureHash:
             feature_hash(df, [], dim=8, id_col="id")
         with _pytest.raises(ValueError):
             feature_hash(df, ["a"], dim=0, id_col="id")
+
+
+class TestWeightedQuantiles:
+    def test_matches_numpy_reference(self, spark):
+        from spark_extension_spark.operators.features import weighted_quantiles
+
+        rows = [("g%d" % (i % 2), float((i * 13) % 40), float(1 + i % 5)) for i in range(200)]
+        df = spark.createDataFrame(rows, ["g", "v", "w"])
+        got = {(r["g"], r["q"]): r["value"]
+               for r in weighted_quantiles(df, "v", "w", qs=[0.25, 0.5, 0.9], by=["g"]).collect()}
+
+        for g in ("g0", "g1"):
+            pairs = sorted((v, w) for gg, v, w in rows if gg == g)
+            # collapse equal values
+            agg = {}
+            for v, w in pairs:
+                agg[v] = agg.get(v, 0.0) + w
+            total = sum(agg.values())
+            for q in (0.25, 0.5, 0.9):
+                cum = 0.0
+                for v in sorted(agg):
+                    cum += agg[v]
+                    if cum >= q * total - 1e-12:
+                        assert got[(g, q)] == v, (g, q)
+                        break
+
+    def test_weighted_median_differs_from_unweighted(self, spark):
+        from spark_extension_spark.operators.features import weighted_quantiles
+
+        # many short docs (len 10, weight 10) + few long (len 1000, weight 1000)
+        rows = [(float(10), 10.0)] * 90 + [(float(1000), 1000.0)] * 10
+        df = spark.createDataFrame(rows, ["v", "w"])
+        med = weighted_quantiles(df, "v", "w", qs=[0.5]).collect()[0]["value"]
+        assert med == 1000.0  # half the TOKENS are in long docs
+        # degenerate weights ignored
+        df2 = spark.createDataFrame([(1.0, 0.0), (2.0, 5.0)], ["v", "w"])
+        assert weighted_quantiles(df2, "v", "w", qs=[0.5]).collect()[0]["value"] == 2.0
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.features import weighted_quantiles
+
+        df = spark.createDataFrame([(1.0, 1.0)], ["v", "w"])
+        with _pytest.raises(ValueError):
+            weighted_quantiles(df, "v", "w", qs=[])
+        with _pytest.raises(ValueError):
+            weighted_quantiles(df, "v", "w", qs=[1.5])
