@@ -5,9 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop-format write so the full
 plan (scan -> shuffle -> project) executes without driver collection.
-Each query runs twice and the faster run is reported (steady-state:
-first-query times otherwise fold JVM/codegen warmup and environment
-noise into whichever query happens to run first).
+Each query runs three times and the MEDIAN is reported: the first run
+folds JVM/codegen warmup into whichever query runs first, and single
+passes have shown ±2x jitter on untouched code across rounds (r3->r4
+adjudication cost — see VERDICT r4 "Bench noise floor").  The median
+of three discards the one cold/outlier pass while staying robust to a
+lucky fast run, which min-of-2 was not.
 
 The one-line JSON uses short positional keys ("q1".."qN", in HEADLINE
 order) because the recording harness captures only the last ~2000
@@ -218,11 +221,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(sorted(runs)[1], 3)  # median of 3
         # Operators that persist internally (CC, triangles, row numbers, ...)
         # would otherwise accumulate storage blocks across all queries and
         # evict each other mid-run: q_i's time then depends on every q_j

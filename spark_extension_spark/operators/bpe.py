@@ -22,10 +22,11 @@ no Python UDF anywhere.
 Determinism: the winning pair is chosen by (count desc, left asc,
 right asc), so training is a pure function of the corpus.  The
 initial pair statistics (single-character symbols) replay exactly in
-SQL (:func:`bpe_pair_counts_sql`); the merge loop itself needs
-lookahead regex, which RE2 (DuckDB) lacks, so the trainer is verified
-against a pure-Python reference implementation in the test suite
-instead of a SQL oracle.
+SQL (:func:`bpe_pair_counts_sql`); the full training loop replays via
+unrolled per-merge CTEs (:func:`bpe_train_sql`) using the
+consuming-``replace`` fixpoint to stand in for the lookahead regex
+RE2 (DuckDB) lacks, and is additionally verified against a
+pure-Python reference implementation in the test suite.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_pair_counts_sql",
     "bpe_train",
+    "bpe_train_sql",
     "bpe_segment",
     "bpe_segment_sql",
 ]
@@ -183,6 +185,91 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string"
     )
+
+
+def bpe_train_sql(
+    table: str = "documents",
+    n_merges: int = 12,
+    text_expr: str = "text",
+    min_pair_count: int = 2,
+    passes: int = 6,
+) -> str:
+    """DuckDB query replaying :func:`bpe_train` exactly — the full
+    training loop unrolled into per-merge CTEs, so the trainer gets a
+    value-level oracle despite RE2's missing lookahead.
+
+    Per merge ``k`` three CTEs are emitted: ``p{k}`` (adjacent-pair
+    counts over the symbolized vocabulary ``v{k}``), ``w{k}`` (the
+    deterministic argmax — ``ORDER BY cnt DESC, sym_a, sym_b LIMIT
+    1`` above ``min_pair_count``), and ``v{k+1}`` (the vocabulary with
+    the winning pair merged).  The merge rewrite uses the same
+    consuming-``replace`` fixpoint as :func:`bpe_segment_sql`: the
+    space-consuming form iterated ``passes`` times converges to the
+    identical leftmost-greedy normal form the Java lookahead regex
+    produces in one pass (merging a pair never creates an earlier
+    occurrence of itself), so every round's pair statistics — and
+    therefore every argmax — replays bit-for-bit.
+
+    Early stop parity: when no pair reaches ``min_pair_count`` the
+    Spark loop breaks; here ``w{k}`` is empty, the ``LEFT JOIN``
+    leaves the vocabulary untouched, and every later ``w`` is empty
+    too, so ranks stay consecutive on both sides.
+
+    Vocabulary CTEs are ``MATERIALIZED``: each ``v{k}`` feeds both
+    ``p{k}`` and ``v{k+1}``, and inlining would double the replace
+    expression tree per round (2^n blowup).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    norm = (
+        f"trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g'))"
+    )
+    ctes = [
+        f"""words AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM {table},
+       UNNEST(regexp_extract_all({norm}, '[a-z0-9]+')) AS t(w)
+  GROUP BY 1
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS spaced, cnt
+  FROM words
+)""",
+    ]
+    for k in range(int(n_merges)):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT s[i] AS sym_a, s[i + 1] AS sym_b, SUM(cnt) AS cnt
+  FROM (SELECT string_split(trim(spaced), ' ') AS s, cnt FROM v{k}),
+       UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""w{k} AS (
+  SELECT sym_a, sym_b FROM p{k}
+  WHERE cnt >= {int(min_pair_count)}
+  ORDER BY cnt DESC, sym_a, sym_b LIMIT 1
+)"""
+        )
+        merged = "v.spaced"
+        for _ in range(int(passes)):
+            merged = (
+                f"replace({merged}, ' ' || w.sym_a || ' ' || w.sym_b || ' ',"
+                f" ' ' || w.sym_a || w.sym_b || ' ')"
+            )
+        ctes.append(
+            f"""v{k + 1} AS MATERIALIZED (
+  SELECT CASE WHEN w.sym_a IS NULL THEN v.spaced ELSE {merged} END AS spaced,
+         v.cnt
+  FROM v{k} v LEFT JOIN w{k} w ON TRUE
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, sym_a, sym_b, sym_a || sym_b AS merged FROM w{k}"
+        for k in range(int(n_merges))
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
 def bpe_segment(

@@ -8,12 +8,18 @@ from parquet + Catalyst.  Heavy per-blob work (decode, resize, feature
 extraction) runs in Arrow-batched ``mapInPandas`` so bytes cross the
 JVM/Python boundary once per batch, not per row.
 
-The actual image/audio codecs are NOT available in this environment, so
-the decode kernels are STUBS: blobs in the deterministic ``FAKE``
-container format (see :func:`make_fake_image_blob`) decode for real;
-anything else raises ``NotImplementedError`` (swap in PIL/ffmpeg in
-production).  Everything around the stub — schemas, batching, UDF
-signatures, partition behavior — is real and tested.
+Codec policy: blobs in the deterministic ``FAKE`` container format
+(see :func:`make_fake_image_blob`) always decode — they are the
+reproducible oracle path every gate query and test uses.  For real
+containers the kernels probe for an optional codec library **inside
+the worker-side kernel** (PIL for images, soundfile for audio —
+:func:`_optional_pil` / :func:`_optional_soundfile`): if present, real
+bytes decode through it; if absent (as in this build's sandbox, which
+has neither), real bytes raise ``NotImplementedError`` exactly as
+before.  Video frame extraction stays stub-only (a real path needs
+ffmpeg subprocess plumbing, not just an import).  Everything around
+the codec seam — schemas, batching, UDF signatures, partition
+behavior — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -47,6 +53,25 @@ _MAGICS = [
     (b"GIF8", "gif"),
     (b"RIFF", "riff"),
 ]
+
+
+def _optional_pil():
+    """PIL.Image if importable, else None — called inside worker-side
+    kernels so the driver never needs the library installed."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _optional_soundfile():
+    """soundfile module if importable, else None (worker-side probe)."""
+    try:
+        import soundfile
+        return soundfile
+    except ImportError:
+        return None
 
 
 def make_fake_image_blob(text: Column, width: Column, height: Column) -> Column:
@@ -85,21 +110,33 @@ def decode_images(
     """Decode image blobs to (id, width, height, payload_bytes).
 
     Arrow-batched ``mapInPandas``: the kernel sees pandas batches of raw
-    bytes — exactly where PIL/libvips would plug in.  STUB: only the
-    ``FAKE`` container decodes; real formats raise ``NotImplementedError``.
+    bytes.  The ``FAKE`` container always decodes (deterministic oracle
+    path); real formats decode through PIL when it is importable on the
+    workers (``payload_bytes`` = container size), else raise
+    ``NotImplementedError``.
     """
     id_name, blob_name = id_col, blob_col
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        pil = _optional_pil()
         for pdf in batches:
             ids, widths, heights, sizes = [], [], [], []
             for doc_id, raw in zip(pdf[id_name], pdf[blob_name]):
                 data = bytes(raw)
                 if not data.startswith(b"IMG1|"):
-                    raise NotImplementedError(
-                        "real image decoding requires PIL/libvips; only the "
-                        "deterministic FAKE container is supported in this build"
-                    )
+                    if pil is None:
+                        raise NotImplementedError(
+                            "real image decoding requires PIL/libvips; only the "
+                            "deterministic FAKE container is supported in this build"
+                        )
+                    with pil.open(io.BytesIO(data)) as im:
+                        ids.append(doc_id)
+                        widths.append(im.width)
+                        heights.append(im.height)
+                        sizes.append(len(data))
+                    continue
                 _, w, h, payload = data.split(b"|", 3)
                 ids.append(doc_id)
                 widths.append(int(w))
@@ -139,10 +176,12 @@ def resize_images(
     upscales).  Arrow-batched ``mapInPandas`` — the exact slot a
     PIL/libvips ``thumbnail`` call occupies in production.
 
-    STUB: only the deterministic ``FAKE`` container resizes — the
-    "resample" keeps a payload prefix proportional to the pixel-count
-    ratio, so sizes are exact integer arithmetic any engine can replay;
-    real formats raise ``NotImplementedError``.  Output rows carry the
+    The deterministic ``FAKE`` container resizes by exact integer
+    arithmetic (the "resample" keeps a payload prefix proportional to
+    the pixel-count ratio) — the oracle path any engine can replay.
+    Real formats resize through PIL's ``thumbnail`` (LANCZOS,
+    re-encoded in the source format) when PIL is importable on the
+    workers, else raise ``NotImplementedError``.  Output rows carry the
     resized blob (chainable into :func:`decode_images`) plus the old
     and new dimensions.
     """
@@ -152,15 +191,31 @@ def resize_images(
         raise ValueError(f"target size must be positive, got {tw}x{th}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        pil = _optional_pil()
         for pdf in batches:
             ids, ws, hs, ows, ohs, blobs = [], [], [], [], [], []
             for doc_id, raw in zip(pdf[id_name], pdf[blob_name]):
                 data = bytes(raw)
                 if not data.startswith(b"IMG1|"):
-                    raise NotImplementedError(
-                        "real image resizing requires PIL/libvips; only the "
-                        "deterministic FAKE container is supported in this build"
-                    )
+                    if pil is None:
+                        raise NotImplementedError(
+                            "real image resizing requires PIL/libvips; only the "
+                            "deterministic FAKE container is supported in this build"
+                        )
+                    with pil.open(io.BytesIO(data)) as im:
+                        w, h = im.width, im.height
+                        fmt = im.format or "PNG"
+                        im2 = im.copy()
+                        im2.thumbnail((tw, th))
+                        buf = io.BytesIO()
+                        im2.save(buf, format=fmt)
+                        ids.append(doc_id)
+                        ws.append(w); hs.append(h)
+                        ows.append(im2.width); ohs.append(im2.height)
+                        blobs.append(buf.getvalue())
+                    continue
                 _, w, h, payload = data.split(b"|", 3)
                 w, h = int(w), int(h)
                 scale = min(tw / w, th / h, 1.0)
@@ -266,10 +321,12 @@ def image_ahash(
     runs, partitionings, and engines — no float means.  Band ``j``
     packs bits ``8j..8j+7`` big-endian into 0..255.
 
-    Arrow-batched ``mapInPandas`` with a vectorized numpy kernel — the
-    exact seam where a real decoder (PIL + grayscale resize to 8×8,
-    the classical aHash) plugs in; only the deterministic ``FAKE``
-    container decodes in this build (same stub contract as
+    Arrow-batched ``mapInPandas`` with a vectorized numpy kernel.  The
+    deterministic ``FAKE`` container hashes its payload bytes (the
+    oracle path); real formats hash classical aHash pixels — PIL
+    grayscale, LANCZOS resize to 8×8, same integer threshold — when
+    PIL is importable on the workers, else raise
+    ``NotImplementedError`` (same codec contract as
     :func:`decode_images`).  An empty payload hashes to all-zero bands.
     """
     import numpy as np
@@ -278,16 +335,24 @@ def image_ahash(
     _weights = 1 << (7 - np.arange(8, dtype=np.int64))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        pil = _optional_pil()
         for pdf in batches:
             ids, bands_out = [], []
             for doc_id, raw in zip(pdf[id_name], pdf[blob_name]):
                 data = bytes(raw)
                 if not data.startswith(b"IMG1|"):
-                    raise NotImplementedError(
-                        "real image decoding requires PIL/libvips; only the "
-                        "deterministic FAKE container is supported in this build"
-                    )
-                _, _w, _h, payload = data.split(b"|", 3)
+                    if pil is None:
+                        raise NotImplementedError(
+                            "real image decoding requires PIL/libvips; only the "
+                            "deterministic FAKE container is supported in this build"
+                        )
+                    with pil.open(io.BytesIO(data)) as im:
+                        px = im.convert("L").resize((8, 8), pil.LANCZOS)
+                        payload = bytes(px.tobytes())
+                else:
+                    _, _w, _h, payload = data.split(b"|", 3)
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 L = int(arr.size)
                 if L == 0:
@@ -316,6 +381,7 @@ def ahash_near_dup_pairs(
     max_distance: int = 6,
     id_col: str = "doc_id",
     blob_col: str = "blob",
+    unpersist_handle=None,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash hamming distance:
     ``(id_a, id_b, hamming)`` with ``hamming <= max_distance`` — the
@@ -333,14 +399,20 @@ def ahash_near_dup_pairs(
     bands — JVM-side, codegen, no UDF.
 
     Signatures are computed once and persisted (they feed both the
-    candidate and verify branches); released after the result is
-    consumed via the DataFrame's lineage.
+    candidate and verify branches).  The cache outlives the returned
+    DataFrame's consumption; pass an ``unpersist_handle``
+    (:class:`~..utils.UnpersistHandle`) and call it when done to
+    release the cached signature blocks — same contract as
+    ``connected_components`` / ``triangle_counts`` — otherwise they
+    persist until ``clearCache``/session end.
     """
     if not (0 <= max_distance <= 7):
         raise ValueError(
             f"max_distance must be in [0, 7] for lossless banding, got {max_distance}"
         )
     sig = image_ahash(df, id_col=id_col, blob_col=blob_col).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(sig)
     expl = sig.select(
         F.col(id_col).alias("__id"), F.posexplode("bands").alias("__band", "__val")
     )
@@ -391,10 +463,12 @@ def audio_stats(
     - ``energy``    = Σ s_i² over the 8-bit sample values (int64)
     - ``peak``      = max sample value (0 for empty clips)
 
-    Arrow-batched ``mapInPandas`` numpy kernel — the seam where a real
-    decoder (ffmpeg/soundfile) plugs in; only the deterministic
-    ``FAKE`` container decodes in this build, anything else raises
-    ``NotImplementedError`` (same stub contract as
+    Arrow-batched ``mapInPandas`` numpy kernel.  The deterministic
+    ``FAKE`` container (8-bit samples) always decodes — the oracle
+    path.  Real containers (WAV/FLAC/OGG) decode through soundfile as
+    int16 samples (energy/peak over the int16 magnitudes, still exact
+    int64 arithmetic) when the library is importable on the workers,
+    else raise ``NotImplementedError`` (same codec contract as
     :func:`decode_images`).
     """
     import numpy as np
@@ -402,19 +476,29 @@ def audio_stats(
     id_name, blob_name = id_col, blob_col
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        sf_mod = _optional_soundfile()
         for pdf in batches:
             ids, rates, ns, durs, energies, peaks = [], [], [], [], [], []
             for doc_id, raw in zip(pdf[id_name], pdf[blob_name]):
                 data = bytes(raw)
                 if not data.startswith(b"AUD1|"):
-                    raise NotImplementedError(
-                        "real audio decoding requires ffmpeg/soundfile; only "
-                        "the deterministic FAKE container is supported in "
-                        "this build"
+                    if sf_mod is None:
+                        raise NotImplementedError(
+                            "real audio decoding requires ffmpeg/soundfile; "
+                            "only the deterministic FAKE container is "
+                            "supported in this build"
+                        )
+                    samples, rate = sf_mod.read(io.BytesIO(data), dtype="int16")
+                    arr = np.abs(
+                        np.asarray(samples, dtype=np.int64).reshape(-1)
                     )
-                _, rate, payload = data.split(b"|", 2)
-                rate = int(rate)
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                    rate = int(rate)
+                else:
+                    _, rate, payload = data.split(b"|", 2)
+                    rate = int(rate)
+                    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 ids.append(doc_id)
                 rates.append(rate)
                 ns.append(int(arr.size))

@@ -559,8 +559,8 @@ def decayed_aggregates(
     decayed_count, decayed_sum)``.
 
     Determinism at scale: each per-row term is one ``pow`` on an
-    exactly-derived double (integer ages divided by the integer
-    half-life), and the per-group sums run in DECIMAL(38,18) —
+    exactly-derived double (integer ages divided by a constant
+    half-life literal), and the per-group sums run in DECIMAL(38,18) —
     order-independent, so results are bit-identical across
     partitionings and replay exactly in SQL.  Scale shape: a 1-row
     max broadcast + ONE map-side-combined aggregate; NULL timestamps
@@ -570,11 +570,23 @@ def decayed_aggregates(
         raise ValueError(f"half_life must be > 0, got {half_life}")
     keys = list(by)
     axis, per_sec = _epoch_axis(df, ts_col, 1)
-    hl = F.lit(int(half_life * per_sec)).cast("long")
+    # float, not int(): a fractional half_life < 1 on a raw-numeric axis
+    # (per_sec=1) would truncate to 0 and yield silent NaN/Inf weights
+    hl = F.lit(float(half_life) * per_sec).cast("double")
 
     if at is not None:
         dtype = df.schema[ts_col].dataType
-        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(dtype, T.TimestampNTZType):
+            # derive the reference the same way _epoch_axis derives the
+            # axis — naive micros against the NTZ epoch.  to_timestamp
+            # would parse `at` as a session-timezone instant while the
+            # axis stays naive, silently scaling every weight by
+            # 0.5^(tz_offset / half_life) off UTC.
+            ref = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01"
+                f" 00:00:00', TIMESTAMP_NTZ '{at}')"
+            )
+        elif isinstance(dtype, T.TimestampType):
             ref = F.unix_micros(F.to_timestamp(F.lit(at)))
         else:
             ref = F.lit(int(at)).cast("long")
@@ -584,7 +596,7 @@ def decayed_aggregates(
         based = df.crossJoin(F.broadcast(mx))
         ref = F.col("__ref")
 
-    age = (ref - axis).cast("double") / hl.cast("double")
+    age = (ref - axis).cast("double") / hl
     w = F.when(axis.isNotNull(), F.pow(F.lit(0.5), age))
     term = w * F.col(value_col).cast("double")
     dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731

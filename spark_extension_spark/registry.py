@@ -5479,10 +5479,14 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe.bpe_pair_counts(docs)
 
 
-# the trainer's merge loop needs lookahead regex (Java), which RE2/DuckDB
-# lacks — rows-only gate; the algorithm itself is verified against a
-# pure-Python reference BPE in tests/test_text.py::TestBpe
-@register("bpe_train_documents")
+# full training loop replayed in SQL: unrolled per-merge CTEs with the
+# consuming-replace fixpoint standing in for Java's lookahead regex
+# (see bpe.bpe_train_sql); also verified against a pure-Python
+# reference BPE in tests/test_text.py::TestBpe
+_BPE_TRAIN_ORACLE = _bpe.bpe_train_sql("documents", n_merges=12)
+
+
+@register("bpe_train_documents", _BPE_TRAIN_ORACLE)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return _bpe.bpe_train(docs, n_merges=12)

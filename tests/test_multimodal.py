@@ -4,11 +4,21 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_extension_spark.operators.multimodal import (
+    _optional_pil,
+    _optional_soundfile,
     decode_images,
     make_fake_image_blob,
     sample_frame_indices,
     with_blob_metadata,
 )
+
+
+def _has_pil() -> bool:
+    return _optional_pil() is not None
+
+
+def _has_soundfile() -> bool:
+    return _optional_soundfile() is not None
 
 
 @pytest.fixture(scope="module")
@@ -48,6 +58,7 @@ def test_decode_images(blobs):
     assert rows[1]["payload_bytes"] == len("payload one")
 
 
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: real images decode")
 def test_decode_images_unsupported_format(spark):
     df = spark.createDataFrame([(1, bytearray(b"\x89PNGxxxx"))], "doc_id long, blob binary")
     with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
@@ -122,6 +133,7 @@ def test_sample_frames_fan_out(spark):
     assert 3 not in by_doc
 
 
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: real images decode")
 def test_multimodal_stubs_reject_real_formats(spark):
     import pytest as _pytest
     from spark_extension_spark.operators.multimodal import resize_images, sample_frames
@@ -131,6 +143,65 @@ def test_multimodal_stubs_reject_real_formats(spark):
         resize_images(png, 8, 8).collect()
     with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
         sample_frames(png).collect()
+
+
+class TestRealCodecs:
+    """Real-codec paths, exercised only when the optional library is
+    installed (skip-if-absent): the FAKE-container oracle paths above
+    run either way and are unaffected."""
+
+    @pytest.mark.skipif(not _has_pil(), reason="PIL not installed")
+    def test_real_png_decode_resize_ahash(self, spark):
+        import io
+
+        from PIL import Image
+
+        from spark_extension_spark.operators.multimodal import (
+            image_ahash,
+            resize_images,
+        )
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 16), (200, 10, 10)).save(buf, format="PNG")
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "doc_id long, blob binary"
+        )
+        dec = decode_images(df).collect()[0]
+        assert (dec["width"], dec["height"]) == (32, 16)
+        assert dec["payload_bytes"] == len(buf.getvalue())
+
+        rs = resize_images(df, 8, 8).collect()[0]
+        assert (rs["width"], rs["height"]) == (32, 16)
+        assert (rs["out_width"], rs["out_height"]) == (8, 4)
+        with Image.open(io.BytesIO(bytes(rs["blob"]))) as im:
+            assert (im.width, im.height) == (8, 4)
+
+        bands = image_ahash(df).collect()[0]["bands"]
+        assert len(bands) == 8 and all(0 <= b <= 255 for b in bands)
+        # uniform image: no cell mean strictly exceeds the global mean
+        assert bands == [0] * 8
+
+    @pytest.mark.skipif(not _has_soundfile(), reason="soundfile not installed")
+    def test_real_wav_stats(self, spark):
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        from spark_extension_spark.operators.multimodal import audio_stats
+
+        samples = np.array([0, 1000, -2000, 500], dtype=np.int16)
+        buf = io.BytesIO()
+        sf.write(buf, samples, 8000, format="WAV", subtype="PCM_16")
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "doc_id long, blob binary"
+        )
+        row = audio_stats(df).collect()[0]
+        assert row["sample_rate"] == 8000
+        assert row["n_samples"] == 4
+        assert row["duration_ms"] == 4 * 1000 // 8000
+        assert row["energy"] == int((samples.astype(np.int64) ** 2).sum())
+        assert row["peak"] == 2000
 
 
 class TestImageAHash:
@@ -209,8 +280,30 @@ class TestImageAHash:
         df = spark.createDataFrame([(1, bytearray(b"PNG-not-fake"))], ["doc_id", "blob"])
         with _pytest.raises(ValueError):
             ahash_near_dup_pairs(df, max_distance=8)
-        with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
-            image_ahash(df).collect()
+        if not _has_pil():  # with PIL the failure is PIL's, not the stub's
+            with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
+                image_ahash(df).collect()
+
+    def test_unpersist_handle_releases_signature_cache(self, spark):
+        from spark_extension_spark.operators.multimodal import (
+            ahash_near_dup_pairs,
+            make_fake_image_blob,
+        )
+        from spark_extension_spark.utils import UnpersistHandle
+
+        df = spark.createDataFrame(
+            [(0, "abcabc"), (1, "abcabc")], ["doc_id", "text"]
+        ).select(
+            "doc_id",
+            make_fake_image_blob(F.col("text"), F.lit(4), F.lit(4)).alias("blob"),
+        )
+        before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        handle = UnpersistHandle()
+        pairs = ahash_near_dup_pairs(df, unpersist_handle=handle)
+        assert pairs.count() >= 1
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) > before
+        handle()
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == before
 
 
 class TestAudioStats:
@@ -238,6 +331,9 @@ class TestAudioStats:
             assert got[i]["energy"] == sum(x * x for x in b)
             assert got[i]["peak"] == (max(b) if b else 0)
 
+    @pytest.mark.skipif(
+        _has_soundfile(), reason="soundfile installed: real audio decodes"
+    )
     def test_non_fake_raises(self, spark):
         import pytest as _pytest
 

@@ -366,3 +366,35 @@ class TestDecayedAggregates:
         assert row["decayed_sum"] == 5.0
         with _pytest.raises(ValueError):
             decayed_aggregates(df, "ts", "v", 0.0)
+
+    def test_ntz_explicit_reference_is_timezone_independent(self, spark):
+        """NTZ `at` must diff against the NTZ epoch like the axis does;
+        to_timestamp would parse it as a session-timezone instant and
+        scale every weight by 0.5^(tz_offset / half_life)."""
+        from spark_extension_spark.operators.timeseries import decayed_aggregates
+
+        df = spark.sql(
+            "SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts, 10.0 AS v"
+        )
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for zone in ("UTC", "America/New_York"):
+                spark.conf.set("spark.sql.session.timeZone", zone)
+                row = decayed_aggregates(
+                    df, "ts", "v", 86400.0, at="2024-01-02 00:00:00"
+                ).collect()[0]
+                assert row["decayed_count"] == 0.5, zone
+                assert row["decayed_sum"] == 5.0, zone
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+
+    def test_fractional_half_life_on_numeric_axis(self, spark):
+        """half_life < 1 in the axis unit must not truncate to 0 (NaN
+        weights); hl stays a float literal."""
+        from spark_extension_spark.operators.timeseries import decayed_aggregates
+
+        df = spark.createDataFrame([(0, 1.0), (1, 1.0)], ["t", "v"])
+        row = decayed_aggregates(df, "t", "v", 0.5, at=1).collect()[0]
+        # ages 1 and 0 against half-life 0.5 -> weights 0.25 and 1.0
+        assert abs(row["decayed_count"] - 1.25) < 1e-12
+        assert abs(row["decayed_sum"] - 1.25) < 1e-12
