@@ -23,10 +23,10 @@ Determinism: the winning pair is chosen by (count desc, left asc,
 right asc), so training is a pure function of the corpus.  The
 initial pair statistics (single-character symbols) replay exactly in
 SQL (:func:`bpe_pair_counts_sql`); the full training loop replays via
-unrolled per-merge CTEs (:func:`bpe_train_sql`) using the
-consuming-``replace`` fixpoint to stand in for the lookahead regex
-RE2 (DuckDB) lacks, and is additionally verified against a
-pure-Python reference implementation in the test suite.
+unrolled per-merge CTEs (:func:`bpe_train_sql`) using a double-space
+symbol encoding so plain ``replace`` reproduces the lookahead-regex
+merge semantics RE2 (DuckDB) lacks, and is additionally verified
+against a pure-Python reference implementation in the test suite.
 """
 
 from __future__ import annotations
@@ -192,7 +192,6 @@ def bpe_train_sql(
     n_merges: int = 12,
     text_expr: str = "text",
     min_pair_count: int = 2,
-    passes: int = 6,
 ) -> str:
     """DuckDB query replaying :func:`bpe_train` exactly — the full
     training loop unrolled into per-merge CTEs, so the trainer gets a
@@ -202,12 +201,13 @@ def bpe_train_sql(
     counts over the symbolized vocabulary ``v{k}``), ``w{k}`` (the
     deterministic argmax — ``ORDER BY cnt DESC, sym_a, sym_b LIMIT
     1`` above ``min_pair_count``), and ``v{k+1}`` (the vocabulary with
-    the winning pair merged).  The merge rewrite uses the same
-    consuming-``replace`` fixpoint as :func:`bpe_segment_sql`: the
-    space-consuming form iterated ``passes`` times converges to the
-    identical leftmost-greedy normal form the Java lookahead regex
-    produces in one pass (merging a pair never creates an earlier
-    occurrence of itself), so every round's pair statistics — and
+    the winning pair merged).  The merge rewrite uses the
+    double-space encoding (see :func:`bpe_segment_sql`): symbols are
+    joined by TWO spaces, so one plain ``replace(s, ' a  b ', ' ab ')``
+    per merge consumes only the inner half of each boundary and leaves
+    the outer spaces for adjacent matches — exact leftmost
+    non-overlapping (Java-lookahead) semantics in a single pass, runs
+    of chained pairs included.  Every round's pair statistics — and
     therefore every argmax — replays bit-for-bit.
 
     Early stop parity: when no pair reaches ``min_pair_count`` the
@@ -216,8 +216,8 @@ def bpe_train_sql(
     too, so ranks stay consecutive on both sides.
 
     Vocabulary CTEs are ``MATERIALIZED``: each ``v{k}`` feeds both
-    ``p{k}`` and ``v{k+1}``, and inlining would double the replace
-    expression tree per round (2^n blowup).
+    ``p{k}`` and ``v{k+1}`` — inlining would re-evaluate the chain per
+    reference.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -232,7 +232,7 @@ def bpe_train_sql(
   GROUP BY 1
 )""",
         """v0 AS MATERIALIZED (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS spaced, cnt
+  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS spaced, cnt
   FROM words
 )""",
     ]
@@ -240,7 +240,7 @@ def bpe_train_sql(
         ctes.append(
             f"""p{k} AS (
   SELECT s[i] AS sym_a, s[i + 1] AS sym_b, SUM(cnt) AS cnt
-  FROM (SELECT string_split(trim(spaced), ' ') AS s, cnt FROM v{k}),
+  FROM (SELECT string_split(trim(spaced), '  ') AS s, cnt FROM v{k}),
        UNNEST(generate_series(1, len(s) - 1)) AS u(i)
   GROUP BY 1, 2
 )"""
@@ -252,15 +252,12 @@ def bpe_train_sql(
   ORDER BY cnt DESC, sym_a, sym_b LIMIT 1
 )"""
         )
-        merged = "v.spaced"
-        for _ in range(int(passes)):
-            merged = (
-                f"replace({merged}, ' ' || w.sym_a || ' ' || w.sym_b || ' ',"
-                f" ' ' || w.sym_a || w.sym_b || ' ')"
-            )
         ctes.append(
             f"""v{k + 1} AS MATERIALIZED (
-  SELECT CASE WHEN w.sym_a IS NULL THEN v.spaced ELSE {merged} END AS spaced,
+  SELECT CASE WHEN w.sym_a IS NULL THEN v.spaced
+         ELSE replace(v.spaced,
+                      ' ' || w.sym_a || '  ' || w.sym_b || ' ',
+                      ' ' || w.sym_a || w.sym_b || ' ') END AS spaced,
          v.cnt
   FROM v{k} v LEFT JOIN w{k} w ON TRUE
 )"""
@@ -321,25 +318,27 @@ def bpe_segment_sql(
     text_expr: str = "text",
     id_expr: str = "doc_id",
     out: str = "tokens",
-    passes: int = 6,
 ) -> str:
     """DuckDB query computing :func:`bpe_segment` for a FIXED merge
-    list.  RE2 has no lookahead, so each merge's boundary-anchored
-    rewrite is realized as the plain (space-consuming) ``replace``
-    iterated ``passes`` times: the consuming form misses every second
-    space-adjacent occurrence per pass but converges to the same
-    leftmost-greedy normal form (merging a pair never creates an
-    earlier occurrence of that pair), and ``passes`` = 6 covers chains
-    up to 2^6 adjacent occurrences — far beyond any real word."""
-    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    list.  RE2 has no lookahead, so the boundary-anchored rewrite uses
+    the double-space encoding instead: symbols are joined by TWO
+    spaces (``'  x  y  '``) and each merge is one plain
+    ``replace(s, ' a  b ', ' ab ')``.  A match consumes only the inner
+    space of each boundary, leaving the outer space for the adjacent
+    match, so a run like ``x x x x`` merges ``(x1,x2),(x3,x4)`` in the
+    single pass — exactly Java's leftmost non-overlapping
+    ``' a b(?= )'`` semantics.  (The earlier single-space
+    consuming-``replace`` fixpoint was NOT equivalent: on chained
+    repeats it stabilized at ``xx x xx``, skipping every pair whose
+    leading space the previous match had consumed.)"""
+    expr = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
     for a, b in [(m[0], m[1]) if len(m) != 4 else (m[1], m[2]) for m in merges]:
-        for _ in range(int(passes)):
-            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return f"""
 SELECT {id_expr} AS doc_id,
        flatten(list_transform(
          regexp_extract_all(trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g')), '[a-z0-9]+'),
-         w -> string_split(trim({expr}), ' ')
+         w -> string_split(trim({expr}), '  ')
        )) AS {out}
 FROM {table}
 """

@@ -5480,7 +5480,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # full training loop replayed in SQL: unrolled per-merge CTEs with the
-# consuming-replace fixpoint standing in for Java's lookahead regex
+# double-space merge encoding standing in for Java's lookahead regex
 # (see bpe.bpe_train_sql); also verified against a pure-Python
 # reference BPE in tests/test_text.py::TestBpe
 _BPE_TRAIN_ORACLE = _bpe.bpe_train_sql("documents", n_merges=12)

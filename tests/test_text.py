@@ -501,3 +501,67 @@ class TestBpe:
         assert bpe_train(df, 5).count() == 0
         with _pytest.raises(ValueError):
             bpe_train(df, 0)
+
+    def test_train_sql_oracle_three_way_on_random_corpora(self, spark):
+        """bpe_train (Spark), bpe_train_sql (DuckDB), and the pure-Python
+        reference must agree merge-for-merge on adversarial corpora —
+        including chained-repeat words (the consuming-replace fixpoint's
+        hard case) and early-stop corpora."""
+        from collections import Counter
+
+        import duckdb
+        import pandas as pd
+
+        from spark_extension_spark.operators.bpe import bpe_train, bpe_train_sql
+
+        corpora = [
+            ["ababab ababab abab", "banana bandana banana"],
+            ["xxxxxxxx xxxx xx", "xyxyxyxy xyxy"],        # chained repeats
+            ["aaaa aaaa", "aaab aaab aaab", "ba ba"],
+            ["q w e r t y"],                                # early stop: no pair >= 2
+            ["the cat sat", "the bat sat", "the cat sat on the mat"],
+        ]
+        for corpus in corpora:
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+            )
+            got = [
+                (r["sym_a"], r["sym_b"])
+                for r in bpe_train(df, 6).orderBy("rank").collect()
+            ]
+            want = _ref_bpe_train(
+                Counter(w for t in corpus for w in t.split()), 6
+            )
+            assert got == want, corpus
+
+            con = duckdb.connect()
+            con.register(
+                "documents",
+                pd.DataFrame(
+                    {"doc_id": range(len(corpus)), "text": corpus}
+                ),
+            )
+            duck = [
+                (a, b)
+                for _rank, a, b, _m in sorted(
+                    con.execute(bpe_train_sql("documents", n_merges=6)).fetchall()
+                )
+            ]
+            assert duck == want, corpus
+
+            # the segmenter's SQL oracle must tokenize with the same
+            # leftmost-greedy merge semantics (chained repeats included)
+            if want:
+                from spark_extension_spark.operators.bpe import bpe_segment_sql
+
+                seg = {
+                    i: list(toks)
+                    for i, toks in con.execute(
+                        bpe_segment_sql("documents", want)
+                    ).fetchall()
+                }
+                for i, t in enumerate(corpus):
+                    ref = [
+                        tok for w in t.split() for tok in _ref_segment(w, want)
+                    ]
+                    assert seg[i] == ref, (corpus, i)
