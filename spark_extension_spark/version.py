@@ -17,6 +17,9 @@ __all__ = [
 
 
 def spark_version() -> Tuple[int, int, int]:
+    """Installed PySpark version as ``(major, minor, patch)`` ints —
+    build metadata (``+…``) and non-numeric suffixes stripped
+    (reference SparkVersion.scala:22-34)."""
     parts = (pyspark.__version__.split("+")[0].split(".") + ["0", "0"])[:3]
     nums = []
     for p in parts:
@@ -29,4 +32,6 @@ SPARK_MAJOR, SPARK_MINOR, SPARK_PATCH = spark_version()
 
 
 def spark_version_at_least(major: int, minor: int = 0, patch: int = 0) -> bool:
+    """True iff the installed PySpark is at or above the given version
+    (lexicographic on the ``(major, minor, patch)`` tuple)."""
     return spark_version() >= (major, minor, patch)
