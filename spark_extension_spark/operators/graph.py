@@ -48,6 +48,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 1,
+    unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: (``id``, ``rank``) after
     ``iterations`` synchronous power-iteration steps with uniform
@@ -79,6 +80,14 @@ def pagerank(
     base = nodes.join(deg, "id", "left").select(
         "id", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
     ).persist()
+    # the three caches (edges, node set, degree base) are read every
+    # iteration and outlive the returned DataFrame's consumption; pass
+    # an unpersist_handle and call it when done to release them (same
+    # contract as triangle_counts / label_propagation)
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(e)
+        unpersist_handle.add_dataframe(nodes)
+        unpersist_handle.add_dataframe(base)
     total = base.agg(F.count(F.lit(1)).cast("double").alias("__n"))
 
     ranks = base.crossJoin(F.broadcast(total)).select(

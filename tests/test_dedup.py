@@ -591,6 +591,21 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(df, damping=1.5)
 
 
+def test_pagerank_unpersist_handle_releases_caches(spark):
+    from spark_extension_spark.operators.graph import pagerank
+    from spark_extension_spark.utils import UnpersistHandle
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    handle = UnpersistHandle()
+    # iterations=1 so no localCheckpoint fires — checkpoint RDD blocks
+    # are ContextCleaner-owned and would show up as (GC-eventual) residue
+    assert pagerank(df, iterations=1, unpersist_handle=handle).count() == 3
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) > before
+    handle()
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == before
+
+
 def test_dedup_report_classifies_duplication(spark):
     from spark_extension_spark.operators.dedup import dedup_report
 
