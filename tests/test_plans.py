@@ -446,3 +446,61 @@ def test_bpe_segment_zero_shuffle_projection(spark):
 def test_label_propagation_no_cartesian_equi_joins(spark):
     plan = summarize_plan(QUERIES["label_propagation_lineitem"](spark, SF))
     assert not plan.has_cartesian
+
+
+def test_decayed_aggregates_scalar_broadcast_only(spark):
+    plan = summarize_plan(QUERIES["decayed_aggregates_events"](spark, SF))
+    # the only joins are 1-row scalar broadcasts (the max(ts) reference);
+    # the data side gets one map-side-combined aggregate exchange
+    assert all("BroadcastNestedLoopJoin" in j for j in plan.joins)
+    assert not plan.has_cartesian
+    assert plan.exchanges <= 2
+    assert plan.read_columns()[0] == ["ts", "event_type", "value"]
+
+
+def test_zscore_group_stats_broadcast_back(spark):
+    plan = summarize_plan(QUERIES["zscore_events"](spark, SF))
+    # per-group mean/stddev (group-cardinality-sized) must broadcast back
+    # onto the rows — a shuffle join here would re-shuffle the corpus
+    assert all("BroadcastHashJoin" in j for j in plan.joins)
+    assert not plan.has_cartesian
+    assert plan.exchanges <= 1
+
+
+def test_feature_hash_no_joins_single_exchange(spark):
+    plan = summarize_plan(QUERIES["feature_hash_events"](spark, SF))
+    # no-vocabulary featurizer: hashing is a projection; the only
+    # exchange is the (id, bucket) collision aggregate
+    assert plan.joins == [] and not plan.has_cartesian
+    assert plan.exchanges <= 1
+
+
+def test_transition_matrix_no_cartesian_broadcast_totals(spark):
+    plan = summarize_plan(QUERIES["transition_matrix_events"](spark, SF))
+    # pair counts come from a user-keyed window (never a self-join);
+    # normalizing totals (|event types|^2 rows) broadcast back
+    assert all("Broadcast" in j for j in plan.joins)
+    assert not plan.has_cartesian
+
+
+def test_k_core_all_equi_joins_no_cartesian(spark):
+    plan = summarize_plan(QUERIES["k_core_lineitem"](spark, SF))
+    # every peeling pass is degree-aggregate + two semi equi-joins; a
+    # cartesian anywhere would be quadratic in the edge list
+    assert not plan.has_cartesian
+    assert all("SortMergeJoin" in j or "HashJoin" in j for j in plan.joins)
+
+
+def test_weighted_quantiles_no_join_beyond_scalar_broadcast(spark):
+    plan = summarize_plan(QUERIES["weighted_quantiles_documents"](spark, SF))
+    # rank-window formulation: no per-group materialization, no row-level
+    # join — only 1-row scalar broadcasts
+    assert all("BroadcastNestedLoopJoin" in j for j in plan.joins)
+    assert not plan.has_cartesian
+
+
+def test_audio_stats_zero_shuffle_scan_kernel(spark):
+    plan = summarize_plan(QUERIES["audio_stats_documents"](spark, SF))
+    # decode kernel is a pure mapInPandas over the scan: no joins, no
+    # exchanges, and the scan reads only the id + blob-source columns
+    assert plan.joins == [] and plan.exchanges == 0
