@@ -36,6 +36,7 @@ from typing import List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import LocalCheckpointCycler
 from .text import normalize_text
 
 __all__ = [
@@ -159,6 +160,11 @@ def bpe_train(
 
     merges: List[Tuple[int, str, str, str]] = []
     current = vocab
+    # lag-1 cycling: each merge rewrites only the previous vocabulary,
+    # and the result is the driver-side merge list, so the final
+    # generation is releasable too — the loop leaves no checkpoint
+    # storage behind
+    cycler = LocalCheckpointCycler(spark, lag=1)
     try:
         for k in range(int(n_merges)):
             top = (
@@ -179,9 +185,10 @@ def bpe_train(
                 "cnt",
             )
             if checkpoint_every and (k + 1) % int(checkpoint_every) == 0:
-                current = current.localCheckpoint(eager=True)
+                current = cycler.checkpoint(current)
     finally:
         vocab.unpersist()
+        cycler.release()
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string"
     )

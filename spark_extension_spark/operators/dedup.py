@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import UnpersistHandle
+from ..utils import LocalCheckpointCycler, UnpersistHandle
 from .similarity import _cap_buckets
 from .text import fingerprint, normalize_text
 
@@ -165,7 +165,7 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(df, id_col, text_col, n).persist()
     if unpersist_handle is not None:
-        unpersist_handle.set_dataframe(sh)
+        unpersist_handle.add_dataframe(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     postings = sh
@@ -225,7 +225,7 @@ def ngram_containment_pairs(
     """
     sh = shingles(df, id_col, text_col, n).persist()
     if unpersist_handle is not None:
-        unpersist_handle.set_dataframe(sh)
+        unpersist_handle.add_dataframe(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     postings = sh
@@ -318,7 +318,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
     if unpersist_handle is not None:
-        unpersist_handle.set_dataframe(sig)
+        unpersist_handle.add_dataframe(sig)
 
     band_cols = [
         F.md5(F.concat_ws("_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
@@ -517,7 +517,8 @@ def simhash(
 
 
 def _cc_label_propagation(
-    sym: DataFrame, max_iterations: int, check_every: int
+    sym: DataFrame, max_iterations: int, check_every: int,
+    cycler: Optional[LocalCheckpointCycler] = None,
 ) -> DataFrame:
     """Min-label propagation over persisted symmetric edges ``sym``
     (columns ``src``, ``dst``).  Labels are monotone non-increasing, so
@@ -528,12 +529,18 @@ def _cc_label_propagation(
     reference the previous state 2× per step, so without lineage
     truncation the logical plan grows as 2^steps and driver-side plan
     analysis OOMs long before the data does.  (``persist`` caches data
-    but keeps the full lineage — it does NOT prevent this.)"""
-    labels = (
+    but keeps the full lineage — it does NOT prevent this.)  The
+    ``cycler`` frees each superseded checkpoint generation as the next
+    one lands (each batch reads only the previous labels, so lag 1),
+    keeping live checkpoint storage at one generation instead of
+    one-per-round."""
+    ck = cycler.checkpoint if cycler is not None else (
+        lambda df: df.localCheckpoint(eager=True)
+    )
+    labels = ck(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     steps_done = 0
     while steps_done < max_iterations:
@@ -558,7 +565,7 @@ def _cc_label_propagation(
                     "__old",
                 )
             )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = ck(stepped)
         changed = stepped.where(F.col("label") < F.col("__old")).count()
         labels = stepped
         steps_done += batch
@@ -571,7 +578,10 @@ def _cc_label_propagation(
     )
 
 
-def _cc_star(sym: DataFrame, max_iterations: int) -> DataFrame:
+def _cc_star(
+    sym: DataFrame, max_iterations: int,
+    cycler: Optional[LocalCheckpointCycler] = None,
+) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond").  Converges in
     O(log^2 n) rounds on ANY graph — the escape hatch for adversarial
@@ -585,15 +595,22 @@ def _cc_star(sym: DataFrame, max_iterations: int) -> DataFrame:
     as 4^rounds and plan analysis OOMs the driver (``persist`` does not
     truncate lineage).
     """
+    # lag 3: checkpoints land as w0, lg1, s1, lg2, s2, …, and the
+    # convergence delta after ck(s_r) still joins s_r against the
+    # previous round's work set s_{r-1} — two generations back at that
+    # moment — so the newest THREE generations must stay live; freeing
+    # at lag 3 only ever drops lg_{r-1} / s_{r-2}, both dead by then
+    ck = cycler.checkpoint if cycler is not None else (
+        lambda df: df.localCheckpoint(eager=True)
+    )
     # high→low orientation; drop self-loops
-    work = (
+    work = ck(
         sym.where(F.col("src") != F.col("dst"))
         .select(
             F.greatest("src", "dst").alias("u"),
             F.least("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
     for _ in range(max_iterations):
@@ -613,19 +630,14 @@ def _cc_star(sym: DataFrame, max_iterations: int) -> DataFrame:
         )
         # -- small-star on the large-star output (still high→low):
         #    connect all ≤ neighbours (and self) of n to the minimum
-        lg = (
-            large.where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        lg = ck(large.where(F.col("u") != F.col("v")).distinct())
         smins = lg.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small = ck(
             lg.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # converged when the edge set is stable (star edges fixed)
         delta = (
@@ -684,17 +696,24 @@ def connected_components(
     The returned labels are persisted (already materialized — reading
     them costs nothing); pass an ``unpersist_handle`` to release that
     cache when done, as with the other persisting dedup operators.
+    Per-round ``localCheckpoint`` generations are freed as they are
+    superseded (:class:`~spark_extension_spark.utils.
+    LocalCheckpointCycler`), and the final generation is freed once the
+    result is persisted — the loop leaves no checkpoint storage behind.
     """
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     fwd.count()  # force: upstream pair pipelines are expensive; run once
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    spark = edges.sparkSession
     try:
         if algorithm == "star":
-            out = _cc_star(sym, max_iterations)
+            cycler = LocalCheckpointCycler(spark, lag=3)
+            out = _cc_star(sym, max_iterations, cycler)
         elif algorithm == "label":
-            out = _cc_label_propagation(sym, max_iterations, check_every)
+            cycler = LocalCheckpointCycler(spark, lag=1)
+            out = _cc_label_propagation(sym, max_iterations, check_every, cycler)
         else:
             raise ValueError(
                 f"unknown algorithm {algorithm!r}: expected 'label' or 'star'"
@@ -704,8 +723,11 @@ def connected_components(
         # edge pipeline with every cache already dropped
         out = out.persist()
         if unpersist_handle is not None:
-            unpersist_handle.set_dataframe(out)
+            unpersist_handle.add_dataframe(out)
         out.count()
+        # `out` now holds the labels itself; the last checkpoint
+        # generation backing its lineage is no longer needed
+        cycler.release()
         return out
     finally:
         fwd.unpersist()
@@ -831,7 +853,9 @@ def dedup_keep_best(
 
     Returns the surviving input rows plus ``cluster_id`` (smallest id
     in the component) and ``cluster_size``.  ``quality_col`` must be
-    non-null and ``id_col`` numeric.
+    non-null and ``id_col`` numeric.  Every frame persisted along the
+    way (shingle postings, cluster labels, the labeled corpus)
+    registers on ``unpersist_handle`` — one call releases them all.
 
     Scale shape: the clustering is :func:`connected_components` (its
     scaling notes apply); everything after is one left join of the
@@ -846,10 +870,17 @@ def dedup_keep_best(
             max_shingle_freq=max_shingle_freq,
             unpersist_handle=unpersist_handle,
         ).select("id_a", "id_b")
-    clusters = near_dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    clusters = near_dup_clusters(
+        pairs, unpersist_handle=unpersist_handle
+    ).withColumnRenamed("doc_id", id_col)
+    # `labeled` feeds both the per-cluster max-struct aggregate and the
+    # final join below; without the persist the corpus→clusters shuffle
+    # join runs twice (clusters itself is already cached upstream).
     labeled = df.join(clusters, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
-    )
+    ).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.add_dataframe(labeled)
     best = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.max(
@@ -1200,7 +1231,7 @@ def prefix_jaccard_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = shingles(df, id_col, text_col, n).persist()
     if unpersist_handle is not None:
-        unpersist_handle.set_dataframe(sh)
+        unpersist_handle.add_dataframe(sh)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()

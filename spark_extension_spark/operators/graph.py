@@ -29,7 +29,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import UnpersistHandle
+from ..utils import LocalCheckpointCycler, UnpersistHandle
 
 __all__ = ["pagerank", "out_degrees", "undirected_edges", "degrees", "triangle_counts", "k_core", "label_propagation", "label_propagation_sql"]
 
@@ -94,6 +94,11 @@ def pagerank(
         "id", "out_deg", (F.lit(1.0) / F.col("__n")).alias("rank"), "__n"
     )
 
+    # superseded checkpoint generations are freed as the next one lands
+    # (each round reads only the previous ranks), so live checkpoint
+    # storage stays at one generation across any iteration count; the
+    # final generation backs the returned DataFrame and is left live
+    cycler = LocalCheckpointCycler(e.sparkSession, lag=1)
     for i in range(int(iterations)):
         contrib = (
             e.join(ranks.select("id", "out_deg", "rank"), e["src"] == F.col("id"))
@@ -124,7 +129,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = cycler.checkpoint(ranks)
 
     return ranks.select("id", "rank")
 
@@ -321,6 +326,9 @@ def k_core(
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     cur = undirected_edges(edges, src, dst)
+    # lag-1 cycling: each pass reads only the previous edge set, so the
+    # superseded checkpoint is freed as soon as the next one lands
+    cycler = LocalCheckpointCycler(edges.sparkSession, lag=1)
     for r in range(int(rounds)):
         deg = degrees_from_canonical(cur)
         keep = deg.where(F.col("degree") >= int(k)).select("id")
@@ -329,7 +337,7 @@ def k_core(
             .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
         )
         if checkpoint_every and (r + 1) % int(checkpoint_every) == 0 and r + 1 < rounds:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cycler.checkpoint(cur)
     return degrees_from_canonical(cur).where(F.col("degree") >= int(k))
 
 
@@ -420,6 +428,8 @@ def label_propagation(
     )
 
     w = Window.partitionBy("id").orderBy(F.col("__c").desc(), F.col("label").asc())
+    # lag-1 cycling (each round votes from the previous labels only)
+    cycler = LocalCheckpointCycler(edges.sparkSession, lag=1)
     for i in range(int(iterations)):
         votes = (
             both.join(labels.withColumnRenamed("id", "u"), "u")
@@ -433,7 +443,7 @@ def label_propagation(
             .select("id", "label")
         )
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
-            labels = labels.localCheckpoint(eager=True)
+            labels = cycler.checkpoint(labels)
 
     return labels
 

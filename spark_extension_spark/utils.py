@@ -159,6 +159,72 @@ class NoopUnpersistHandle(UnpersistHandle):
         pass
 
 
+class LocalCheckpointCycler:
+    """Frees superseded ``localCheckpoint`` generations inside iterative
+    driver loops (connected components, PageRank, k-core, LPA, …).
+
+    ``localCheckpoint(eager=True)`` truncates lineage by caching the
+    step's internal RDD, but that cache is owned by the RDD, not the
+    DataFrame: ``df.unpersist()`` does not release it, and an
+    ``UnpersistHandle`` cannot either.  Left alone, an R-round loop
+    accumulates R generations of checkpointed state until the
+    ContextCleaner garbage-collects the driver-side references — at
+    cluster scale that is R × |state| of executor storage held for no
+    reason.  This cycler tracks the persistent-RDD ids each checkpoint
+    creates and unpersists generation N-1 as soon as generation N is
+    materialized, so live checkpoint storage stays O(1) generations.
+
+    Freeing a locally-checkpointed RDD makes it unrecomputable (its
+    lineage is gone), so only *superseded* generations are ever freed:
+    ``checkpoint()`` frees the previous generation after the new one is
+    eagerly materialized, and ``release()`` frees the final generation —
+    call it only once every consumer of the last checkpoint has
+    materialized (e.g. after persisting and forcing the loop's result).
+
+    Id tracking diffs ``JavaSparkContext.getPersistentRDDs`` around the
+    checkpoint call, which assumes the driver is not concurrently
+    persisting RDDs on another thread during the loop — true for every
+    operator here (single-threaded driver iteration).
+    """
+
+    def __init__(self, spark: SparkSession, lag: int = 1) -> None:
+        """``lag`` = how many checkpoint generations stay live: 1 frees
+        N-1 at N (state feeds only the next step); 2 frees N-2 at N (for
+        loops like star-contraction whose convergence check still reads
+        the generation *before* the one just written)."""
+        if lag < 1:
+            raise ValueError(f"lag must be >= 1, got {lag}")
+        self._jsc = spark.sparkContext._jsc
+        self._live: list = []  # oldest first, at most `lag` generations
+        self._lag = int(lag)
+
+    def _persistent_ids(self) -> set:
+        return {int(k) for k in self._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(self, ids: set) -> None:
+        jmap = self._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        """Eagerly localCheckpoint ``df``, then free the generation that
+        fell out of the ``lag`` window."""
+        before = self._persistent_ids()
+        ck = df.localCheckpoint(eager=True)
+        self._live.append(self._persistent_ids() - before)
+        if len(self._live) > self._lag:
+            self._free(self._live.pop(0))
+        return ck
+
+    def release(self) -> None:
+        """Free every still-live generation (see class docstring for when)."""
+        for gen in self._live:
+            self._free(gen)
+        self._live = []
+
+
 _NUMERIC_RANK = {
     "tinyint": 0,
     "smallint": 1,

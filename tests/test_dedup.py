@@ -378,6 +378,39 @@ def test_dedup_keep_best(spark):
     assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
 
 
+def test_keep_best_and_splits_unpersist_handle(spark, docs):
+    # one plain handle threaded through the COMPOSED pipelines must
+    # collect every internal cache (shingles, CC labels, labeled corpus)
+    # without tripping set_dataframe's single-shot guard, and a single
+    # call must return storage to baseline
+    from spark_extension_spark.operators.dedup import (
+        dedup_keep_best,
+        leakage_safe_splits,
+    )
+    from spark_extension_spark.utils import UnpersistHandle
+
+    def cached_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    scored = docs.withColumn("quality", F.length("text").cast("double"))
+    # set-based, not count-based: earlier tests' leftovers may be GC'd
+    # concurrently, so assert only that NOTHING NEW survives the release
+    before = cached_ids()
+
+    h = UnpersistHandle()
+    dedup_keep_best(scored, "quality", threshold=0.5, unpersist_handle=h).collect()
+    assert cached_ids() - before  # pipeline did cache something
+    h(blocking=True)
+    assert cached_ids() <= before
+
+    h2 = UnpersistHandle()
+    leakage_safe_splits(
+        docs, {"train": 0.8, "test": 0.2}, threshold=0.5, unpersist_handle=h2
+    ).collect()
+    h2(blocking=True)
+    assert cached_ids() <= before
+
+
 def test_dedup_keep_best_self_computed_pairs(spark, docs):
     from spark_extension_spark.operators.dedup import dedup_keep_best
 

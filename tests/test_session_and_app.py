@@ -185,3 +185,44 @@ def test_diff_app_hive_tables(spark):
     finally:
         for t in ("app_left", "app_right", "app_out"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_local_checkpoint_cycler(spark):
+    from pyspark.sql import functions as F
+
+    from spark_extension_spark.utils import LocalCheckpointCycler
+
+    def cached_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    cyc = LocalCheckpointCycler(spark, lag=1)
+    cur = spark.range(100).withColumn("x", F.col("id"))
+    for _ in range(4):
+        cur = cyc.checkpoint(cur.withColumn("x", F.col("x") + 1))
+        # only ONE generation live at any point in the loop
+        assert len(cached_ids() - before) <= 2  # ≤ blocks of one generation
+    # the surviving generation still reads correctly
+    assert cur.agg(F.sum("x")).first()[0] == 100 * 4 + sum(range(100))
+    cyc.release()
+    assert cached_ids() <= before
+
+
+def test_local_checkpoint_cycler_lag_window(spark):
+    from pyspark.sql import functions as F
+
+    from spark_extension_spark.utils import LocalCheckpointCycler
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        LocalCheckpointCycler(spark, lag=0)
+
+    cyc = LocalCheckpointCycler(spark, lag=3)
+    gens = []
+    for i in range(5):
+        gens.append(cyc.checkpoint(spark.range(10).withColumn("g", F.lit(i))))
+    # the newest three generations must all still be readable (lag=3)
+    for g in gens[-3:]:
+        assert g.count() == 10
+    cyc.release()
