@@ -22,6 +22,7 @@ __all__ = [
     "UnpersistHandle",
     "SilentUnpersistHandle",
     "NoopUnpersistHandle",
+    "LocalCheckpointCycler",
     "safe_union",
 ]
 
@@ -189,9 +190,10 @@ class LocalCheckpointCycler:
 
     def __init__(self, spark: SparkSession, lag: int = 1) -> None:
         """``lag`` = how many checkpoint generations stay live: 1 frees
-        N-1 at N (state feeds only the next step); 2 frees N-2 at N (for
-        loops like star-contraction whose convergence check still reads
-        the generation *before* the one just written)."""
+        N-1 at N (state feeds only the next step); larger windows suit
+        loops that still read older generations after writing a new one
+        (star-contraction's convergence delta needs lag 3 — see
+        ``_cc_star``)."""
         if lag < 1:
             raise ValueError(f"lag must be >= 1, got {lag}")
         self._jsc = spark.sparkContext._jsc
