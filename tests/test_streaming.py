@@ -379,3 +379,57 @@ def test_streaming_asof_enrich(spark, tmp_path, tmp_path_factory):
     )
     q.awaitTermination(120)
     assert got == {1: "q90", 2: "q200", 3: None}  # nearest quote at-or-before
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Offset + state-store recovery: a second availableNow run on the
+    same checkpoint must (a) process only newly-arrived files and
+    (b) still drop a duplicate of a row seen by the FIRST run — the
+    dedup hash state lives in the checkpointed state store, not the
+    process."""
+    import os
+
+    from spark_extension_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def arrive(batch, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.parquet(f"{src}/b{batch}", mode="overwrite")
+        # file source discovers files under the input path glob
+        for f in os.listdir(f"{src}/b{batch}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/b{batch}/{f}", f"{src}/{f}")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .parquet(src)
+        )
+        q = (
+            streaming_exact_dedup(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    arrive(1, [(1, "hello world", T0),
+               (2, "unique alpha", T0 + datetime.timedelta(seconds=10))])
+    run_once()
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    # doc 3 duplicates doc 1 (seen only by the previous run); doc 4 is new
+    arrive(2, [(3, "hello  world!", T0 + datetime.timedelta(seconds=60)),
+               (4, "unique beta", T0 + datetime.timedelta(seconds=70))])
+    run_once()
+    second = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert second == {1, 2, 4}  # 3 dropped by recovered state
