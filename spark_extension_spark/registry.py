@@ -4367,11 +4367,18 @@ s AS (
   FROM d GROUP BY event_type
 ),
 f AS (
+  -- decimal->double via VARCHAR: DuckDB's direct cast divides the
+  -- int128 mantissa (two roundings, last-ulp off Spark's correctly-
+  -- rounded BigDecimal cast); string->double is correctly rounded and
+  -- bit-matches Spark, so the cancellation-prone arithmetic below
+  -- starts from identical doubles in both engines.
   SELECT event_type, n,
          CAST(n AS DOUBLE) AS nd,
-         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
-         CAST(sxy AS DOUBLE) AS sxyd
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
   FROM s
 )
 SELECT event_type, n,
@@ -4417,10 +4424,17 @@ def _corr_oracle() -> str:
     )
     conds = " AND ".join(f"{c} IS NOT NULL" for c in cols)
     selects = []
+
+    # decimal->double via VARCHAR: bit-matches Spark's correctly-rounded
+    # cast (DuckDB's direct cast is last-ulp off, which the n·Σxx − Σx²
+    # cancellation amplifies ~1e3×)
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS VARCHAR) AS DOUBLE)"
+
     for i, (a, b) in enumerate(pairs):
-        da = f"(nd * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-        db = f"(nd * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-        num = f"(nd * CAST(sp_{i} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        da = f"(nd * {d(f'ss_{a}')} - {d(f's_{a}')} * {d(f's_{a}')})"
+        db = f"(nd * {d(f'ss_{b}')} - {d(f's_{b}')} * {d(f's_{b}')})"
+        num = f"(nd * {d(f'sp_{i}')} - {d(f's_{a}')} * {d(f's_{b}')})"
         selects.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
             f" CASE WHEN {da} > 0 AND {db} > 0"
@@ -4911,10 +4925,14 @@ WITH s AS (
   FROM events
 ),
 f AS (
+  -- decimal->double via VARCHAR: bit-matches Spark's correctly-rounded
+  -- cast (DuckDB's direct int128 cast is last-ulp off)
   SELECT na, nb,
          CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
-         CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
-         CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd
+         CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad,
+         CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sbd,
+         CAST(CAST(ssa AS VARCHAR) AS DOUBLE) AS ssad,
+         CAST(CAST(ssb AS VARCHAR) AS DOUBLE) AS ssbd
   FROM s
 ),
 g AS (
@@ -5581,8 +5599,8 @@ _ZSCORE_ORACLE = """
 WITH stats AS (
   SELECT event_type AS k,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s,
-         CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS ss
+         CAST(CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS ss
   FROM events WHERE value IS NOT NULL GROUP BY 1
 )
 SELECT e.event_id, e.event_type,
