@@ -159,11 +159,18 @@ def importance_model(
         F.sum("__cs").cast("double").alias("__ts"),
     )
     kB = float(k) * float(buckets)
+    # logratio quantized to 9 decimals: ln() differs between math
+    # libraries at the last ulp, and the per-doc weighted sum amplifies
+    # that into score drift across engines/platforms.  1e-9 on a
+    # log-odds score is far below any selection-relevant resolution,
+    # and snapping to the grid makes scores reproducible bit-for-bit
+    # everywhere (the SQL mirror rounds identically).
     return dense.crossJoin(F.broadcast(totals)).select(
         "bucket",
-        (
+        F.round(
             F.log((F.col("__ct") + F.lit(float(k))) / (F.col("__tt") + F.lit(kB)))
-            - F.log((F.col("__cs") + F.lit(float(k))) / (F.col("__ts") + F.lit(kB)))
+            - F.log((F.col("__cs") + F.lit(float(k))) / (F.col("__ts") + F.lit(kB))),
+            9,
         ).alias("logratio"),
     )
 
@@ -235,7 +242,13 @@ def select_by_importance(
     # u in [0,1); ln(-ln(u)) is finite except u=0 (md5 exact-zero:
     # probability 2^-32 per seed — guarded to the draw's resolution)
     safe_u = F.greatest(u, F.lit(2.0 ** -33))
-    key = _col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(safe_u))
+    # quantized to 9 decimals like the model's logratio: ln() is
+    # library-dependent at the last ulp, and a snapped key makes the
+    # selection (and the diagnostic column) reproducible bit-for-bit
+    # across engines; ties introduced at 1e-9 are broken by id
+    key = F.round(
+        _col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(safe_u)), 9
+    )
     keyed = weights.withColumn("gumbel_key", key)
     w = Window.orderBy(F.col("gumbel_key").desc(), _col(id_col).asc())
     return (
@@ -311,8 +324,8 @@ dense AS (
 tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cs) AS DOUBLE) AS ts FROM dense),
 model AS (
   SELECT bucket,
-         ln((ct + {float(k)!r}) / (tt + {kB!r}))
-           - ln((cs + {float(k)!r}) / (ts + {kB!r})) AS logratio
+         round(ln((ct + {float(k)!r}) / (tt + {kB!r}))
+           - ln((cs + {float(k)!r}) / (ts + {kB!r})), 9) AS logratio
   FROM dense CROSS JOIN tot
 )
 """

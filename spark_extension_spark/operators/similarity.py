@@ -846,19 +846,24 @@ def group_centroids(
             F.sum((F.col("__m") * F.col("__m")).cast(dec)).cast("double")
         ).alias("centroid_norm"),
     )
-    zero = F.lit(0).cast(dec)
+    # Fold accumulator decimal(36,12) + term decimal(30,12) widens to
+    # decimal(37,12) — UNDER Spark's 38-precision cap, so scale-12
+    # addition stays exact and the cast back to the accumulator type is
+    # lossless.  (decimal(38,12) + decimal(38,12) would widen to
+    # precision 39, which the cap resolves by dropping to scale 11 —
+    # silently rounding every fold step to 1e-11.)  Unit terms |x| < 1
+    # summed over the dimension count fit decimal(36,12) with room.
+    acc_dec, term_dec = "decimal(36,12)", "decimal(30,12)"
+    zero = F.lit(0).cast(acc_dec)
     v = F.col(vec_col).cast("array<double>")
     member = df.join(F.broadcast(carr), list(by))
-    # cast the running sum back to the accumulator type: decimal(38,12) +
-    # decimal(38,12) widens to scale 11 under Spark's precision cap, and
-    # higher-order-function accumulators must keep their declared type.
-    # Adding scale-12 terms is exact at scale 12, so the cast is lossless.
-    add = lambda acc, x: (acc + x).cast(dec)  # noqa: E731
+    add = lambda acc, x: (acc + x).cast(acc_dec)  # noqa: E731
     dot = F.aggregate(
-        F.zip_with(v, F.col("centroid"), lambda a, b: (a * b).cast(dec)), zero, add
+        F.zip_with(v, F.col("centroid"), lambda a, b: (a * b).cast(term_dec)),
+        zero, add,
     ).cast("double")
     vv = F.aggregate(
-        F.transform(v, lambda a: (a * a).cast(dec)), zero, add
+        F.transform(v, lambda a: (a * a).cast(term_dec)), zero, add
     ).cast("double")
     # zero vectors (or a zero centroid) have no defined cosine: emit null
     # and average over the defined ones only — not 0, which would bias

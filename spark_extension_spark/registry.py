@@ -3172,13 +3172,24 @@ WITH comp AS (
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
 ),
 sums AS (
-  SELECT label, dim, SUM(CAST(x AS DECIMAL(38,12))) AS s, COUNT(*) AS n
+  -- round() before the decimal cast: float32-origin components can be
+  -- exact scale-12 ties (x = odd/2^13, e.g. 0.1983642578125), where
+  -- DuckDB's CAST rounds half-even but Spark rounds HALF_UP; DuckDB
+  -- round() is half-away-from-zero, matching Spark.
+  SELECT label, dim, SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS s,
+         COUNT(*) AS n
   FROM comp GROUP BY 1, 2
 ),
-cent AS (SELECT label, dim, CAST(s AS DOUBLE) / n AS m, n FROM sums),
+-- decimal->double via VARCHAR throughout: bit-matches Spark's
+-- correctly-rounded cast; the ulp-off direct cast shifted m, flipping
+-- CAST(x*m AS DECIMAL) rounding at quantization boundaries (~1e-9 on
+-- the cosine fields)
+cent AS (SELECT label, dim,
+                CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS m, n FROM sums),
 carr AS (
   SELECT label, list(m ORDER BY dim) AS centroid, MAX(n) AS n,
-         sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)) AS centroid_norm
+         sqrt(CAST(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS VARCHAR)
+              AS DOUBLE)) AS centroid_norm
   FROM cent GROUP BY label
 ),
 dots AS (
@@ -3190,15 +3201,19 @@ dots AS (
 ),
 cos AS (
   SELECT d.label,
-         CASE WHEN sqrt(CAST(vv AS DOUBLE)) * carr.centroid_norm > 0
-              THEN CAST(dot AS DOUBLE) / (sqrt(CAST(vv AS DOUBLE)) * carr.centroid_norm)
+         CASE WHEN sqrt(CAST(CAST(vv AS VARCHAR) AS DOUBLE))
+                   * carr.centroid_norm > 0
+              THEN CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+                   / (sqrt(CAST(CAST(vv AS VARCHAR) AS DOUBLE))
+                      * carr.centroid_norm)
          END AS cs
   FROM dots d JOIN carr USING (label)
 ),
 agg AS (
   SELECT label,
          CASE WHEN COUNT(cs) > 0
-              THEN CAST(SUM(CAST(cs AS DECIMAL(38,12))) AS DOUBLE) / COUNT(cs)
+              THEN CAST(CAST(SUM(CAST(cs AS DECIMAL(38,12))) AS VARCHAR)
+                   AS DOUBLE) / COUNT(cs)
          END AS avg_cosine,
          MIN(cs) AS min_cosine
   FROM cos GROUP BY label
@@ -3364,7 +3379,7 @@ per AS (
 wts AS (
   SELECT d.doc_id,
          CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
-         COALESCE(CAST(per.s AS DOUBLE), 0.0) AS logw
+         COALESCE(CAST(CAST(per.s AS VARCHAR) AS DOUBLE), 0.0) AS logw
   FROM documents d LEFT JOIN per USING (doc_id)
 )"""
 
@@ -3396,7 +3411,7 @@ from .operators.sampling import hash_uniform_sql as _hash_uniform_sql  # noqa: E
 _DSIR_SELECT_ORACLE = f"""WITH {_DSIR_WEIGHTS_BODY},
 keyed AS (
   SELECT doc_id, n_grams, logw,
-         logw - ln(-ln(greatest({_hash_uniform_sql("doc_id", 123)}, {2.0 ** -33!r}))) AS gumbel_key
+         round(logw - ln(-ln(greatest({_hash_uniform_sql("doc_id", 123)}, {2.0 ** -33!r}))), 9) AS gumbel_key
   FROM wts
 ),
 ranked AS (
@@ -3843,7 +3858,11 @@ WITH comp AS (
 per AS (
   SELECT vec_id,
          CAST(COUNT(*) AS BIGINT) AS d,
-         CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) AS ss,
+         -- round() first: x*x of a float32 x = odd/2^8 is an exact
+         -- scale-15 tie; DuckDB CAST is half-even, Spark is HALF_UP,
+         -- DuckDB round() is half-away (matches Spark)
+         CAST(CAST(SUM(CAST(round(x * x, 15) AS DECIMAL(38,15)))
+              AS VARCHAR) AS DOUBLE) AS ss,
          MAX(CASE WHEN isnan(x) OR abs(x) = CAST('infinity' AS DOUBLE) THEN 1 ELSE 0 END) AS bad
   FROM comp GROUP BY 1
 ),
@@ -3859,7 +3878,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        MAX(d) AS n_dims_max,
        CAST(SUM(CASE WHEN ss = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        CAST(SUM(COALESCE(bad, 0)) AS BIGINT) AS n_nonfinite,
-       CAST(SUM(CAST(sqrt(ss) AS DECIMAL(38,15))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(round(sqrt(ss), 15) AS DECIMAL(38,15))) AS VARCHAR) AS DOUBLE)
          / CAST(SUM(CASE WHEN ss IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS mean_norm,
        MIN(sqrt(ss)) AS min_norm,
        MAX(sqrt(ss)) AS max_norm
