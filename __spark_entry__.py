@@ -88,6 +88,38 @@ _PRIORITY = [
 ]
 
 
+# Round-6 rotation, prepared: after round 5's snapshot, these 54 are
+# the only queries never driver-hash-verified (not in the r02–r04
+# keyset, not in round 5's 50-query window).  Next round: replace
+# _PRIORITY with sentinels + this list.
+_NEVER_VERIFIED_AFTER_R5 = [
+    "zorder_events", "heavy_hitters_documents",
+    "dup_ngram_fraction_documents", "resample_mix_documents",
+    "semantic_dedup_embeddings", "doc_logprob_documents",
+    "cap_per_source_documents", "quality_rules_documents",
+    "dedup_against_documents", "near_dedup_against_documents",
+    "token_budget_documents", "mix_report_documents", "chunk_documents",
+    "top_per_group_documents", "project_embeddings", "kmv_distinct_events",
+    "hll_distinct_events", "cms_counts_documents", "bloom_prune_orders",
+    "rolling_events", "pivot_events", "winsorize_events",
+    "fuzzy_pairs_part", "quantize_embeddings", "sparse_cosine_documents",
+    "json_extract_events", "heavy_keys_events", "group_quantiles_events",
+    "hilbert_events", "kmv_overlap_orders_customer",
+    "weighted_sample_documents", "ngram_containment_documents",
+    "paragraph_dedup_documents", "interval_join_events", "profile_orders",
+    "approx_quantiles_events", "dedup_keep_best_documents",
+    "group_centroids_embeddings", "multimodal_resize_documents",
+    "multimodal_frames_documents", "vocab_coverage_documents",
+    "dsir_weights_documents", "dsir_select_documents",
+    "cluster_splits_documents", "length_batches_documents",
+    "winnow_fingerprints_documents", "interleave_mix_documents",
+    "repeat_upsample_documents", "check_constraints_orders",
+    "psi_report_events", "winnow_overlap_documents",
+    "zipf_report_documents", "dup_source_matrix_documents",
+    "embedding_stats_embeddings",
+]
+
+
 def _rotated(mapping: dict) -> dict:
     out = {k: mapping[k] for k in _PRIORITY if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)
