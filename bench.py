@@ -5,12 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop-format write so the full
 plan (scan -> shuffle -> project) executes without driver collection.
-Each query runs three times and the MEDIAN is reported: the first run
-folds JVM/codegen warmup into whichever query runs first, and single
-passes have shown ±2x jitter on untouched code across rounds (r3->r4
-adjudication cost — see VERDICT r4 "Bench noise floor").  The median
-of three discards the one cold/outlier pass while staying robust to a
-lucky fast run, which min-of-2 was not.
+Each query first runs once at sf0.001 (same plan shapes, ~1% of the
+rows) to absorb whole-stage-codegen compilation — the dominant noise
+source across rounds (r3->r4 adjudication cost — see VERDICT r4
+"Bench noise floor"; simhash's 64-sum aggregate costs ~9 s to compile
+vs 2.6 s steady-state).  It then runs three times at the bench SF and
+the MEDIAN is reported, which discards a residual outlier pass while
+staying robust to a lucky fast run, which min-of-2 was not.
 
 The one-line JSON uses short positional keys ("q1".."qN", in HEADLINE
 order) because the recording harness captures only the last ~2000
@@ -35,6 +36,12 @@ from pyspark.sql import SparkSession
 from spark_extension_spark.registry import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# codegen-warmup inputs (same plans, ~1% of the rows) — see the warmup
+# note in main(); falls back to SF_DIR if the small SF is absent
+WARM_DIR = os.environ.get(
+    "SPARK_GRAFT_WARM_DIR",
+    SF_DIR if not os.path.isdir("/root/testdata/sf0.001") else "/root/testdata/sf0.001",
+)
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Every registry/correctness-gate query gets a bench row, so a perf
@@ -220,6 +227,19 @@ def main() -> None:
     timings = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        # Warmup at the smallest SF before the timed runs: whole-stage
+        # codegen compiles per plan shape, and that one-time cost (up to
+        # ~9 s for the widest aggregates, e.g. simhash's 64 conditional
+        # sums) otherwise lands in whichever timed run executes the
+        # plan first — the dominant noise source in r3/r4 adjudication
+        # (median-of-3 still let 2-slow-of-3 through).  The sf0.001 run
+        # builds the same generated code at ~1% of the data cost, so
+        # the timed runs below are steady-state.
+        try:
+            fn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+        except Exception:
+            pass  # warmup is best-effort; timing still works cold
         runs = []
         for _ in range(3):
             start = time.perf_counter()
