@@ -156,11 +156,13 @@ def pagerank_sql(
         cur = f"r{i}"
         parts.append(
             f"""c{i} AS (
-  SELECT e.dst, CAST(SUM(CAST(r.rank / CAST(r.out_deg AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS cin
+  -- decimal->double via VARCHAR: DuckDB's direct cast is last-ulp off
+  -- Spark's correctly-rounded one, and the error compounds per round
+  SELECT e.dst, CAST(CAST(SUM(CAST(r.rank / CAST(r.out_deg AS DOUBLE) AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) AS cin
   FROM e JOIN {prev} r ON e.src = r.id GROUP BY e.dst
 ),
 g{i} AS (
-  SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,20))) AS DOUBLE), 0.0) AS dang
+  SELECT COALESCE(CAST(CAST(SUM(CAST(rank AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE), 0.0) AS dang
   FROM {prev} WHERE out_deg = 0
 ),
 {cur} AS MATERIALIZED (

@@ -629,14 +629,20 @@ def test_pagerank_unpersist_handle_releases_caches(spark):
     from spark_extension_spark.utils import UnpersistHandle
 
     df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
-    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    def cached_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    # set-based, not count-based: earlier tests' leftovers may be GC'd
+    # concurrently, so assert only that NOTHING NEW survives the release
+    before = cached_ids()
     handle = UnpersistHandle()
     # iterations=1 so no localCheckpoint fires — checkpoint RDD blocks
     # are ContextCleaner-owned and would show up as (GC-eventual) residue
     assert pagerank(df, iterations=1, unpersist_handle=handle).count() == 3
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) > before
+    assert cached_ids() - before
     handle()
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == before
+    assert not (cached_ids() - before)
 
 
 def test_dedup_report_classifies_duplication(spark):

@@ -297,13 +297,20 @@ class TestImageAHash:
             "doc_id",
             make_fake_image_blob(F.col("text"), F.lit(4), F.lit(4)).alias("blob"),
         )
-        before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        def cached_ids():
+            return {
+                i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            }
+
+        # set-based, not count-based: earlier tests' leftovers may be
+        # GC'd concurrently; assert only that nothing NEW survives
+        before = cached_ids()
         handle = UnpersistHandle()
         pairs = ahash_near_dup_pairs(df, unpersist_handle=handle)
         assert pairs.count() >= 1
-        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) > before
+        assert cached_ids() - before
         handle()
-        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == before
+        assert not (cached_ids() - before)
 
 
 class TestAudioStats:
