@@ -348,10 +348,11 @@ def q_sorted_groups_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # while the column-keyed gates cover lineitem
 _RUNNING_SUM_LAMBDA_ORACLE = """
 SELECT o_orderkey % 97 AS bucket, o_orderkey,
-       SUM(o_totalprice) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_orderkey % 97
          ORDER BY o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_price
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS VARCHAR) AS DOUBLE) AS run_price
 FROM orders
 """
 
@@ -363,10 +364,14 @@ def q_sorted_groups_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
 
     def running(key, rows):
-        total = 0.0
+        # integer-cent accumulator: prices are 2-decimal, so the running
+        # total is exact and order-stable, and cents/100.0 is the
+        # correctly-rounded double of the decimal total — bit-identical
+        # to the SQL window's DECIMAL(18,2) running sum
+        cents = 0
         for r in rows:
-            total += r["o_totalprice"]
-            yield (key, r["o_orderkey"], total)
+            cents += int(round(r["o_totalprice"] * 100))
+            yield (key, r["o_orderkey"], cents / 100.0)
 
     return group_by_key_sorted(
         orders,
@@ -1328,7 +1333,8 @@ _ROLLUP_ORACLE = """
 SELECT time_bucket(INTERVAL 1 HOUR, make_timestamp(epoch_us(ts))) AS bucket,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(value) AS total_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+         AS total_value,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY bucket, event_type
@@ -1345,7 +1351,10 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         3600,
         {
             "n_events": F.count(F.lit(1)),
-            "total_value": F.sum("value"),
+            # decimal sum: order-independent, bit-stable across
+            # partitionings and engines (values are 2-decimal currency)
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double"),
             "n_users": F.countDistinct("user_id"),
         },
         group_by=["event_type"],
