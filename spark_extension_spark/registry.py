@@ -388,7 +388,8 @@ def q_sorted_groups_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WRITE_READ_BACK_ORACLE = """
 SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
-       CAST(SUM(o_totalprice) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -407,7 +408,11 @@ def q_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("o_totalprice").alias("total"),
+        # decimal sum: a parallel double sum's last ulp depends on the
+        # partition fold order, so the hash would vary across sessions
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
     )
 
 
