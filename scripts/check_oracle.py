@@ -87,10 +87,17 @@ def main() -> int:
             )
             rc = rc or r.returncode
         return rc
+    # CHECK_CPUS / CHECK_PARTITIONS let a pre-round sweep run under an
+    # odd layout (e.g. 7/13): a query whose floats depend on the
+    # partial-aggregate fold order passes under one layout and fails
+    # under another — the driver's session partitions differently than
+    # this mirror, so layout-sensitivity IS a gate bug.
+    cpus = os.environ.get("SPARK_GRAFT_CHECK_CPUS", "8")
+    parts = os.environ.get("SPARK_GRAFT_CHECK_PARTITIONS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("check_oracle")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
