@@ -555,10 +555,18 @@ def char_entropy(
     Returns (id, ``n_chars``, ``entropy``); empty documents get
     ``n_chars = 0`` and NULL entropy (visible, not a fake 0).
 
+    Each ``p·ln p`` term is quantized to 10 decimals before the exact
+    decimal fold (same discipline as the DSIR logratio): ``ln`` differs
+    between libm builds at the last ulp, and the 1e-10 grid absorbs
+    that spread so the entropy is bit-reproducible across engines and
+    platforms.  The quantization perturbs the reported entropy by at
+    most ``5e-11 ·`` (distinct chars per doc) — far below the metric's
+    meaningful resolution.
+
     Scale shape: one char explode (rows = corpus character count — the
     same cost class as tokenization, one scan) into a map-side-combined
-    (doc, char) count, then a per-doc DECIMAL(38,15) aggregate of
-    ``p·ln p`` terms — order-independent, engine-reproducible."""
+    (doc, char) count, then a per-doc exact DECIMAL aggregate of the
+    quantized ``p·ln p`` terms — order-independent."""
     chars = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__c")
     ).where(F.col("__c") != "")
@@ -569,15 +577,18 @@ def char_entropy(
         .select(
             F.col(id_col),
             F.col("__n"),
-            (
+            F.round(
                 (F.col("__k").cast("double") / F.col("__n").cast("double"))
-                * F.log(F.col("__k").cast("double") / F.col("__n").cast("double"))
-            ).cast("decimal(38,15)").alias("__t"),
+                * F.log(F.col("__k").cast("double") / F.col("__n").cast("double")),
+                10,
+            ).cast("decimal(38,10)").alias("__t"),
         )
         .groupBy(id_col)
         .agg(
             F.max("__n").alias("n_chars"),
-            (-F.sum("__t").cast("double")).alias("entropy"),
+            # + 0.0 canonicalizes the all-one-char case: -(sum of 0
+            # terms) is IEEE -0.0, and -0.0 + 0.0 = +0.0
+            (-F.sum("__t").cast("double") + F.lit(0.0)).alias("entropy"),
         )
     )
     return (

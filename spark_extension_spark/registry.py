@@ -3232,9 +3232,15 @@ agg AS (
          MIN(cs) AS min_cosine
   FROM cos GROUP BY label
 )
-SELECT a.label, CAST(c.n AS BIGINT) AS n, c.centroid, c.centroid_norm,
-       a.avg_cosine, a.min_cosine
-FROM agg a JOIN carr c USING (label)
+-- the gate unrolls the centroid array to one row per (label, dim):
+-- the driver's canonicalizer sorts pandas values and list cells are
+-- unhashable; every component is still value-verified
+SELECT a.label, CAST(c.n AS BIGINT) AS n,
+       u.i - 1 AS dim, c.centroid[u.i] AS component,
+       c.centroid_norm, a.avg_cosine, a.min_cosine
+FROM agg a
+JOIN carr c USING (label),
+UNNEST(generate_series(1, len(c.centroid))) AS u(i)
 """
 
 
@@ -3243,7 +3249,15 @@ def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import group_centroids
 
     emb = load(spark, sf_dir, "embeddings")
-    return group_centroids(emb, "embedding", by=["label"])
+    cent = group_centroids(emb, "embedding", by=["label"])
+    return cent.select(
+        "label",
+        "n",
+        F.posexplode("centroid").alias("dim", "component"),
+        "centroid_norm",
+        "avg_cosine",
+        "min_cosine",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4217,10 +4231,14 @@ counts AS (
   FROM chars WHERE c <> '' GROUP BY 1, 2
 ),
 per AS (
+  -- each p*ln(p) term round()ed to 10 decimals before the exact
+  -- decimal fold (libm-ulp absorption, mirrors the operator), then
+  -- decimal->double via VARCHAR (bit-matches Spark's cast)
   SELECT doc_id,
          MAX(n) AS n_chars,
-         -CAST(SUM(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-               * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,15))) AS DOUBLE) AS entropy
+         -CAST(CAST(SUM(CAST(round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 10) AS DECIMAL(38,10)))
+               AS VARCHAR) AS DOUBLE) + 0.0 AS entropy
   FROM (SELECT doc_id, c, k, SUM(k) OVER (PARTITION BY doc_id) AS n FROM counts)
   GROUP BY doc_id
 )
@@ -5455,10 +5473,13 @@ packed AS (
   LEFT JOIN bands bd ON bd.doc_id = d.doc_id AND bd.band = r.range
 )"""
 
+# comma-joined band bytes instead of the raw array<int>: the driver's
+# canonicalizer sorts pandas values and list cells are unhashable
 _AHASH_ORACLE = f"""
 WITH docs AS (SELECT doc_id, text, length(text) AS L FROM documents),
 {_AHASH_CORE}
-SELECT doc_id, list(val ORDER BY band) AS bands FROM packed GROUP BY doc_id
+SELECT doc_id, string_agg(CAST(val AS VARCHAR), ',' ORDER BY band) AS bands_str
+FROM packed GROUP BY doc_id
 """
 
 
@@ -5471,7 +5492,10 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.col("doc_id") % 64 + 1, F.col("doc_id") % 48 + 1
         ).alias("blob"),
     )
-    return _mm.image_ahash(blobs)
+    return _mm.image_ahash(blobs).select(
+        "doc_id",
+        F.array_join(F.col("bands").cast("array<string>"), ",").alias("bands_str"),
+    )
 
 
 _AHASH_PAIRS_ORACLE = f"""
@@ -5545,13 +5569,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SEG_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
 
-_BPE_SEG_ORACLE = _bpe.bpe_segment_sql("documents", _BPE_SEG_MERGES)
+# the gate projects the token array to a space-joined string (tokens
+# are [a-z0-9]+ fragments, so ' ' is collision-free): the driver's
+# canonicalizer sorts pandas values and list cells are unhashable
+_BPE_SEG_ORACLE = f"""
+WITH seg AS ({_bpe.bpe_segment_sql("documents", _BPE_SEG_MERGES)})
+SELECT doc_id, array_to_string(tokens, ' ') AS tokens_str FROM seg
+"""
 
 
 @register("bpe_segment_documents", _BPE_SEG_ORACLE)
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return _bpe.bpe_segment(docs, _BPE_SEG_MERGES)
+    return _bpe.bpe_segment(docs, _BPE_SEG_MERGES).select(
+        "doc_id", F.array_join("tokens", " ").alias("tokens_str")
+    )
 
 
 # ---------------------------------------------------------------------------
