@@ -23,100 +23,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["diff_lineitem"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-hash exposure rotation (round 5): the driver's correctness gate
-# samples a prefix of this dict.  Rounds 2-4 all verified the same first
-# 50 registry entries, leaving the operators shipped after round 2 with
-# local-oracle evidence only.  Lead with five long-green sentinels (as
-# regression canaries for the core §2 surface) followed by the riskiest
-# never-driver-verified queries — iterative/float-heavy first (graph,
-# weighted quantiles, decayed aggregates, OLS, correlation, BPE, KS) —
-# so CORRECTNESS_r05 hash-checks the previously unexposed two-thirds of
-# the surface.  Every query keeps its oracle; values are unchanged.
+# Driver-hash exposure rotation (round 6): the driver's correctness
+# gate samples a prefix of this dict.  Round 5 hash-verified its
+# 50-query window (47 green; the 3 red rows are re-listed below after
+# their fixes), leaving 54 queries never driver-verified.  This window:
+# five long-green sentinels (regression canaries for the core §2
+# surface), the three round-5 failures fixed this round (array→scalar
+# gate projections; bit-exact entropy), then 42 of the 54
+# never-verified queries riskiest-first (float-heavy embeddings/stats/
+# sketches and composed dedup pipelines before integer counts).  The
+# 12 lowest-risk deferred queries (pure count/flag outputs) follow
+# immediately at positions 51-62 for the round-7 window.
 _PRIORITY = [
-    # sentinels (driver-green r02-r04)
+    # sentinels (driver-green r02-r05)
     "diff_lineitem",
     "row_numbers_orders",
     "histogram_lineitem_price",
     "sorted_groups_running_sum",
     "bucketed_join_orders_customer",
-    # never driver-verified, riskiest first
-    "label_propagation_lineitem",
-    "k_core_lineitem",
-    "triangle_counts_lineitem",
-    "pagerank_orders",
-    "weighted_quantiles_documents",
-    "decayed_aggregates_events",
-    "group_ols_events",
-    "corr_matrix_lineitem",
-    "bpe_segment_documents",
-    "ks_report_events",
-    "bpe_pair_counts_documents",
-    "bpe_train_documents",
-    "ahash_documents",
-    "ahash_near_dup_documents",
-    "audio_stats_documents",
-    "zscore_events",
-    "feature_hash_events",
-    "temperature_mix_documents",
-    "transition_matrix_events",
-    "differential_join_lineitem_orders",
-    "association_rules_lineitem",
-    "snapshot_delta_orders",
-    "scd2_merge_orders",
-    "reliability_documents",
-    "ttest_events",
-    "cat_assoc_documents",
-    "resample_interpolate_events",
-    "prefix_jaccard_documents",
-    "semantic_decontam_embeddings",
-    "vocab_curve_documents",
-    "funnel_events",
-    "cohort_retention_events",
-    "safe_union_documents",
-    "plan_compaction_documents",
-    "target_encode_documents",
-    "discretize_events",
-    "rank_normalize_events",
-    "dedup_report_documents",
-    "asof_join_forward_events",
-    "asof_join_nearest_events",
+    # round-5 failures, fixed this round — need driver re-verification
     "char_entropy_documents",
-    "mad_outliers_events",
-    "doc_logprob_bigram_documents",
-    "pmi_pairs_documents",
-    "prune_files_orders",
-]
-
-
-# Round-6 rotation, prepared: after round 5's snapshot, these 54 are
-# the only queries never driver-hash-verified (not in the r02–r04
-# keyset, not in round 5's 50-query window).  Next round: replace
-# _PRIORITY with sentinels + this list.
-_NEVER_VERIFIED_AFTER_R5 = [
-    "zorder_events", "heavy_hitters_documents",
-    "dup_ngram_fraction_documents", "resample_mix_documents",
-    "semantic_dedup_embeddings", "doc_logprob_documents",
-    "cap_per_source_documents", "quality_rules_documents",
-    "dedup_against_documents", "near_dedup_against_documents",
-    "token_budget_documents", "mix_report_documents", "chunk_documents",
-    "top_per_group_documents", "project_embeddings", "kmv_distinct_events",
-    "hll_distinct_events", "cms_counts_documents", "bloom_prune_orders",
-    "rolling_events", "pivot_events", "winsorize_events",
-    "fuzzy_pairs_part", "quantize_embeddings", "sparse_cosine_documents",
-    "json_extract_events", "heavy_keys_events", "group_quantiles_events",
-    "hilbert_events", "kmv_overlap_orders_customer",
-    "weighted_sample_documents", "ngram_containment_documents",
-    "paragraph_dedup_documents", "interval_join_events", "profile_orders",
-    "approx_quantiles_events", "dedup_keep_best_documents",
-    "group_centroids_embeddings", "multimodal_resize_documents",
-    "multimodal_frames_documents", "vocab_coverage_documents",
-    "dsir_weights_documents", "dsir_select_documents",
-    "cluster_splits_documents", "length_batches_documents",
-    "winnow_fingerprints_documents", "interleave_mix_documents",
-    "repeat_upsample_documents", "check_constraints_orders",
-    "psi_report_events", "winnow_overlap_documents",
-    "zipf_report_documents", "dup_source_matrix_documents",
+    "bpe_segment_documents",
+    "ahash_documents",
+    # never driver-verified, riskiest first
+    "group_centroids_embeddings",
+    "semantic_dedup_embeddings",
     "embedding_stats_embeddings",
+    "quantize_embeddings",
+    "project_embeddings",
+    "dsir_weights_documents",
+    "dsir_select_documents",
+    "sparse_cosine_documents",
+    "doc_logprob_documents",
+    "zipf_report_documents",
+    "psi_report_events",
+    "rolling_events",
+    "winsorize_events",
+    "group_quantiles_events",
+    "approx_quantiles_events",
+    "kmv_distinct_events",
+    "hll_distinct_events",
+    "cms_counts_documents",
+    "kmv_overlap_orders_customer",
+    "fuzzy_pairs_part",
+    "dedup_keep_best_documents",
+    "cluster_splits_documents",
+    "winnow_fingerprints_documents",
+    "winnow_overlap_documents",
+    "paragraph_dedup_documents",
+    "ngram_containment_documents",
+    "dedup_against_documents",
+    "near_dedup_against_documents",
+    "weighted_sample_documents",
+    "resample_mix_documents",
+    "interleave_mix_documents",
+    "repeat_upsample_documents",
+    "interval_join_events",
+    "hilbert_events",
+    "pivot_events",
+    "profile_orders",
+    "check_constraints_orders",
+    "vocab_coverage_documents",
+    "length_batches_documents",
+    "multimodal_resize_documents",
+    "multimodal_frames_documents",
+    "dup_source_matrix_documents",
+    # --- position 51+: deferred low-risk (integer/count outputs), the
+    # round-7 window if the driver keeps sampling 50
+    "zorder_events",
+    "heavy_hitters_documents",
+    "dup_ngram_fraction_documents",
+    "cap_per_source_documents",
+    "quality_rules_documents",
+    "token_budget_documents",
+    "mix_report_documents",
+    "chunk_documents",
+    "top_per_group_documents",
+    "bloom_prune_orders",
+    "json_extract_events",
+    "heavy_keys_events",
 ]
 
 

@@ -174,7 +174,12 @@ def psi_report(
         "n_b",
         p_a.alias("p_a"),
         p_b.alias("p_b"),
-        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("psi_term"),
+        # ln outputs quantized to 10 decimals (libm-ulp absorption, the
+        # DSIR-logratio discipline) so psi_term is bit-reproducible
+        # across engines; perturbs the index by ≤ ~1e-10
+        ((p_a - p_b) * (F.round(F.log(p_a), 10) - F.round(F.log(p_b), 10))).alias(
+            "psi_term"
+        ),
     )
 
 

@@ -251,21 +251,33 @@ def doc_logprob(
 
     Scale shape: tokenize once, one map-side-combined (doc, token, tf)
     aggregate, an equi-join with the vocabulary-sized ``lm``, one
-    final per-doc aggregate.  The per-doc float sum runs in
-    DECIMAL(38,15) — decimal addition is order-independent, so scores
-    are reproducible across partitionings and engines (the same
-    discipline as the BM25 fixed-order sum, generalized to unbounded
-    vocabularies; doubles summed in shuffle-arrival order are not)."""
+    final per-doc aggregate.  Each ``logp`` is snapped to an exact
+    DECIMAL(18,10) grid and the tf-weighted per-doc sum is integer
+    decimal arithmetic — order-independent and bit-reproducible across
+    partitionings, engines, and libm builds (the quantization perturbs
+    ``sum_logp`` by ≤ 5e-11 · n_tokens, far below the signal's
+    resolution)."""
     if lm is None:
         lm = unigram_lm(df, id_col, text_col)
     tf = term_frequencies(df, id_col, text_col)
     logp = F.col("logp") if unk_logp is None else F.coalesce(F.col("logp"), F.lit(float(unk_logp)))
+    # logp snapped to an exact DECIMAL(18,10) grid (round to 10
+    # decimals, then the same-scale decimal cast): ln differs between
+    # libm builds at the last ulp, and round() alone leaves a 1-ulp
+    # double spread — the decimal cast recovers the identical grid
+    # point on every engine.  The tf-weighted fold is then pure integer
+    # arithmetic, so scores are bit-reproducible across engines and
+    # partitionings.  Perturbs sum_logp by ≤ 5e-11 · n_tokens — far
+    # below the signal's resolution.
     per_doc = (
         tf.join(lm, "token", "left")
         .groupBy(id_col)
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.sum((F.col("tf").cast("double") * logp).cast("decimal(38,15)")).alias("__s"),
+            F.sum(
+                F.round(logp, 10).cast("decimal(18,10)")
+                * F.col("tf").cast("decimal(10,0)")
+            ).alias("__s"),
         )
     )
     return (
@@ -362,9 +374,11 @@ def zipf_report(
 
     The fit is the closed-form least squares of ``ln freq`` on
     ``ln rank`` over the ``max_types`` most frequent types: ranking is
-    one window over vocabulary-sized counts; the five OLS sums run in
-    DECIMAL(38,15) so the fit is bit-reproducible across partitionings
-    and engines.  Ties rank deterministically (freq desc, token asc).
+    one window over vocabulary-sized counts; the ``ln`` coordinates are
+    snapped to an exact DECIMAL(12,10) grid so the five OLS sums are
+    integer decimal arithmetic — bit-reproducible across partitionings,
+    engines, and libm builds (the snap perturbs alpha/r2 by ≤ ~1e-9).
+    Ties rank deterministically (freq desc, token asc).
 
     Scale shape: tokenize + one map-side-combined count (vocabulary
     rows) → one rank window over vocabulary → one 1-row aggregate.  The
@@ -380,20 +394,31 @@ def zipf_report(
         counts.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= int(max_types))
         .select(
-            F.log(F.col("r").cast("double")).alias("x"),
-            F.log(F.col("c").cast("double")).alias("y"),
+            # ln coordinates snapped to an exact DECIMAL(12,10) grid
+            # (round to 10 decimals + same-scale decimal cast): libm
+            # builds differ at the last ulp and the OLS's
+            # n·Σxy − Σx·Σy cancellation amplifies that ~1e3×; on the
+            # snapped grid all five OLS sums are exact integer
+            # arithmetic, so the fit is bit-reproducible across engines
+            # and partitionings.  The perturbation to alpha/r2 is
+            # ≤ ~1e-9 — noise relative to the metric's meaning.
+            F.round(F.log(F.col("r").cast("double")), 10)
+            .cast("decimal(12,10)")
+            .alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 10)
+            .cast("decimal(12,10)")
+            .alias("y"),
             F.col("c"),
         )
     )
-    dec = lambda col: col.cast("decimal(38,15)")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_types"),
         F.sum("c").alias("n_tokens"),
-        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
-        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
-        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(F.col("x")).cast("double").alias("sx"),
+        F.sum(F.col("y")).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
     )
     n = F.col("n_types").cast("double")
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / n

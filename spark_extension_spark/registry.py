@@ -2000,21 +2000,26 @@ tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total,
                CAST(COUNT(*) AS DOUBLE) AS vocab
         FROM counts),
 lm AS (
+  -- logp round()ed to 10 decimals, mirroring the operator's
+  -- libm-ulp absorption before the tf-weighted decimal fold
   SELECT token,
-         ln((CAST(c AS DOUBLE) + 1.0) / (total + 1.0 * (vocab + 1.0))) AS logp
+         round(ln((CAST(c AS DOUBLE) + 1.0) / (total + 1.0 * (vocab + 1.0))), 10) AS logp
   FROM counts CROSS JOIN tot
 ),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 per AS (
+  -- logp snapped to the DECIMAL(18,10) grid before the integer-exact
+  -- tf-weighted fold, mirroring the operator
   SELECT tf.doc_id,
          CAST(SUM(tf) AS BIGINT) AS n_tokens,
-         SUM(CAST(CAST(tf AS DOUBLE) * logp AS DECIMAL(38,15))) AS s
+         SUM(CAST(logp AS DECIMAL(18,10)) * CAST(tf AS DECIMAL(10,0))) AS s
   FROM tf JOIN lm USING (token) GROUP BY 1
 )
+-- decimal->double via VARCHAR: bit-matches Spark's correctly-rounded cast
 SELECT d.doc_id,
        COALESCE(per.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-       CAST(per.s AS DOUBLE) AS sum_logp,
-       CAST(per.s AS DOUBLE) / CAST(per.n_tokens AS DOUBLE) AS avg_logp
+       CAST(CAST(per.s AS VARCHAR) AS DOUBLE) AS sum_logp,
+       CAST(CAST(per.s AS VARCHAR) AS DOUBLE) / CAST(per.n_tokens AS DOUBLE) AS avg_logp
 FROM documents d LEFT JOIN per USING (doc_id)
 """
 
@@ -3709,7 +3714,8 @@ SELECT bin, n_a, n_b,
        (n_a + 0.5) / (ta + 6.0) AS p_a,
        (n_b + 0.5) / (tb + 6.0) AS p_b,
        ((n_a + 0.5) / (ta + 6.0) - (n_b + 0.5) / (tb + 6.0))
-         * (ln((n_a + 0.5) / (ta + 6.0)) - ln((n_b + 0.5) / (tb + 6.0))) AS psi_term
+         * (round(ln((n_a + 0.5) / (ta + 6.0)), 10)
+            - round(ln((n_b + 0.5) / (tb + 6.0)), 10)) AS psi_term
 FROM dense CROSS JOIN tot
 """
 
@@ -3804,19 +3810,22 @@ _ZIPF_ORACLE = f"""
 WITH toks AS ({_RANK_TOKS_SQL}),
 counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
 ranked AS (
-  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS DOUBLE)) AS x,
-         ln(CAST(c AS DOUBLE)) AS y,
+  -- ln snapped to the DECIMAL(12,10) grid, mirroring the operator:
+  -- the OLS sums below are then exact integer arithmetic
+  SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS DOUBLE)), 10) AS DECIMAL(12,10)) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(12,10)) AS y,
          c
   FROM counts
 ),
 agg AS (
+  -- decimal->double via VARCHAR: bit-matches Spark's correctly-rounded cast
   SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
          CAST(SUM(c) AS BIGINT) AS n_tokens,
-         CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(y * y AS DECIMAL(38,15))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(x * y AS DECIMAL(38,15))) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
   FROM ranked
 )
 SELECT n_types, n_tokens,

@@ -103,9 +103,13 @@ def test_doc_logprob_self_scored(docs):
     got = {r["doc_id"]: r for r in doc_logprob(docs).collect()}
     assert set(got) == {1, 2, 3, 4}
     assert got[1]["n_tokens"] == 9
-    # hand-check doc 2: sum over tokens of ln((c+1)/(total + vocab+1))
+    # hand-check doc 2: sum over tokens of ln((c+1)/(total + vocab+1)),
+    # each logp snapped HALF_UP to the DECIMAL(18,10) grid as documented
+    from decimal import ROUND_HALF_UP, Decimal
+
+    snap = lambda x: Decimal(repr(x)).quantize(Decimal("1e-10"), ROUND_HALF_UP)
     lm = {r["token"]: r["logp"] for r in unigram_lm(docs).collect()}
-    expect = sum(lm[t] for t in "the quick red fox".split())
+    expect = float(sum(snap(lm[t]) for t in "the quick red fox".split()))
     assert got[2]["sum_logp"] == pytest.approx(expect, rel=1e-12)
     assert got[2]["avg_logp"] == pytest.approx(expect / 4, rel=1e-12)
     # the lorem doc shares no tokens with the rest: most atypical
