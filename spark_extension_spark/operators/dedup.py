@@ -698,8 +698,17 @@ def connected_components(
     cache when done, as with the other persisting dedup operators.
     Per-round ``localCheckpoint`` generations are freed as they are
     superseded (:class:`~spark_extension_spark.utils.
-    LocalCheckpointCycler`), and the final generation is freed once the
-    result is persisted — the loop leaves no checkpoint storage behind.
+    LocalCheckpointCycler`); the FINAL generation stays live because it
+    backs the returned labels' lineage — freeing it early would make
+    the result unrecomputable if its cache blocks are lost.  With an
+    ``unpersist_handle`` the final generation is released by the same
+    handle call that drops the caches, so firing the handle returns
+    storage fully to baseline — and declares the caller done: the
+    result is spent after that (re-running an action on it would need
+    the freed checkpoint).  Without a handle it is O(1) state that
+    falls to the ContextCleaner once the result is garbage-collected.
+    On a mid-loop failure every generation is freed before the
+    exception propagates.
     """
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     fwd.count()  # force: upstream pair pipelines are expensive; run once
@@ -707,6 +716,8 @@ def connected_components(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
     spark = edges.sparkSession
+    cycler = None
+    ok = False
     try:
         if algorithm == "star":
             cycler = LocalCheckpointCycler(spark, lag=3)
@@ -725,13 +736,25 @@ def connected_components(
         if unpersist_handle is not None:
             unpersist_handle.add_dataframe(out)
         out.count()
-        # `out` now holds the labels itself; the last checkpoint
-        # generation backing its lineage is no longer needed
-        cycler.release()
+        ok = True
         return out
     finally:
         fwd.unpersist()
         sym.unpersist()
+        if cycler is not None:
+            if not ok:
+                # failure path (non-convergence, mid-loop error):
+                # nothing escapes the loop — free every generation now
+                # instead of leaking them until ContextCleaner GC
+                cycler.release()
+            else:
+                # success: keep the final generation (it backs `out`'s
+                # lineage — see docstring), free only older ones the
+                # lag window still holds; a caller-provided handle
+                # frees the final generation when it fires
+                cycler.release_superseded()
+                if unpersist_handle is not None:
+                    unpersist_handle.add_callback(cycler.release)
 
 
 def near_dup_clusters(

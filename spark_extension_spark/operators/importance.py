@@ -131,7 +131,13 @@ def importance_model(
     cross join, densified against a ``spark.range(buckets)`` frame so
     unseen features carry the smoothed default explicitly (no silent
     NULL semantics at score time).  The result is ``buckets`` rows —
-    broadcast it into :func:`importance_weights`."""
+    broadcast it into :func:`importance_weights`.
+
+    ``logratio`` is quantized to 9 decimals (since round 5): ln()
+    differs between math libraries at the last ulp, and the snapped
+    grid makes scores bit-reproducible across engines and platforms.
+    Callers pinning pre-quantization outputs will see scores move by
+    ≤ 5e-10, and 1e-9 ties now break downstream by id."""
 
     def bucket_counts(df: DataFrame, out: str) -> DataFrame:
         grams = df.select(F.explode(_gram_array(text_col, n_max)).alias("__gram"))
@@ -233,7 +239,13 @@ def select_by_importance(
     Adds a ``gumbel_key`` column; deterministic for a given seed no
     matter the partitioning.  The global top-n is a rank window over a
     range-partitioned sort (Spark's TakeOrderedAndProject handles the
-    small-n case without a full sort)."""
+    small-n case without a full sort).
+
+    ``gumbel_key`` is quantized to 9 decimals (since round 5, matching
+    the model's ``logratio``) so selections are bit-reproducible across
+    engines; keys moving by ≤ 5e-10 can flip which of two
+    near-identical candidates sits at the cutoff, with 1e-9 ties broken
+    deterministically by id."""
     if n <= 0:
         raise ValueError("n must be positive")
     from .sampling import hash_uniform

@@ -825,6 +825,16 @@ def group_centroids(
 
     Returns ``by…, n (long), centroid (array<double>),
     centroid_norm, avg_cosine, min_cosine (double)``.
+
+    Magnitude contract: vector components must satisfy ``|x| < 1e9``
+    (any unit-normalized or feature-scaled embedding qualifies, by
+    orders of magnitude).  The cosine pass folds per-dimension products
+    as DECIMAL(30,12) terms — 18 integer digits — so a product
+    ``|a·b| ≥ 1e18`` overflows that cast: under ANSI mode (the Spark 4
+    default) the job fails loudly with NUMERIC_VALUE_OUT_OF_RANGE;
+    under non-ANSI mode it becomes NULL, silently nulling that
+    vector's cosine and dropping it from ``avg_cosine``.  Pre-scale
+    inputs that can exceed the bound.
     """
     keys = [F.col(c) for c in by]
     dec = "decimal(38,12)"

@@ -112,6 +112,7 @@ class UnpersistHandle:
     def __init__(self) -> None:
         self._df: Optional[DataFrame] = None
         self._extra: list[DataFrame] = []
+        self._callbacks: list = []
 
     def set_dataframe(self, df: DataFrame) -> None:
         if self._df is not None:
@@ -126,12 +127,23 @@ class UnpersistHandle:
         else:
             self._extra.append(df)
 
+    def add_callback(self, fn) -> None:
+        """Register a zero-arg cleanup run by the same call, AFTER the
+        frames are unpersisted — for storage a plain ``unpersist`` cannot
+        reach (e.g. a loop's final ``localCheckpoint`` generation, whose
+        cache belongs to the internal RDD).  Once the callback has run the
+        owning result may be unrecomputable — firing the handle declares
+        the caller completely done with it."""
+        self._callbacks.append(fn)
+
     def __call__(self, blocking: bool = False) -> None:
         if self._df is None:
             raise RuntimeError("DataFrame has to be set first")
         self._df.unpersist(blocking)
         for df in self._extra:
             df.unpersist(blocking)
+        for fn in self._callbacks:
+            fn()
 
 
 class SilentUnpersistHandle(UnpersistHandle):
@@ -148,12 +160,17 @@ class SilentUnpersistHandle(UnpersistHandle):
             self._df.unpersist(blocking)
         for df in self._extra:
             df.unpersist(blocking)
+        for fn in self._callbacks:
+            fn()
 
 
 class NoopUnpersistHandle(UnpersistHandle):
     """Handle that never holds and never unpersists anything."""
 
     def set_dataframe(self, df: DataFrame) -> None:  # pragma: no cover - trivial
+        pass
+
+    def add_callback(self, fn) -> None:  # pragma: no cover - trivial
         pass
 
     def __call__(self, blocking: bool = False) -> None:  # pragma: no cover - trivial
@@ -225,6 +242,18 @@ class LocalCheckpointCycler:
         for gen in self._live:
             self._free(gen)
         self._live = []
+
+    def release_superseded(self) -> None:
+        """Free every live generation EXCEPT the newest.  Use on a loop's
+        success path when the returned DataFrame's lineage still references
+        the final checkpoint: freeing that generation would make the result
+        unrecomputable (lost cache blocks, or a fired unpersist handle,
+        would then fail any re-run with a missing-checkpoint-block error),
+        so it stays live and falls to the ContextCleaner with the loop's
+        references — O(1) state, not a leak class."""
+        for gen in self._live[:-1]:
+            self._free(gen)
+        del self._live[:-1]
 
 
 _NUMERIC_RANK = {

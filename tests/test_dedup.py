@@ -843,3 +843,38 @@ class TestLabelPropagation:
         df = spark.createDataFrame([(1, 2)], ["src", "dst"])
         with _pytest.raises(ValueError):
             label_propagation(df, iterations=0)
+
+
+class TestCheckpointLifecycle:
+    # round-6 contract: connected_components keeps the FINAL checkpoint
+    # generation alive (the result's lineage needs it), hands it to the
+    # unpersist handle when one is given, and frees every generation on
+    # a mid-loop failure
+
+    def _cached_ids(self, spark):
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    def test_result_survives_cache_loss_without_handle(self, spark):
+        from spark_extension_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+        )
+        out = connected_components(edges, max_iterations=10, check_every=1)
+        want = sorted(map(tuple, out.collect()))
+        # drop the result's own cache: a re-run must recompute through
+        # the final checkpoint generation, which stays live by contract
+        out.unpersist(True)
+        assert sorted(map(tuple, out.collect())) == want
+
+    def test_failure_path_frees_all_generations(self, spark):
+        from spark_extension_spark.operators.dedup import connected_components
+
+        # a long path graph cannot converge in 2 label rounds
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+        )
+        before = self._cached_ids(spark)
+        with pytest.raises(RuntimeError):
+            connected_components(edges, max_iterations=2, check_every=1)
+        assert self._cached_ids(spark) <= before
