@@ -1,0 +1,62 @@
+"""Driver-contract pins for __spark_entry__.py.
+
+The driver's correctness gate samples a PREFIX of ``queries()``;
+``_PRIORITY`` controls which operators get driver-hash evidence each
+round.  These tests make the rotation un-breakable by accident: a
+registry rename, a dropped oracle, or an array-typed gate output would
+otherwise fail silently at snapshot time instead of in CI.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry
+
+
+def test_priority_names_resolve():
+    q = entry.queries()
+    missing = [n for n in entry._PRIORITY if n not in q]
+    assert not missing, f"_PRIORITY names absent from registry: {missing}"
+
+
+def test_priority_has_no_duplicates():
+    assert len(entry._PRIORITY) == len(set(entry._PRIORITY))
+
+
+def test_rotation_preserves_full_surface():
+    # rotation reorders, never drops: every registered query (and its
+    # oracle) must still be exposed exactly once
+    from spark_extension_spark.registry import ORACLES, QUERIES
+
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(q) == set(QUERIES)
+    assert set(o) == set(ORACLES)
+    assert list(q)[: len(entry._PRIORITY)] == [
+        n for n in entry._PRIORITY if n in q
+    ]
+
+
+def test_window_prefix_is_oracle_backed():
+    # every query in the 50-entry driver window needs a value oracle —
+    # a rows-only row inside the window wastes a verification slot
+    q, o = entry.queries(), entry.oracle_sql()
+    window = list(q)[:50]
+    unbacked = [n for n in window if n not in o]
+    assert not unbacked, f"window queries without oracles: {unbacked}"
+
+
+def test_window_outputs_are_scalar_typed(spark):
+    # the driver's canonicalizer sorts pandas values: array/map/struct
+    # cells are unhashable and error the row (round-5 failure class) —
+    # pin every window query to scalar-only output columns
+    q = entry.queries()
+    offenders = []
+    for name in list(q)[:50]:
+        df = q[name](spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct")):
+                offenders.append((name, f.name, t))
+    assert not offenders, f"non-scalar gate outputs: {offenders}"
