@@ -698,17 +698,18 @@ def connected_components(
     cache when done, as with the other persisting dedup operators.
     Per-round ``localCheckpoint`` generations are freed as they are
     superseded (:class:`~spark_extension_spark.utils.
-    LocalCheckpointCycler`); the FINAL generation stays live because it
-    backs the returned labels' lineage — freeing it early would make
-    the result unrecomputable if its cache blocks are lost.  With an
-    ``unpersist_handle`` the final generation is released by the same
-    handle call that drops the caches, so firing the handle returns
-    storage fully to baseline — and declares the caller done: the
-    result is spent after that (re-running an action on it would need
-    the freed checkpoint).  Without a handle it is O(1) state that
-    falls to the ContextCleaner once the result is garbage-collected.
-    On a mid-loop failure every generation is freed before the
-    exception propagates.
+    LocalCheckpointCycler`).  The FINAL generation backs the returned
+    labels' lineage, and its lifetime follows the handle: with an
+    ``unpersist_handle`` it stays live until the handle fires (the
+    result remains recomputable after cache-block loss), and the handle
+    call then returns storage fully to baseline — firing it declares
+    the caller done; the result is spent after that.  Without a handle
+    the final generation is freed immediately — the labels are already
+    materialized in the persisted result, but if that cache is later
+    dropped (manual ``unpersist``, executor failure) a re-run fails
+    with a missing-checkpoint-block error: treat the no-handle result
+    as single-use-per-materialization, or pass a handle.  On a mid-loop
+    failure every generation is freed before the exception propagates.
     """
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     fwd.count()  # force: upstream pair pipelines are expensive; run once
@@ -747,14 +748,20 @@ def connected_components(
                 # nothing escapes the loop — free every generation now
                 # instead of leaking them until ContextCleaner GC
                 cycler.release()
-            else:
-                # success: keep the final generation (it backs `out`'s
-                # lineage — see docstring), free only older ones the
-                # lag window still holds; a caller-provided handle
-                # frees the final generation when it fires
+            elif unpersist_handle is not None:
+                # keep the final generation (it backs `out`'s lineage —
+                # see docstring) until the caller's handle fires; the
+                # handle call then returns storage fully to baseline
                 cycler.release_superseded()
-                if unpersist_handle is not None:
-                    unpersist_handle.add_callback(cycler.release)
+                unpersist_handle.add_callback(cycler.release)
+            else:
+                # no handle: free everything now.  The persisted result
+                # is already materialized; only a later cache-block loss
+                # would need the freed checkpoint (documented).  Keeping
+                # it would accumulate one generation per call with no
+                # release point — measured as session-wide storage
+                # pressure across a 149-query benchmark.
+                cycler.release()
 
 
 def near_dup_clusters(

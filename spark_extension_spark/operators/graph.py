@@ -131,6 +131,10 @@ def pagerank(
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
             ranks = cycler.checkpoint(ranks)
 
+    # the last live generation backs the returned ranks' lineage and
+    # cannot be freed here; the caller's handle frees it when done
+    if unpersist_handle is not None:
+        unpersist_handle.add_callback(cycler.release)
     return ranks.select("id", "rank")
 
 
@@ -300,6 +304,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 1,
+    unpersist_handle: Optional[UnpersistHandle] = None,
 ) -> DataFrame:
     """Nodes of the ``k``-core (the maximal subgraph where every node
     keeps degree ≥ k) after ``rounds`` synchronous peeling passes,
@@ -321,7 +326,10 @@ def k_core(
 
     Lineage is truncated with ``localCheckpoint`` every
     ``checkpoint_every`` passes — the iterative-plan guard shared
-    with :func:`pagerank` and connected components.
+    with :func:`pagerank` and connected components.  Pass an
+    ``unpersist_handle`` to free the last checkpoint generation when
+    done with the result (it backs the returned frame's lineage, so it
+    stays live until then; without a handle it falls to GC).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -340,6 +348,10 @@ def k_core(
         )
         if checkpoint_every and (r + 1) % int(checkpoint_every) == 0 and r + 1 < rounds:
             cur = cycler.checkpoint(cur)
+    # the last live generation backs the returned frame's lineage and
+    # cannot be freed here; the caller's handle frees it when done
+    if unpersist_handle is not None:
+        unpersist_handle.add_callback(cycler.release)
     return degrees_from_canonical(cur).where(F.col("degree") >= int(k))
 
 
@@ -447,6 +459,10 @@ def label_propagation(
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
             labels = cycler.checkpoint(labels)
 
+    # the last live generation backs the returned labels' lineage and
+    # cannot be freed here; the caller's handle frees it when done
+    if unpersist_handle is not None:
+        unpersist_handle.add_callback(cycler.release)
     return labels
 
 

@@ -137,9 +137,13 @@ class UnpersistHandle:
         self._callbacks.append(fn)
 
     def __call__(self, blocking: bool = False) -> None:
-        if self._df is None:
+        # callback-only handles are legal (operators that checkpoint but
+        # persist nothing, e.g. k_core); the error fires only when the
+        # handle holds nothing at all — reference message parity
+        if self._df is None and not self._callbacks:
             raise RuntimeError("DataFrame has to be set first")
-        self._df.unpersist(blocking)
+        if self._df is not None:
+            self._df.unpersist(blocking)
         for df in self._extra:
             df.unpersist(blocking)
         for fn in self._callbacks:

@@ -637,9 +637,10 @@ def test_pagerank_unpersist_handle_releases_caches(spark):
     # concurrently, so assert only that NOTHING NEW survives the release
     before = cached_ids()
     handle = UnpersistHandle()
-    # iterations=1 so no localCheckpoint fires — checkpoint RDD blocks
-    # are ContextCleaner-owned and would show up as (GC-eventual) residue
-    assert pagerank(df, iterations=1, unpersist_handle=handle).count() == 3
+    # iterations=3 so localCheckpoint generations fire: the handle must
+    # free the final generation too (add_callback, round 6), not just
+    # the persisted frames
+    assert pagerank(df, iterations=3, unpersist_handle=handle).count() == 3
     assert cached_ids() - before
     handle()
     assert not (cached_ids() - before)
@@ -846,26 +847,50 @@ class TestLabelPropagation:
 
 
 class TestCheckpointLifecycle:
-    # round-6 contract: connected_components keeps the FINAL checkpoint
-    # generation alive (the result's lineage needs it), hands it to the
-    # unpersist handle when one is given, and frees every generation on
-    # a mid-loop failure
+    # round-6 contract: the FINAL checkpoint generation's lifetime
+    # follows the unpersist handle — kept (result recomputable) until
+    # the handle fires, freed immediately without one (no per-call
+    # storage accumulation), freed with everything else on failure
 
     def _cached_ids(self, spark):
         return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
-    def test_result_survives_cache_loss_without_handle(self, spark):
+    def test_result_survives_cache_loss_with_handle(self, spark):
         from spark_extension_spark.operators.dedup import connected_components
+        from spark_extension_spark.utils import UnpersistHandle
 
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
         )
-        out = connected_components(edges, max_iterations=10, check_every=1)
+        h = UnpersistHandle()
+        out = connected_components(
+            edges, max_iterations=10, check_every=1, unpersist_handle=h
+        )
         want = sorted(map(tuple, out.collect()))
-        # drop the result's own cache: a re-run must recompute through
-        # the final checkpoint generation, which stays live by contract
+        # drop the result's own cache: a re-run recomputes through the
+        # final checkpoint generation, live until the handle fires
         out.unpersist(True)
         assert sorted(map(tuple, out.collect())) == want
+        h(blocking=True)
+
+    def test_no_handle_calls_do_not_accumulate_storage(self, spark):
+        # the final generation is freed immediately without a handle:
+        # repeated calls must not grow cached-RDD count beyond the
+        # persisted results themselves (regression pin for a measured
+        # session-wide storage-pressure effect across a 149-query bench)
+        from spark_extension_spark.operators.dedup import near_dup_clusters
+
+        pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+        before = len(self._cached_ids(spark))
+        outs = []
+        for _ in range(3):
+            out = near_dup_clusters(pairs)
+            out.count()
+            outs.append(out)
+        grown = len(self._cached_ids(spark)) - before
+        assert grown <= 3  # one persisted result per call, nothing else
+        for out in outs:
+            out.unpersist(True)
 
     def test_failure_path_frees_all_generations(self, spark):
         from spark_extension_spark.operators.dedup import connected_components
@@ -878,3 +903,22 @@ class TestCheckpointLifecycle:
         with pytest.raises(RuntimeError):
             connected_components(edges, max_iterations=2, check_every=1)
         assert self._cached_ids(spark) <= before
+
+    def test_callback_only_handle(self, spark):
+        # operators that checkpoint but persist nothing (k_core)
+        # register only a release callback: the handle must fire it
+        # without requiring a DataFrame, while a handle holding nothing
+        # at all still raises (reference message parity)
+        from spark_extension_spark.operators.graph import k_core
+        from spark_extension_spark.utils import UnpersistHandle
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], ["src", "dst"]
+        )
+        before = self._cached_ids(spark)
+        h = UnpersistHandle()
+        assert k_core(edges, k=2, rounds=3, unpersist_handle=h).count() == 3
+        h(blocking=True)
+        assert self._cached_ids(spark) <= before
+        with pytest.raises(RuntimeError, match="set first"):
+            UnpersistHandle()()
