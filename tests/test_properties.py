@@ -211,3 +211,92 @@ def test_cms_dominates_truth(spark, words):
     assert set(est) == set(truth)
     for t, n in truth.items():
         assert est[t] >= n
+
+
+# -- connected components vs pure-Python union-find ---------------------------
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component, for every node seen
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@given(edges=EDGES)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    from spark_extension_spark import connected_components
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    want = _union_find_labels(edges)
+    for algorithm in ("label", "star"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(df, algorithm=algorithm).collect()
+        }
+        assert got == want, f"{algorithm}: {got} != {want}"
+
+
+# -- as-of join vs pandas merge_asof ------------------------------------------
+
+ASOF_CASE = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
+)
+
+
+@given(case=ASOF_CASE, direction=st.sampled_from(["backward", "forward", "nearest"]))
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, case, direction):
+    import pandas as pd
+
+    from spark_extension_spark.operators.asof import asof_join
+
+    left_ts, right_ts = case
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sorted(left_ts))], "lid int, t int"
+    )
+    right = spark.createDataFrame(
+        [(j, t, t * 10) for j, t in enumerate(sorted(set(right_ts)))],
+        "rid int, t int, val int",
+    )
+    got = {
+        r["lid"]: r["right_val"]
+        for r in asof_join(left, right, on="t", direction=direction).collect()
+    }
+    lpd = pd.DataFrame({"lid": range(len(left_ts)), "t": sorted(left_ts)}).astype(
+        "int64"
+    )
+    rpd = pd.DataFrame(
+        {"t": sorted(set(right_ts)), "val": [t * 10 for t in sorted(set(right_ts))]}
+    ).astype("int64")
+    merged = pd.merge_asof(lpd, rpd, on="t", direction=direction)
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
