@@ -5,6 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop-format write so the full
 plan (scan -> shuffle -> project) executes without driver collection.
+Inputs are first repacked once into a splittable multi-row-group layout
+(see REPACK below — the shipped testdata is one row group per table,
+which serializes every scan stage); the repack cost is reported as its
+own `ingest_repack` row and counted in the headline total.
 Each query first runs once at sf0.001 (same plan shapes, ~1% of the
 rows) to absorb whole-stage-codegen compilation — the dominant noise
 source across rounds (r3->r4 adjudication cost — see VERDICT r4
@@ -43,6 +47,54 @@ WARM_DIR = os.environ.get(
     SF_DIR if not os.path.isdir("/root/testdata/sf0.001") else "/root/testdata/sf0.001",
 )
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# The driver testdata ships each table as ONE parquet row group, so no
+# engine can split the scan: every query's scan-stage work (projections,
+# explodes, map-side partial aggregates, Arrow kernels) runs on a single
+# core no matter how many are available.  Two remedies were measured at
+# sf0.1/local[32]:
+#   - per-query repartition after read (registry._fanout, the
+#     SPARK_GRAFT_SCAN_FANOUT knob): fixes the scan-bound queries
+#     (corr_matrix 5.9->1.3 s) but taxes every scan-light query with a
+#     full-table shuffle (ticks_events 0.4->4.3 s) — net LOSS over the
+#     149-query surface (200->218 s);
+#   - repack the input once into a 32-row-group layout and lower
+#     files.openCostInBytes so Spark's bin-packing actually splits the
+#     small files: the same scan-bound wins (corr_matrix 6.0->1.3 s,
+#     profile 4.4->2.0 s, simhash/ngram ~1.4x) with NO per-query tax
+#     (ticks 0.37->0.36 s), for a one-time ~0.5 s rewrite.
+# The bench therefore repacks (this is exactly what the library's own
+# compaction/layout operators exist for: at 100 TB the layout IS the
+# scan plan).  The repack cost is reported honestly as its own
+# `ingest_repack` bench row and counted in the headline total.  Gate
+# values are layout-independent (EXACTNESS discipline; the oracle sweep
+# was re-certified against a repacked copy), so this changes timings
+# only.  Opt out with SPARK_GRAFT_REPACK=0.
+REPACK = os.environ.get("SPARK_GRAFT_REPACK", "1") == "1"
+
+
+def _repack(src: str, dst: str, target_groups: int = 32) -> None:
+    """Rewrite each table in ``src`` into ``dst`` with ~target_groups row
+    groups so the parquet scan is splittable.  Schema-preserving
+    (version='2.6' keeps INT64 timestamp physical types intact)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(src, fname))
+        rows = pf.metadata.num_rows
+        rg = max(32, math.ceil(rows / target_groups))
+        pq.write_table(
+            pf.read(),
+            os.path.join(dst, fname),
+            row_group_size=rg,
+            version="2.6",
+            compression="snappy",
+        )
 
 # Every registry/correctness-gate query gets a bench row, so a perf
 # regression anywhere in the surface is visible in BENCH_r{N}.json
@@ -215,6 +267,12 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "90g")
         .config("spark.ui.enabled", "false")
+        # pair of the repack: default openCost (4 MB) would bin-pack the
+        # whole ~MB-scale repacked files into 1-3 splits; 64 KB lets
+        # maxSplitBytes follow bytes-per-core so the 32 row groups land
+        # on 32 tasks.  Harmless for real-sized files (128 MB
+        # maxPartitionBytes still caps the split size).
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -225,6 +283,19 @@ def main() -> None:
         sf = None
 
     timings = {}
+    sf_dir, warm_dir = SF_DIR, WARM_DIR
+    if REPACK:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cache = os.path.join(here, ".bench_cache")
+        t0 = time.perf_counter()
+        sf_dir = os.path.join(cache, os.path.basename(SF_DIR.rstrip("/")))
+        _repack(SF_DIR, sf_dir)
+        if WARM_DIR != SF_DIR:
+            warm_dir = os.path.join(cache, os.path.basename(WARM_DIR.rstrip("/")))
+            _repack(WARM_DIR, warm_dir)
+        else:
+            warm_dir = sf_dir
+        timings["ingest_repack"] = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
         fn = QUERIES[name]
         # Warmup at the smallest SF before the timed runs: whole-stage
@@ -236,14 +307,14 @@ def main() -> None:
         # builds the same generated code at ~1% of the data cost, so
         # the timed runs below are steady-state.
         try:
-            fn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
         except Exception:
             pass  # warmup is best-effort; timing still works cold
         runs = []
         for _ in range(3):
             start = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
         timings[name] = round(sorted(runs)[1], 3)  # median of 3
         # Operators that persist internally (CC, triangles, row numbers, ...)
@@ -255,7 +326,10 @@ def main() -> None:
         spark.catalog.clearCache()
 
     here = os.path.dirname(os.path.abspath(__file__))
-    keys = {f"q{i + 1}": name for i, name in enumerate(HEADLINE)}
+    # non-query rows (ingest_repack) append AFTER the stable q{i} prefix
+    # so historical keys keep meaning across rounds
+    ordered = HEADLINE + [k for k in timings if k not in HEADLINE]
+    keys = {f"q{i + 1}": name for i, name in enumerate(ordered)}
     with open(os.path.join(here, "BENCH_KEYS.md"), "w") as f:
         f.write(
             "# BENCH key map\n\n"

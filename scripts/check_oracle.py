@@ -29,6 +29,15 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# Cross-layout certification: point DuckDB's views at a DIFFERENT copy
+# of the tables than Spark reads (e.g. Spark on the bench's repacked
+# multi-row-group layout, DuckDB on the shipped single-row-group
+# original).  Every value-oracled query must still match — gate values
+# are layout-independent by the EXACTNESS discipline.  Queries whose
+# output legitimately IS the layout (parquet footer metadata, file
+# pruning/compaction plans, partitioned-write readback) are the
+# documented exceptions; skip them when running cross-layout.
+ORACLE_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", SF_DIR)
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -107,7 +116,7 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{ORACLE_DIR}/{t}.parquet')"
         )
 
     queries, oracles = entry.queries(), entry.oracle_sql()

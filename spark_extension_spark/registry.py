@@ -7,6 +7,7 @@ names.  This feeds ``__spark_entry__.py`` (driver correctness gate) and
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,34 @@ def register(name: str, oracle: str = None):
     return wrap
 
 
+# Opt-in ingest fan-out (SPARK_GRAFT_SCAN_FANOUT=1, set by bench.py):
+# the driver testdata ships each table as a parquet file with ONE row
+# group, so no engine can split the scan — every query's scan-stage
+# work (projections, explodes, map-side partial aggregates) runs on a
+# single core no matter how many are available.  When enabled, tables
+# above the size threshold are scattered to the default parallelism
+# right after the read: one ~MB-scale shuffle buys N-core scan-stage
+# parallelism (measured at sf0.1/local[32]: corr_matrix 5.7→1.2 s,
+# profile 3.7→1.3 s, simhash 2×).  Off by default: on a real cluster
+# the layout provides splits and the extra exchange would be waste —
+# this policy exists precisely for layouts too coarse to split, and
+# gate values are partitioning-independent by the EXACTNESS discipline
+# (certified by the oracle sweep under fan-out).
+_FANOUT_MIN_BYTES = 1_000_000
+
+
+def _fanout(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "") != "1":
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size < _FANOUT_MIN_BYTES:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # events.ts has shipped as INT64 TIMESTAMP(NANOS) in some testdata
@@ -47,7 +76,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # reads as TIMESTAMP/TIMESTAMP_NTZ).  Normalize every variant to
         # the library contract: ts = nanoseconds since the epoch, as LONG.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = _fanout(
+        spark.read.parquet(f"{sf_dir}/{table}.parquet"),
+        spark,
+        f"{sf_dir}/{table}.parquet",
+    )
     if table == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "timestamp_ntz":
