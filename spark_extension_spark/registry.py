@@ -40,19 +40,19 @@ def register(name: str, oracle: str = None):
     return wrap
 
 
-# Opt-in ingest fan-out (SPARK_GRAFT_SCAN_FANOUT=1, set by bench.py):
-# the driver testdata ships each table as a parquet file with ONE row
-# group, so no engine can split the scan — every query's scan-stage
-# work (projections, explodes, map-side partial aggregates) runs on a
-# single core no matter how many are available.  When enabled, tables
-# above the size threshold are scattered to the default parallelism
-# right after the read: one ~MB-scale shuffle buys N-core scan-stage
-# parallelism (measured at sf0.1/local[32]: corr_matrix 5.7→1.2 s,
-# profile 3.7→1.3 s, simhash 2×).  Off by default: on a real cluster
-# the layout provides splits and the extra exchange would be waste —
-# this policy exists precisely for layouts too coarse to split, and
-# gate values are partitioning-independent by the EXACTNESS discipline
-# (certified by the oracle sweep under fan-out).
+# Opt-in ingest fan-out (SPARK_GRAFT_SCAN_FANOUT=1): for inputs whose
+# layout cannot be split (the driver testdata ships ONE parquet row
+# group per table) AND cannot be rewritten, scatter tables above the
+# size threshold to the default parallelism right after the read — one
+# ~MB-scale shuffle buys N-core scan-stage parallelism (measured at
+# sf0.1/local[32]: corr_matrix 5.7→1.2 s, profile 3.7→1.3 s, simhash
+# 2×).  OFF by default, and bench.py does NOT set it: the shuffle
+# taxes every scan-light query (ticks_events 0.4→4.3 s — a measured
+# net loss over the full surface), so when the input CAN be rewritten,
+# repack it once instead (bench.py's ingest repack; PLANS.md
+# "Scan-splittability").  Gate values are partitioning-independent by
+# the EXACTNESS discipline (certified by the oracle sweep under both
+# fan-out and the repacked layout).
 _FANOUT_MIN_BYTES = 1_000_000
 
 
