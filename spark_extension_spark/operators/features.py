@@ -26,6 +26,7 @@ __all__ = [
     "group_quantiles",
     "approx_group_quantiles",
  "mad_outliers", "rank_normalize", "group_ols", "discretize", "target_encode", "group_ttest",
+ "fit_logistic", "logistic_score", "fit_logistic_sql",
 ]
 
 
@@ -792,3 +793,177 @@ def weighted_quantiles(
         F.col("__cum").cast("double") >= F.col("q") * F.col("__tot").cast("double")
     )
     return hit.groupBy(*keys, "q").agg(F.min("__v").alias("value"))
+
+
+def fit_logistic(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    iterations: int = 16,
+    learning_rate: float = 5.0,
+    l2: float = 0.0,
+    scale: int = 12,
+) -> DataFrame:
+    """Distributed full-batch logistic regression by gradient descent —
+    the quality/language-classifier trainer of the fastText-style data
+    pipeline ("train a discriminator on good-vs-raw, score the corpus
+    with it"), over numeric feature columns already in the frame
+    (:func:`zscore_normalize` / ratio features from ``text_stats`` are
+    the usual inputs).  Binary labels (``label_col`` in {0, 1}); an
+    intercept is always fitted.
+
+    Returns one row per coefficient: ``feature`` (``'__intercept__'``
+    first, then ``feature_cols`` in order) and ``weight`` (double).
+    Apply with :func:`logistic_score`.
+
+    Scale: each iteration is ONE map-side-combined hash aggregate over
+    the data — the shuffle carries ``len(feature_cols)+2`` numbers
+    total, never rows — with the current weights broadcast as plan
+    literals.  The driver holds O(iterations × features) doubles (the
+    1-row aggregate per iteration, same bounded-collect contract as the
+    BPE trainer's per-merge argmax).  Rows with a NULL label or NULL
+    feature are excluded.
+
+    Determinism (EXACTNESS discipline): the per-row sigmoid is snapped
+    to the 1e-10 decimal grid (absorbing JVM-vs-libm ``exp`` ulp
+    spread), each gradient term is rounded once to ``DECIMAL(38,
+    scale)`` before the order-independent decimal sum, and each weight
+    update is snapped back to the 1e-10 grid — so the fitted weights
+    are bit-identical across partitionings and replayable exactly by
+    the unrolled per-iteration SQL of :func:`fit_logistic_sql`.
+    Convergence note: plain full-batch GD — pick ``learning_rate`` for
+    roughly unit-scale features; this is a scoring-pipeline trainer,
+    not an optimizer benchmark (use it to separate distributions, not
+    to chase the MLE to 1e-12).
+    """
+    if not feature_cols:
+        raise ValueError("fit_logistic: feature_cols must be non-empty")
+    if iterations < 1:
+        raise ValueError("fit_logistic: iterations must be >= 1")
+    dec = f"decimal(38,{int(scale)})"
+    y = F.col(label_col).cast("double")
+    raw_xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    ok = y.isNotNull()
+    for c in feature_cols:
+        ok = ok & F.col(c).isNotNull()
+    d = len(raw_xs)
+    spark = df.sparkSession
+    # features computed + persisted ONCE — K passes over cached columns,
+    # not K source scans (at scale the repeated scan IS the cost)
+    data = df.where(ok).select(
+        y.alias("__y"), *[raw_xs[j].alias(f"__x{j}") for j in range(d)]
+    ).persist()
+    lr, reg = float(learning_rate), float(l2)
+    w = [0.0] * d
+    for _ in range(int(iterations)):
+        # current weights inlined as plan literals: the iteration is one
+        # map-side-combined aggregate over the cached features, and the
+        # per-iteration driver sync transports d doubles.  (A fully-lazy
+        # 1-row-weights chain collected once was measured SLOWER — the
+        # nested broadcast builds serialize and the deep plan bloats
+        # driver-side optimization time.)
+        z = F.lit(w[0]) * F.col("__x0")
+        for j in range(1, d):
+            z = z + F.lit(w[j]) * F.col(f"__x{j}")
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 10)
+        r = p - F.col("__y")
+        row = data.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum((r * F.col(f"__x{j}")).cast(dec)).alias(f"g{j}") for j in range(d)],
+        )
+        # weight update computed IN-ENGINE (same arithmetic the SQL
+        # oracle replays); the collect only transports the result
+        upd = row.select(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(lr)
+                    * (
+                        F.col(f"g{j}").cast("double") / F.col("n").cast("double")
+                        + F.lit(reg) * F.lit(w[j])
+                    ),
+                    10,
+                ).alias(f"w{j}")
+                for j in range(d)
+            ]
+        ).collect()[0]
+        w = [float(upd[f"w{j}"]) for j in range(d)]
+    data.unpersist()
+    names = ["__intercept__"] + list(feature_cols)
+    return spark.createDataFrame(
+        list(zip(names, w)), "feature string, weight double"
+    )
+
+
+def logistic_score(
+    df: DataFrame,
+    weights: DataFrame,
+    out: str = "score",
+) -> DataFrame:
+    """Apply a :func:`fit_logistic` model: adds ``out`` =
+    sigmoid(intercept + Σ wⱼ·xⱼ) as a plain projection (the model is
+    collected once — O(features) — and inlined as plan literals, so
+    scoring is scan-speed with zero joins and zero shuffles)."""
+    rows = {r["feature"]: float(r["weight"]) for r in weights.collect()}
+    z = F.lit(rows.pop("__intercept__", 0.0))
+    for name, wj in rows.items():
+        z = z + F.lit(wj) * F.col(name).cast("double")
+    return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def fit_logistic_sql(
+    data_cte: str,
+    feature_exprs: Sequence[str],
+    label_expr: str,
+    iterations: int = 16,
+    learning_rate: float = 5.0,
+    l2: float = 0.0,
+    scale: int = 12,
+    feature_names: Optional[Sequence[str]] = None,
+) -> str:
+    """Unrolled per-iteration SQL replay of :func:`fit_logistic` (the
+    PageRank-oracle pattern): ``data_cte`` is a FROM-able relation,
+    ``feature_exprs``/``label_expr`` are SQL expressions over it.
+    Decimal sums go back to DOUBLE via VARCHAR (DuckDB's direct
+    decimal→double cast double-rounds; string→double is correctly
+    rounded and bit-matches Spark).  Returns a complete SELECT
+    producing ``(feature, weight)`` rows identical to the operator's.
+    """
+    d = len(feature_exprs) + 1
+    names = ["__intercept__"] + list(feature_names or feature_exprs)
+    fx = ["1.0"] + [f"({e})" for e in feature_exprs]
+    sel_x = ", ".join(f"{e} AS x{j}" for j, e in enumerate(fx))
+    parts = [
+        f"WITH __d AS MATERIALIZED (SELECT ({label_expr}) AS y, {sel_x} FROM {data_cte}",
+        "  WHERE (" + label_expr + ") IS NOT NULL"
+        + "".join(f" AND ({e}) IS NOT NULL" for e in feature_exprs) + "),",
+        "__w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(d))
+        + "),",
+    ]
+    for it in range(int(iterations)):
+        z = " + ".join(f"w.w{j} * d.x{j}" for j in range(d))
+        p = f"round(1.0 / (1.0 + exp(-({z}))), 10)"
+        gs = ", ".join(
+            "CAST(CAST(SUM(CAST((" + p + f" - d.y) * d.x{j} AS DECIMAL(38,{scale})))"
+            f" AS VARCHAR) AS DOUBLE) AS g{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"__g{it} AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, {gs}"
+            f" FROM __d d CROSS JOIN __w{it} w),"
+        )
+        ws = ", ".join(
+            f"round(w.w{j} - {learning_rate!r} * (g.g{j} / g.nd"
+            f" + {l2!r} * w.w{j}), 10) AS w{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"__w{it + 1} AS MATERIALIZED (SELECT {ws} FROM __w{it} w CROSS JOIN __g{it} g),"
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT '{names[j]}' AS feature, w{j} AS weight FROM __w{int(iterations)}"
+        for j in range(d)
+    )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + final

@@ -5829,3 +5829,43 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_toks"),
     )
     return weighted_quantiles(docs, "n_chars", "n_toks", qs=[0.5, 0.9], by=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# logistic-regression trainer (quality/LID-classifier fitting)
+# ---------------------------------------------------------------------------
+
+def _logreg_oracle() -> str:
+    from .operators.features import fit_logistic_sql
+
+    return fit_logistic_sql(
+        "(SELECT CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y,"
+        " CAST(n_chars AS DOUBLE)/1000.0 AS x_len,"
+        " CAST(length(text) - length(replace(text,' ','')) AS DOUBLE)"
+        "/CAST(length(text) AS DOUBLE) AS x_space"
+        " FROM documents)",
+        ["x_len", "x_space"],
+        "y",
+        iterations=8,
+        learning_rate=5.0,
+        feature_names=["x_len", "x_space"],
+    )
+
+
+@register("fit_logistic_documents", _logreg_oracle())
+def q_fit_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 2-feature + intercept logistic model (target: long
+    documents) with the bit-stable full-batch GD trainer; the oracle is
+    the unrolled 8-iteration CTE replay from ``fit_logistic_sql``."""
+    from .operators.features import fit_logistic
+
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.when(F.col("n_chars") > 300, 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x_len"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text,' ','')"))).cast("double")
+            / F.length("text").cast("double")
+        ).alias("x_space"),
+    )
+    return fit_logistic(feat, "y", ["x_len", "x_space"], iterations=8, learning_rate=5.0)

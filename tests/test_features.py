@@ -675,3 +675,126 @@ class TestWeightedQuantiles:
             weighted_quantiles(df, "v", "w", qs=[])
         with _pytest.raises(ValueError):
             weighted_quantiles(df, "v", "w", qs=[1.5])
+
+
+class TestFitLogistic:
+    def _ref(self, rows, iterations, lr, l2=0.0):
+        # pure-Python replay of the snapped recurrence (the contract:
+        # the distributed trainer must match this bit-for-bit)
+        import math
+
+        d = len(rows[0]) - 1 + 1  # features + intercept
+        w = [0.0] * d
+        n = len(rows)
+        for _ in range(iterations):
+            g = [0.0] * d
+            for row in rows:
+                y, feats = row[0], row[1:]
+                x = (1.0,) + tuple(feats)
+                z = w[0] * x[0]
+                for j in range(1, d):
+                    z = z + w[j] * x[j]
+                p = round(1.0 / (1.0 + math.exp(-z)), 10)
+                for j in range(d):
+                    g[j] += round((p - y) * x[j], 12)
+            w = [round(w[j] - lr * (g[j] / n + l2 * w[j]), 10) for j in range(d)]
+        return w
+
+    def _rows(self):
+        # separable-ish: y = (v > 0.5) with a noisy second feature
+        rows = []
+        for i in range(400):
+            v = (i % 97) / 97.0
+            noise = ((i * 31) % 89) / 89.0
+            rows.append((1.0 if v > 0.5 else 0.0, v, noise))
+        return rows
+
+    def test_matches_reference_bitwise(self, spark):
+        from spark_extension_spark.operators.features import fit_logistic
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        got = {
+            r["feature"]: r["weight"]
+            for r in fit_logistic(
+                df, "y", ["x1", "x2"], iterations=6, learning_rate=2.0
+            ).collect()
+        }
+        ref = self._ref(rows, iterations=6, lr=2.0)
+        assert repr(got["__intercept__"]) == repr(ref[0])
+        assert repr(got["x1"]) == repr(ref[1])
+        assert repr(got["x2"]) == repr(ref[2])
+
+    def test_partitioning_independent(self, spark):
+        from spark_extension_spark.operators.features import fit_logistic
+
+        rows = self._rows()
+        a = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        b = spark.createDataFrame(rows, ["y", "x1", "x2"]).repartition(13)
+        wa = sorted(map(tuple, fit_logistic(a, "y", ["x1", "x2"], 4, 2.0).collect()))
+        wb = sorted(map(tuple, fit_logistic(b, "y", ["x1", "x2"], 4, 2.0).collect()))
+        assert [(f, repr(w)) for f, w in wa] == [(f, repr(w)) for f, w in wb]
+
+    def test_learns_separable_boundary(self, spark):
+        from spark_extension_spark.operators.features import (
+            fit_logistic, logistic_score,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        w = fit_logistic(df, "y", ["x1", "x2"], iterations=20, learning_rate=5.0)
+        scored = logistic_score(df, w)
+        acc = (
+            scored.select(
+                ((F.col("score") >= 0.5).cast("int") == F.col("y").cast("int"))
+                .cast("int").alias("hit")
+            ).agg(F.avg("hit")).collect()[0][0]
+        )
+        assert acc > 0.9
+        # signal feature got the dominant positive weight
+        wm = {r["feature"]: r["weight"] for r in w.collect()}
+        assert wm["x1"] > abs(wm["x2"])
+
+    def test_null_rows_excluded_and_misuse(self, spark):
+        from spark_extension_spark.operators.features import fit_logistic
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        with_nulls = df.union(
+            spark.createDataFrame(
+                [(None, 0.3, 0.4), (1.0, None, 0.1)], df.schema
+            )
+        )
+        wa = sorted(map(tuple, fit_logistic(df, "y", ["x1", "x2"], 3, 2.0).collect()))
+        wb = sorted(map(tuple, fit_logistic(with_nulls, "y", ["x1", "x2"], 3, 2.0).collect()))
+        assert [(f, repr(w)) for f, w in wa] == [(f, repr(w)) for f, w in wb]
+        with pytest.raises(ValueError, match="feature_cols"):
+            fit_logistic(df, "y", [])
+        with pytest.raises(ValueError, match="iterations"):
+            fit_logistic(df, "y", ["x1"], iterations=0)
+
+    def test_sql_replay_matches(self, spark):
+        import duckdb
+
+        from spark_extension_spark.operators.features import (
+            fit_logistic, fit_logistic_sql,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        got = sorted(
+            (r["feature"], repr(r["weight"]))
+            for r in fit_logistic(df, "y", ["x1", "x2"], 5, 3.0).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"({y!r}, {x1!r}, {x2!r})" for y, x1, x2 in rows)
+            + ") AS v(y, x1, x2)"
+        )
+        sql = fit_logistic_sql(
+            "t", ["x1", "x2"], "y", iterations=5, learning_rate=3.0,
+            feature_names=["x1", "x2"],
+        )
+        duck = sorted((f, repr(w)) for f, w in con.execute(sql).fetchall())
+        assert got == duck
