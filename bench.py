@@ -76,7 +76,11 @@ REPACK = os.environ.get("SPARK_GRAFT_REPACK", "1") == "1"
 def _repack(src: str, dst: str, target_groups: int = 32) -> None:
     """Rewrite each table in ``src`` into ``dst`` with ~target_groups row
     groups so the parquet scan is splittable.  Schema-preserving
-    (version='2.6' keeps INT64 timestamp physical types intact)."""
+    (version='2.6' keeps INT64 timestamp physical types intact).
+    Streams one output row group at a time (iter_batches →
+    ParquetWriter), so peak memory is one row group — not the whole
+    table — and pointing SPARK_GRAFT_SF_DIR at a large scale factor
+    cannot OOM the driver-side Python process."""
     import math
 
     import pyarrow.parquet as pq
@@ -88,13 +92,15 @@ def _repack(src: str, dst: str, target_groups: int = 32) -> None:
         pf = pq.ParquetFile(os.path.join(src, fname))
         rows = pf.metadata.num_rows
         rg = max(32, math.ceil(rows / target_groups))
-        pq.write_table(
-            pf.read(),
+        with pq.ParquetWriter(
             os.path.join(dst, fname),
-            row_group_size=rg,
+            pf.schema_arrow,
             version="2.6",
             compression="snappy",
-        )
+        ) as w:
+            # each write_batch call closes a row group
+            for batch in pf.iter_batches(batch_size=rg):
+                w.write_batch(batch)
 
 # Every registry/correctness-gate query gets a bench row, so a perf
 # regression anywhere in the surface is visible in BENCH_r{N}.json
@@ -283,6 +289,7 @@ def main() -> None:
         sf = None
 
     timings = {}
+    repack_applied = False
     sf_dir, warm_dir = SF_DIR, WARM_DIR
     if REPACK:
         here = os.path.dirname(os.path.abspath(__file__))
@@ -303,6 +310,7 @@ def main() -> None:
         else:
             sf_dir, warm_dir = new_sf, new_warm
             timings["ingest_repack"] = round(time.perf_counter() - t0, 3)
+            repack_applied = True
     for name in HEADLINE:
         fn = QUERIES[name]
         # Warmup at the smallest SF before the timed runs: whole-stage
@@ -356,6 +364,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # totals are only comparable round-over-round on the
+                # same layout — false means the repack fell back to the
+                # shipped single-row-group files
+                "repack": repack_applied,
             },
             f,
             indent=2,
@@ -369,6 +381,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: timings[name] for k, name in keys.items()},
                 "sf": sf,
+                "repack": repack_applied,
                 "keys": "BENCH_KEYS.md",
             },
             separators=(",", ":"),

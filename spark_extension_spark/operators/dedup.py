@@ -17,6 +17,7 @@ Scale design (100 TB documents):
 
 from __future__ import annotations
 
+import warnings
 from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -760,7 +761,19 @@ def connected_components(
                 # would need the freed checkpoint (documented).  Keeping
                 # it would accumulate one generation per call with no
                 # release point — measured as session-wide storage
-                # pressure across a 149-query benchmark.
+                # pressure across a 149-query benchmark.  The warning
+                # makes the single-use contract discoverable at runtime
+                # (dedupes per call site by the default warnings filter).
+                warnings.warn(
+                    "connected_components called without unpersist_handle:"
+                    " the returned labels are single-use-per-"
+                    "materialization — if their cache is later dropped"
+                    " (manual unpersist, executor loss) recomputation"
+                    " fails with a missing-checkpoint-block error."
+                    " Pass an UnpersistHandle to keep the result"
+                    " recomputable until you are done with it.",
+                    stacklevel=2,
+                )
                 cycler.release()
 
 

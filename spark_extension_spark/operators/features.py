@@ -821,8 +821,12 @@ def fit_logistic(
     total, never rows — with the current weights broadcast as plan
     literals.  The driver holds O(iterations × features) doubles (the
     1-row aggregate per iteration, same bounded-collect contract as the
-    BPE trainer's per-merge argmax).  Rows with a NULL label or NULL
-    feature are excluded.
+    BPE trainer's per-merge argmax).  Rows with a NULL *or NaN* label
+    or feature are excluded (a single NaN feature would otherwise
+    poison every weight to NaN through the gradient sum — and Spark
+    manufactures NaN where SQL engines yield NULL, e.g. ``0.0/0.0``
+    under non-ANSI division, so the filter keeps the trainer and its
+    SQL replay in agreement).
 
     Determinism (EXACTNESS discipline): the per-row sigmoid is snapped
     to the 1e-10 decimal grid (absorbing JVM-vs-libm ``exp`` ulp
@@ -843,9 +847,10 @@ def fit_logistic(
     dec = f"decimal(38,{int(scale)})"
     y = F.col(label_col).cast("double")
     raw_xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
-    ok = y.isNotNull()
+    ok = y.isNotNull() & ~F.isnan(y)
     for c in feature_cols:
-        ok = ok & F.col(c).isNotNull()
+        xc = F.col(c).cast("double")
+        ok = ok & xc.isNotNull() & ~F.isnan(xc)
     d = len(raw_xs)
     spark = df.sparkSession
     # features computed + persisted ONCE — K passes over cached columns,
@@ -855,40 +860,47 @@ def fit_logistic(
     ).persist()
     lr, reg = float(learning_rate), float(l2)
     w = [0.0] * d
-    for _ in range(int(iterations)):
-        # current weights inlined as plan literals: the iteration is one
-        # map-side-combined aggregate over the cached features, and the
-        # per-iteration driver sync transports d doubles.  (A fully-lazy
-        # 1-row-weights chain collected once was measured SLOWER — the
-        # nested broadcast builds serialize and the deep plan bloats
-        # driver-side optimization time.)
-        z = F.lit(w[0]) * F.col("__x0")
-        for j in range(1, d):
-            z = z + F.lit(w[j]) * F.col(f"__x{j}")
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 10)
-        r = p - F.col("__y")
-        row = data.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum((r * F.col(f"__x{j}")).cast(dec)).alias(f"g{j}") for j in range(d)],
-        )
-        # weight update computed IN-ENGINE (same arithmetic the SQL
-        # oracle replays); the collect only transports the result
-        upd = row.select(
-            *[
-                F.round(
-                    F.lit(w[j])
-                    - F.lit(lr)
-                    * (
-                        F.col(f"g{j}").cast("double") / F.col("n").cast("double")
-                        + F.lit(reg) * F.lit(w[j])
-                    ),
-                    10,
-                ).alias(f"w{j}")
-                for j in range(d)
-            ]
-        ).collect()[0]
-        w = [float(upd[f"w{j}"]) for j in range(d)]
-    data.unpersist()
+    # unpersist in finally: a mid-iteration failure (job cancel, ANSI
+    # overflow) must not leak the cached feature frame
+    try:
+        for _ in range(int(iterations)):
+            # current weights inlined as plan literals: the iteration is one
+            # map-side-combined aggregate over the cached features, and the
+            # per-iteration driver sync transports d doubles.  (A fully-lazy
+            # 1-row-weights chain collected once was measured SLOWER — the
+            # nested broadcast builds serialize and the deep plan bloats
+            # driver-side optimization time.)
+            z = F.lit(w[0]) * F.col("__x0")
+            for j in range(1, d):
+                z = z + F.lit(w[j]) * F.col(f"__x{j}")
+            p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 10)
+            r = p - F.col("__y")
+            row = data.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum((r * F.col(f"__x{j}")).cast(dec)).alias(f"g{j}")
+                    for j in range(d)
+                ],
+            )
+            # weight update computed IN-ENGINE (same arithmetic the SQL
+            # oracle replays); the collect only transports the result
+            upd = row.select(
+                *[
+                    F.round(
+                        F.lit(w[j])
+                        - F.lit(lr)
+                        * (
+                            F.col(f"g{j}").cast("double") / F.col("n").cast("double")
+                            + F.lit(reg) * F.lit(w[j])
+                        ),
+                        10,
+                    ).alias(f"w{j}")
+                    for j in range(d)
+                ]
+            ).collect()[0]
+            w = [float(upd[f"w{j}"]) for j in range(d)]
+    finally:
+        data.unpersist()
     names = ["__intercept__"] + list(feature_cols)
     return spark.createDataFrame(
         list(zip(names, w)), "feature string, weight double"

@@ -555,18 +555,26 @@ def char_entropy(
     Returns (id, ``n_chars``, ``entropy``); empty documents get
     ``n_chars = 0`` and NULL entropy (visible, not a fake 0).
 
-    Each ``p·ln p`` term is quantized to 10 decimals before the exact
-    decimal fold (same discipline as the DSIR logratio): ``ln`` differs
-    between libm builds at the last ulp, and the 1e-10 grid absorbs
-    that spread so the entropy is bit-reproducible across engines and
-    platforms.  The quantization perturbs the reported entropy by at
-    most ``5e-11 ·`` (distinct chars per doc) — far below the metric's
-    meaningful resolution.
+    Using ``H = −(1/n)·Σ_c k_c · ln(k_c/n)``, each ``ln(k/n)`` output
+    is snapped to an exact DECIMAL(18,10) grid (round to 10 decimals,
+    then the same-scale decimal cast — the discipline from
+    :func:`~..ranking.doc_logprob`): ``ln`` differs between libm
+    builds at the last ulp, and the snap absorbs that spread.  The
+    ``k · snapped_ln`` fold is then pure integer-decimal arithmetic —
+    order-independent — and only the single final division by ``n``
+    touches floats (one IEEE correctly-rounded op).  Unlike rounding
+    the ``p·ln p`` *product* (whose 3–4-ulp spread from divide ×
+    multiply can straddle a 0.5e-10 grid midpoint), the snapped input
+    carries at most the 1-ulp ln spread into the grid, so outputs are
+    reproducible across engines and libm builds except in the
+    measure-zero case where ``ln`` itself lands within an ulp of a
+    grid midpoint.  The quantization perturbs the reported entropy by
+    at most ``5e-11`` — far below the metric's meaningful resolution.
 
     Scale shape: one char explode (rows = corpus character count — the
     same cost class as tokenization, one scan) into a map-side-combined
     (doc, char) count, then a per-doc exact DECIMAL aggregate of the
-    quantized ``p·ln p`` terms — order-independent."""
+    ``k · snapped_ln`` terms — order-independent."""
     chars = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__c")
     ).where(F.col("__c") != "")
@@ -577,18 +585,29 @@ def char_entropy(
         .select(
             F.col(id_col),
             F.col("__n"),
-            F.round(
-                (F.col("__k").cast("double") / F.col("__n").cast("double"))
-                * F.log(F.col("__k").cast("double") / F.col("__n").cast("double")),
-                10,
-            ).cast("decimal(38,10)").alias("__t"),
+            (
+                F.round(
+                    F.log(F.col("__k").cast("double") / F.col("__n").cast("double")),
+                    10,
+                ).cast("decimal(18,10)")
+                * F.col("__k").cast("decimal(10,0)")
+            ).alias("__t"),
         )
         .groupBy(id_col)
         .agg(
             F.max("__n").alias("n_chars"),
-            # + 0.0 canonicalizes the all-one-char case: -(sum of 0
-            # terms) is IEEE -0.0, and -0.0 + 0.0 = +0.0
-            (-F.sum("__t").cast("double") + F.lit(0.0)).alias("entropy"),
+            F.sum("__t").alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_chars"),
+            # + 0.0 canonicalizes the all-one-char case: ln(1) = 0
+            # exactly, so __s = 0 and -(0/n) is IEEE -0.0; -0.0 + 0.0
+            # = +0.0
+            (
+                -(F.col("__s").cast("double") / F.col("n_chars").cast("double"))
+                + F.lit(0.0)
+            ).alias("entropy"),
         )
     )
     return (

@@ -4273,14 +4273,17 @@ counts AS (
   FROM chars WHERE c <> '' GROUP BY 1, 2
 ),
 per AS (
-  -- each p*ln(p) term round()ed to 10 decimals before the exact
-  -- decimal fold (libm-ulp absorption, mirrors the operator), then
-  -- decimal->double via VARCHAR (bit-matches Spark's cast)
+  -- ln(k/n) snapped to the DECIMAL(18,10) grid BEFORE the fold
+  -- (mirrors the operator: k * snapped_ln is pure integer-decimal
+  -- arithmetic; only the final /n touches floats).  decimal->double
+  -- via VARCHAR bit-matches Spark's cast.
   SELECT doc_id,
          MAX(n) AS n_chars,
-         -CAST(CAST(SUM(CAST(round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-               * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 10) AS DECIMAL(38,10)))
-               AS VARCHAR) AS DOUBLE) + 0.0 AS entropy
+         -(CAST(CAST(SUM(
+               CAST(round(ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 10)
+                    AS DECIMAL(18,10)) * CAST(k AS DECIMAL(10,0)))
+               AS VARCHAR) AS DOUBLE)
+           / CAST(MAX(n) AS DOUBLE)) + 0.0 AS entropy
   FROM (SELECT doc_id, c, k, SUM(k) OVER (PARTITION BY doc_id) AS n FROM counts)
   GROUP BY doc_id
 )
@@ -5839,10 +5842,15 @@ def _logreg_oracle() -> str:
     from .operators.features import fit_logistic_sql
 
     return fit_logistic_sql(
+        # nullif guards the empty-text division: DuckDB's /0 yields NULL
+        # (row excluded by the trainer's filter) while Spark's non-ANSI
+        # 0.0/0.0 yields NaN — nullif makes BOTH sides NULL, and the
+        # trainer additionally drops NaN features, so operator and
+        # oracle agree even on degenerate testdata
         "(SELECT CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y,"
         " CAST(n_chars AS DOUBLE)/1000.0 AS x_len,"
         " CAST(length(text) - length(replace(text,' ','')) AS DOUBLE)"
-        "/CAST(length(text) AS DOUBLE) AS x_space"
+        "/CAST(nullif(length(text),0) AS DOUBLE) AS x_space"
         " FROM documents)",
         ["x_len", "x_space"],
         "y",
@@ -5865,7 +5873,7 @@ def q_fit_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x_len"),
         (
             (F.length("text") - F.length(F.expr("replace(text,' ','')"))).cast("double")
-            / F.length("text").cast("double")
+            / F.expr("nullif(length(text), 0)").cast("double")
         ).alias("x_space"),
     )
     return fit_logistic(feat, "y", ["x_len", "x_space"], iterations=8, learning_rate=5.0)
