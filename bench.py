@@ -289,6 +289,7 @@ def main() -> None:
         sf = None
 
     timings = {}
+    spreads = {}  # raw per-run seconds — noise adjudication data
     repack_applied = False
     sf_dir, warm_dir = SF_DIR, WARM_DIR
     if REPACK:
@@ -332,6 +333,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
         timings[name] = round(sorted(runs)[1], 3)  # median of 3
+        spreads[name] = [round(r, 3) for r in runs]
         # Operators that persist internally (CC, triangles, row numbers, ...)
         # would otherwise accumulate storage blocks across all queries and
         # evict each other mid-run: q_i's time then depends on every q_j
@@ -363,6 +365,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # all 3 raw runs per query (reported value is the
+                # median): a regression whose three runs disagree wildly
+                # is machine noise, not a plan change — adjudicate from
+                # the spread before profiling
+                "runs": spreads,
                 "sf": sf,
                 # totals are only comparable round-over-round on the
                 # same layout — false means the repack fell back to the

@@ -84,6 +84,18 @@ def salted_join(
 
     Supported join types: inner / left / left_semi (the replicated side
     would break right/full semantics).
+
+    The replicated side carries a ``shuffle_hash`` hint: the operator's
+    contract is "``small`` is too large to broadcast", so letting the
+    planner broadcast the *salt-times-larger* exploded copy would be
+    strictly worse than broadcasting ``small`` directly (a driver-built
+    hash relation ``salt``× the size, with the salt doing nothing) —
+    it only happens when a size estimate undershoots the broadcast
+    threshold, i.e. exactly when the user's knowledge says it
+    shouldn't.  The hint pins the intended physical shape: both sides
+    hash-shuffled by (keys..., salt) — the scatter that splits each hot
+    key across ``salt`` reducers — with the hash table built per-task
+    from the replicated side, no sort on the skewed side.
     """
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(
@@ -96,7 +108,7 @@ def salted_join(
     left = with_salt(skewed, salt, salt_col)
     right = small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
+    ).hint("shuffle_hash")
     joined = left.join(right, keys + [salt_col], how)
     return joined.drop(salt_col)
 
