@@ -73,7 +73,9 @@ def install_pip_package(*packages: str) -> None:
     """Install pip packages into the running Spark application: pip
     installs into a temp target, which is zipped, shipped via
     ``sc.addArchive`` and put on ``sys.path`` driver-side (reference
-    python __init__.py:612-738).  Requires network access."""
+    python __init__.py:612-738).  Arguments pass through to pip, so
+    local wheel paths (with ``--no-index``) install without network;
+    index-resolved package names require network access."""
     import shutil
     import subprocess
     import sys

@@ -226,3 +226,82 @@ def test_local_checkpoint_cycler_lag_window(spark):
     for g in gens[-3:]:
         assert g.count() == 10
     cyc.release()
+
+
+def _write_trivial_wheel(dirpath, name="sx_wheeltest", version="1.0"):
+    """Hand-assemble a minimal no-dependency wheel (a wheel is a zip
+    with package files + dist-info) so the install path is testable
+    with zero network and zero build tooling."""
+    import base64
+    import hashlib
+    import os
+    import zipfile
+
+    whl = os.path.join(dirpath, f"{name}-{version}-py3-none-any.whl")
+    files = {
+        f"{name}/__init__.py": "MAGIC = 41 + 1\n",
+        f"{name}-{version}.dist-info/METADATA": (
+            f"Metadata-Version: 2.1\nName: {name}\nVersion: {version}\n"
+        ),
+        f"{name}-{version}.dist-info/WHEEL": (
+            "Wheel-Version: 1.0\nGenerator: test\nRoot-Is-Purelib: true\n"
+            "Tag: py3-none-any\n"
+        ),
+    }
+    record_name = f"{name}-{version}.dist-info/RECORD"
+    record_rows = []
+    for fname, content in files.items():
+        digest = base64.urlsafe_b64encode(
+            hashlib.sha256(content.encode()).digest()
+        ).rstrip(b"=").decode()
+        record_rows.append(f"{fname},sha256={digest},{len(content)}")
+    record_rows.append(f"{record_name},,")
+    with zipfile.ZipFile(whl, "w") as z:
+        for fname, content in files.items():
+            z.writestr(fname, content)
+        z.writestr(record_name, "\n".join(record_rows) + "\n")
+    return whl
+
+
+def test_install_pip_package_local_wheel(spark, tmp_path):
+    """Network-free verification of the pip-install path (reference
+    python/gresearch/spark/__init__.py:612-738): pip installs a LOCAL
+    wheel into the temp target, the target is zipped + shipped via
+    sc.addArchive, and the package imports driver-side."""
+    import sys
+
+    from spark_extension_spark.session import install_pip_package
+
+    whl = _write_trivial_wheel(str(tmp_path))
+    before_path = list(sys.path)
+    try:
+        install_pip_package(whl, "--no-index")
+        import sx_wheeltest
+
+        assert sx_wheeltest.MAGIC == 42
+        # the pip target landed at the front of sys.path...
+        target = sys.path[0]
+        assert sx_wheeltest.__file__.startswith(target)
+        # ...and its zip was registered with the Spark application so
+        # executors unpack the same environment
+        archives = list(spark.sparkContext.listArchives)
+        assert any(a.endswith(".zip") and "pip" in a for a in archives), archives
+    finally:
+        sys.path[:] = before_path
+        sys.modules.pop("sx_wheeltest", None)
+
+
+def test_install_pip_package_failure_propagates(spark, tmp_path):
+    """A package pip cannot resolve raises CalledProcessError — no
+    silent success, no sys.path/archive side effects."""
+    import subprocess
+    import sys
+
+    from spark_extension_spark.session import install_pip_package
+
+    before_path = list(sys.path)
+    with pytest.raises(subprocess.CalledProcessError):
+        install_pip_package(
+            str(tmp_path / "does-not-exist-0-py3-none-any.whl"), "--no-index"
+        )
+    assert sys.path == before_path
