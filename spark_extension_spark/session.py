@@ -85,7 +85,15 @@ def install_pip_package(*packages: str) -> None:
     subprocess.check_call(
         [sys.executable, "-m", "pip", "install", "--target", target, *packages]
     )
-    archive = shutil.make_archive(target, "zip", target)
+    # the archive must live OUTSIDE Spark's userFiles directory: in
+    # local mode executors fetch added archives INTO that directory,
+    # and a source already at the destination path collides with its
+    # own copy (NoSuchFileException on every subsequent task).  A plain
+    # OS tempdir is safe on any deploy mode.
+    archive_base = os.path.join(
+        tempfile.mkdtemp(prefix="spark-pip-archive"), os.path.basename(target)
+    )
+    archive = shutil.make_archive(archive_base, "zip", target)
     spark.sparkContext.addArchive(archive)
     sys.path.insert(0, target)
 

@@ -504,3 +504,15 @@ def test_audio_stats_zero_shuffle_scan_kernel(spark):
     # decode kernel is a pure mapInPandas over the scan: no joins, no
     # exchanges, and the scan reads only the id + blob-source columns
     assert plan.joins == [] and plan.exchanges == 0
+
+
+def test_salted_join_is_shuffled_hash_never_broadcast(spark):
+    plan = summarize_plan(QUERIES["salted_join_lineitem_orders"](spark, SF))
+    # the operator's contract is "small is too large to broadcast": the
+    # planner must never broadcast the salt-times-larger exploded copy
+    # (r6 regression: an under-threshold size estimate produced a
+    # driver-built hash relation 8x the small side).  The shuffle_hash
+    # hint pins the scatter both ways.
+    assert "ShuffledHashJoin" in plan.joins, plan.joins
+    assert "BroadcastHashJoin" not in plan.joins, plan.joins
+    assert not plan.has_cartesian

@@ -286,6 +286,11 @@ def test_install_pip_package_local_wheel(spark, tmp_path):
         # executors unpack the same environment
         archives = list(spark.sparkContext.listArchives)
         assert any(a.endswith(".zip") and "pip" in a for a in archives), archives
+        # the session must stay healthy AFTER the install: executors
+        # fetch every added archive on the next task, so a zip created
+        # inside Spark's own userFiles dir would collide with its copy
+        # and fail every subsequent job in local mode (regression test)
+        assert spark.range(10).count() == 10
     finally:
         sys.path[:] = before_path
         sys.modules.pop("sx_wheeltest", None)
