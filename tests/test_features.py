@@ -773,6 +773,24 @@ class TestFitLogistic:
         with pytest.raises(ValueError, match="iterations"):
             fit_logistic(df, "y", ["x1"], iterations=0)
 
+    def test_nan_rows_excluded(self, spark):
+        # a single NaN feature (e.g. Spark's non-ANSI 0.0/0.0) would
+        # otherwise poison every weight through the gradient sum; NaN
+        # rows must drop exactly like NULL rows
+        from spark_extension_spark.operators.features import fit_logistic
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        nan = float("nan")
+        with_nans = df.union(
+            spark.createDataFrame(
+                [(nan, 0.3, 0.4), (1.0, nan, 0.1), (0.0, 0.2, nan)], df.schema
+            )
+        )
+        wa = sorted(map(tuple, fit_logistic(df, "y", ["x1", "x2"], 3, 2.0).collect()))
+        wb = sorted(map(tuple, fit_logistic(with_nans, "y", ["x1", "x2"], 3, 2.0).collect()))
+        assert [(f, repr(w)) for f, w in wa] == [(f, repr(w)) for f, w in wb]
+
     def test_sql_replay_matches(self, spark):
         import duckdb
 
