@@ -16,7 +16,7 @@ identical to the unsalted equi-join (verified by oracle query
 
 from __future__ import annotations
 
-from typing import List, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -77,6 +77,7 @@ def salted_join(
     on: Union[str, Sequence[str]],
     how: str = "inner",
     salt: int = 16,
+    join_hint: Optional[str] = "shuffle_hash",
 ) -> DataFrame:
     """Equi-join where ``skewed``'s join keys are heavily skewed and
     ``small`` is too large to broadcast: scatter + replicate so each hot
@@ -85,17 +86,25 @@ def salted_join(
     Supported join types: inner / left / left_semi (the replicated side
     would break right/full semantics).
 
-    The replicated side carries a ``shuffle_hash`` hint: the operator's
-    contract is "``small`` is too large to broadcast", so letting the
-    planner broadcast the *salt-times-larger* exploded copy would be
-    strictly worse than broadcasting ``small`` directly (a driver-built
-    hash relation ``salt``× the size, with the salt doing nothing) —
-    it only happens when a size estimate undershoots the broadcast
-    threshold, i.e. exactly when the user's knowledge says it
+    The replicated side carries a ``shuffle_hash`` hint by default: the
+    operator's contract is "``small`` is too large to broadcast", so
+    letting the planner broadcast the *salt-times-larger* exploded copy
+    would be strictly worse than broadcasting ``small`` directly (a
+    driver-built hash relation ``salt``× the size, with the salt doing
+    nothing) — it only happens when a size estimate undershoots the
+    broadcast threshold, i.e. exactly when the user's knowledge says it
     shouldn't.  The hint pins the intended physical shape: both sides
     hash-shuffled by (keys..., salt) — the scatter that splits each hot
     key across ``salt`` reducers — with the hash table built per-task
     from the replicated side, no sort on the skewed side.
+
+    Sizing note: the per-task hash table holds one shuffle partition of
+    the *replicated* side (≈ ``|small| · salt / shuffle_partitions``
+    rows), so size ``spark.sql.shuffle.partitions`` to keep that within
+    executor memory — the usual SHJ discipline.  On clusters where that
+    cannot be guaranteed, pass ``join_hint="merge"`` for a sort-merge
+    join (both sides spill gracefully; pays a sort on the skewed side)
+    or ``join_hint=None`` to let the planner decide unpinned.
     """
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(
@@ -108,7 +117,9 @@ def salted_join(
     left = with_salt(skewed, salt, salt_col)
     right = small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    ).hint("shuffle_hash")
+    )
+    if join_hint is not None:
+        right = right.hint(join_hint)
     joined = left.join(right, keys + [salt_col], how)
     return joined.drop(salt_col)
 

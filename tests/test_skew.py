@@ -116,3 +116,15 @@ class TestDifferentialJoin:
         df = spark.createDataFrame([(1, 1)], ["k", "v"])
         with _pytest.raises(ValueError, match="supports inner/left"):
             differential_join(df, df, "k", how="full")
+
+
+def test_salted_join_hint_escape_hatches(skewed, dim, spark):
+    from spark_extension_spark.plans import summarize_plan
+
+    plain = sorted(map(tuple, skewed.join(dim, "k").groupBy("k").count().collect()))
+    for hint in ("shuffle_hash", "merge", None):
+        j = salted_join(skewed, dim, "k", salt=4, join_hint=hint)
+        got = sorted(map(tuple, j.groupBy("k").count().collect()))
+        assert got == plain, hint
+    merged = salted_join(skewed, dim, "k", salt=4, join_hint="merge")
+    assert "SortMergeJoin" in summarize_plan(merged).joins
