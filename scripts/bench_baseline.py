@@ -260,6 +260,9 @@ def main() -> None:
         .config("spark.driver.memory", "90g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # same production knob as bench.py: per-call call-site capture
+        # off, so BOTH sides pay identical plan-construction costs
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
