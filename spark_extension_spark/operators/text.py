@@ -566,10 +566,16 @@ def char_entropy(
     the ``p·ln p`` *product* (whose 3–4-ulp spread from divide ×
     multiply can straddle a 0.5e-10 grid midpoint), the snapped input
     carries at most the 1-ulp ln spread into the grid, so outputs are
-    reproducible across engines and libm builds except in the
-    measure-zero case where ``ln`` itself lands within an ulp of a
-    grid midpoint.  The quantization perturbs the reported entropy by
-    at most ``5e-11`` — far below the metric's meaningful resolution.
+    reproducible across engines and libm builds except in the rare
+    case where ``ln`` itself lands within an ulp of a grid midpoint.
+    A second quantization stage makes even that case inert: the final
+    entropy is snapped to a 1e-7 DECIMAL grid, so an inner flip
+    (≤ 1e-10 movement) changes the output only if the entropy also
+    sits within 1e-10 of a 0.5e-7 midpoint — two independent
+    near-midpoint coincidences.  The quantization perturbs the
+    reported entropy by at most ``5e-8`` — far below the metric's
+    meaningful resolution (the gibberish/template bands it separates
+    differ by ~0.1 nat).
 
     Scale shape: one char explode (rows = corpus character count — the
     same cost class as tokenization, one scan) into a map-side-combined
@@ -603,11 +609,23 @@ def char_entropy(
             F.col("n_chars"),
             # + 0.0 canonicalizes the all-one-char case: ln(1) = 0
             # exactly, so __s = 0 and -(0/n) is IEEE -0.0; -0.0 + 0.0
-            # = +0.0
-            (
+            # = +0.0.  The outer snap (round to 7 decimals, same-scale
+            # DECIMAL cast, correctly-rounded cast back to double) is
+            # the second quantization stage: if an inner ln snap ever
+            # flips (the residual 1-ulp-at-a-grid-midpoint case), the
+            # entropy moves by ≤ 1e-10 — invisible on the 1e-7 output
+            # grid unless the value itself sits within 1e-10 of a
+            # 0.5e-7 midpoint.  1e-7 nats is far below the metric's
+            # meaningful resolution (gibberish/template bands differ
+            # by ~0.1).
+            F.round(
                 -(F.col("__s").cast("double") / F.col("n_chars").cast("double"))
-                + F.lit(0.0)
-            ).alias("entropy"),
+                + F.lit(0.0),
+                7,
+            )
+            .cast("decimal(18,7)")
+            .cast("double")
+            .alias("entropy"),
         )
     )
     return (

@@ -4279,11 +4279,18 @@ per AS (
   -- via VARCHAR bit-matches Spark's cast.
   SELECT doc_id,
          MAX(n) AS n_chars,
-         -(CAST(CAST(SUM(
-               CAST(round(ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 10)
-                    AS DECIMAL(18,10)) * CAST(k AS DECIMAL(10,0)))
-               AS VARCHAR) AS DOUBLE)
-           / CAST(MAX(n) AS DOUBLE)) + 0.0 AS entropy
+         -- outer snap mirrors the operator: round the one float
+         -- division to the 1e-7 grid, recover the exact DECIMAL grid
+         -- point, and cast back to double via VARCHAR (correctly
+         -- rounded on both engines) — an inner ln-snap flip (≤1e-10)
+         -- cannot move the output off this grid
+         CAST(CAST(CAST(round(
+           -(CAST(CAST(SUM(
+                 CAST(round(ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 10)
+                      AS DECIMAL(18,10)) * CAST(k AS DECIMAL(10,0)))
+                 AS VARCHAR) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE)) + 0.0,
+           7) AS DECIMAL(18,7)) AS VARCHAR) AS DOUBLE) AS entropy
   FROM (SELECT doc_id, c, k, SUM(k) OVER (PARTITION BY doc_id) AS n FROM counts)
   GROUP BY doc_id
 )
