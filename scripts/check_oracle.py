@@ -139,7 +139,13 @@ def main() -> int:
         # limitation" in EXACTNESS.md).  Cross-layout runs substitute
         # ORACLE_DIR too; footer queries stay documented skips there
         # (their output IS the layout).
-        sql = oracles[name].replace("/root/testdata/sf0.01", ORACLE_DIR)
+        # _T2 is the registry's own constant for the driver's gate SF
+        # dir — importing it (rather than re-hardcoding the literal)
+        # keeps this rewrite from silently becoming a no-op if the
+        # testdata root ever moves.
+        from spark_extension_spark.registry import _T2
+
+        sql = oracles[name].replace(_T2, ORACLE_DIR)
         rel = con.execute(sql)
         duck_cols = [d[0] for d in rel.description]
         duck_rows = rel.fetchall()

@@ -670,6 +670,8 @@ def connected_components(
     check_every: int = 2,
     algorithm: str = "label",
     unpersist_handle: Optional[UnpersistHandle] = None,
+    warn_single_use: bool = True,
+    _warn_stacklevel: int = 2,
 ) -> DataFrame:
     """Connected components over an undirected edge list: one row per
     node with ``cluster_id`` = the smallest node id reachable from it.
@@ -711,6 +713,12 @@ def connected_components(
     with a missing-checkpoint-block error: treat the no-handle result
     as single-use-per-materialization, or pass a handle.  On a mid-loop
     failure every generation is freed before the exception propagates.
+
+    ``warn_single_use=False`` suppresses the no-handle runtime warning
+    — for callers that consume the labels immediately (one action, then
+    done) and accept the single-use contract knowingly.
+    ``_warn_stacklevel`` lets the composed operators that wrap this one
+    point the warning at *their* caller instead of library internals.
     """
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     fwd.count()  # force: upstream pair pipelines are expensive; run once
@@ -764,16 +772,20 @@ def connected_components(
                 # pressure across a 149-query benchmark.  The warning
                 # makes the single-use contract discoverable at runtime
                 # (dedupes per call site by the default warnings filter).
-                warnings.warn(
-                    "connected_components called without unpersist_handle:"
-                    " the returned labels are single-use-per-"
-                    "materialization — if their cache is later dropped"
-                    " (manual unpersist, executor loss) recomputation"
-                    " fails with a missing-checkpoint-block error."
-                    " Pass an UnpersistHandle to keep the result"
-                    " recomputable until you are done with it.",
-                    stacklevel=2,
-                )
+                if warn_single_use:
+                    warnings.warn(
+                        "connected_components called without"
+                        " unpersist_handle: the returned labels are"
+                        " single-use-per-materialization — if their"
+                        " cache is later dropped (manual unpersist,"
+                        " executor loss) recomputation fails with a"
+                        " missing-checkpoint-block error. Pass an"
+                        " UnpersistHandle to keep the result"
+                        " recomputable until you are done with it, or"
+                        " warn_single_use=False to accept the contract"
+                        " silently.",
+                        stacklevel=_warn_stacklevel,
+                    )
                 cycler.release()
 
 
@@ -783,17 +795,25 @@ def near_dup_clusters(
     id_b: str = "id_b",
     max_iterations: int = 50,
     unpersist_handle: Optional[UnpersistHandle] = None,
+    warn_single_use: bool = True,
+    _warn_stacklevel: int = 3,
 ) -> DataFrame:
     """Cluster assignment (``doc_id``, ``cluster_id``) for every document
     appearing in a near-duplicate pair list; ``cluster_id`` is the
     smallest doc id in the component, so "keep the representative" is
-    ``WHERE doc_id = cluster_id`` and "drop the rest" is the negation."""
+    ``WHERE doc_id = cluster_id`` and "drop the rest" is the negation.
+
+    No-handle results inherit :func:`connected_components`' single-use
+    contract (and its runtime warning; ``warn_single_use=False``
+    accepts the contract silently)."""
     return connected_components(
         pairs,
         src=id_a,
         dst=id_b,
         max_iterations=max_iterations,
         unpersist_handle=unpersist_handle,
+        warn_single_use=warn_single_use,
+        _warn_stacklevel=_warn_stacklevel,
     ).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -883,6 +903,7 @@ def dedup_keep_best(
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = 1000,
     unpersist_handle: Optional[UnpersistHandle] = None,
+    warn_single_use: bool = True,
 ) -> DataFrame:
     """End-to-end near-dedup keeping the *best* document per duplicate
     cluster (highest ``quality_col``; ties go to the smallest id) —
@@ -914,7 +935,8 @@ def dedup_keep_best(
             unpersist_handle=unpersist_handle,
         ).select("id_a", "id_b")
     clusters = near_dup_clusters(
-        pairs, unpersist_handle=unpersist_handle
+        pairs, unpersist_handle=unpersist_handle,
+        warn_single_use=warn_single_use, _warn_stacklevel=4,
     ).withColumnRenamed("doc_id", id_col)
     # `labeled` feeds both the per-cluster max-struct aggregate and the
     # final join below; without the persist the corpus→clusters shuffle
@@ -953,6 +975,7 @@ def leakage_safe_splits(
     out: str = "split",
     max_iterations: int = 50,
     unpersist_handle: Optional[UnpersistHandle] = None,
+    warn_single_use: bool = True,
 ) -> DataFrame:
     """Train/validation/test assignment that near-duplicates can never
     straddle: the frozen hash draw is keyed on the document's near-dup
@@ -979,7 +1002,8 @@ def leakage_safe_splits(
             unpersist_handle=unpersist_handle,
         ).select("id_a", "id_b")
     clusters = near_dup_clusters(
-        pairs, max_iterations=max_iterations, unpersist_handle=unpersist_handle
+        pairs, max_iterations=max_iterations, unpersist_handle=unpersist_handle,
+        warn_single_use=warn_single_use, _warn_stacklevel=4,
     ).withColumnRenamed("doc_id", id_col)
     labeled = df.join(clusters, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))

@@ -947,8 +947,18 @@ def fit_logistic_sql(
     sel_x = ", ".join(f"{e} AS x{j}" for j, e in enumerate(fx))
     parts = [
         f"WITH __d AS MATERIALIZED (SELECT ({label_expr}) AS y, {sel_x} FROM {data_cte}",
+        # NULL *and* NaN rows are excluded, mirroring the operator's
+        # `isNotNull & ~isnan` filter — without the isnan clause a
+        # stored NaN (IS NOT NULL in SQL) would poison every replayed
+        # gradient sum while the operator returns finite weights.
         "  WHERE (" + label_expr + ") IS NOT NULL"
-        + "".join(f" AND ({e}) IS NOT NULL" for e in feature_exprs) + "),",
+        + f" AND NOT isnan(CAST(({label_expr}) AS DOUBLE))"
+        + "".join(
+            f" AND ({e}) IS NOT NULL"
+            f" AND NOT isnan(CAST(({e}) AS DOUBLE))"
+            for e in feature_exprs
+        )
+        + "),",
         "__w0 AS MATERIALIZED (SELECT "
         + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(d))
         + "),",

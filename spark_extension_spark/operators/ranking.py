@@ -276,7 +276,11 @@ def doc_logprob(
             F.sum("tf").alias("n_tokens"),
             F.sum(
                 F.round(logp, 10).cast("decimal(18,10)")
-                * F.col("tf").cast("decimal(10,0)")
+                # decimal(19,0) covers the full long range of tf —
+                # decimal(10,0) would overflow-to-NULL (non-ANSI) past
+                # 1e10 occurrences and silently drop the term;
+                # (18,10)×(19,0) → precision exactly 38, still lossless
+                * F.col("tf").cast("decimal(19,0)")
             ).alias("__s"),
         )
     )

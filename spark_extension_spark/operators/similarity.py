@@ -769,6 +769,8 @@ def semantic_dedup(
     centroids: Optional[List[List[float]]] = None,
     max_cell_size: Optional[int] = 10_000,
     target_cell_size: int = 4096,
+    unpersist_handle=None,
+    warn_single_use: bool = True,
 ) -> DataFrame:
     """Full semantic-dedup decision per vector: (id, ``cluster_id``,
     ``keep``) — ``cluster_id`` the smallest id in the vector's
@@ -780,14 +782,23 @@ def semantic_dedup(
     back so unique vectors keep themselves.  Every stage is an
     equi-join or aggregate keyed by cell / id — nothing quadratic in
     the corpus, nothing driver-side beyond the ``n_cells`` seed rows.
-    Cell sizing / cap accounting as in :func:`semantic_near_dup_pairs`."""
+    Cell sizing / cap accounting as in :func:`semantic_near_dup_pairs`.
+
+    The cluster labels persist internally; pass an
+    :class:`~spark_extension_spark.utils.UnpersistHandle` to release
+    that cache (and keep the result recomputable) — without one the
+    output inherits :func:`~.dedup.connected_components`' single-use
+    contract and its runtime warning."""
     from .dedup import connected_components
 
     pairs = semantic_near_dup_pairs(
         df, threshold, n_cells, id_col, vec_col, centroids, max_cell_size,
         target_cell_size,
     )
-    labels = connected_components(pairs, src="id_a", dst="id_b")
+    labels = connected_components(
+        pairs, src="id_a", dst="id_b", unpersist_handle=unpersist_handle,
+        warn_single_use=warn_single_use, _warn_stacklevel=3,
+    )
     return (
         df.select(F.col(id_col))
         .join(labels.withColumnRenamed("id", id_col), id_col, "left")

@@ -110,6 +110,15 @@ def salted_join(
         raise ValueError(
             f"salted_join supports inner/left/left_semi joins, got: {how}"
         )
+    # Spark's analyzer ignores unknown hint names with only a log
+    # warning, and a 'broadcast' hint would re-enable exactly the
+    # salt-times-larger broadcast this operator exists to forbid — so
+    # reject anything outside the two shapes the contract allows.
+    if join_hint not in ("shuffle_hash", "merge", None):
+        raise ValueError(
+            "salted_join join_hint must be 'shuffle_hash', 'merge', or "
+            f"None, got: {join_hint!r}"
+        )
     keys: List[str] = [on] if isinstance(on, str) else list(on)
     prefix = distinct_prefix_for(list(skewed.columns) + list(small.columns))
     salt_col = prefix + "salt"

@@ -596,7 +596,11 @@ def char_entropy(
                     F.log(F.col("__k").cast("double") / F.col("__n").cast("double")),
                     10,
                 ).cast("decimal(18,10)")
-                * F.col("__k").cast("decimal(10,0)")
+                # decimal(19,0) covers the full long range of __k —
+                # decimal(10,0) would overflow-to-NULL (non-ANSI) past
+                # 1e10 occurrences and silently drop the dominant term;
+                # (18,10)×(19,0) → precision exactly 38, still lossless
+                * F.col("__k").cast("decimal(19,0)")
             ).alias("__t"),
         )
         .groupBy(id_col)

@@ -1726,7 +1726,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.ngram_jaccard_pairs(
         _docs_with_near_dups(spark, sf_dir), n=3, threshold=0.6
     )
-    return _dedup.near_dup_clusters(pairs)
+    # the gate collects immediately — single-use is the intended
+    # lifecycle, so accept the contract without the runtime warning
+    return _dedup.near_dup_clusters(pairs, warn_single_use=False)
 
 
 # ---------------------------------------------------------------------------
@@ -2015,7 +2017,10 @@ FROM embeddings e LEFT JOIN clusters c ON c.id = e.vec_id
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
-    return semantic_dedup(load(spark, sf_dir, "embeddings"), threshold=0.99, n_cells=16)
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.99, n_cells=16,
+        warn_single_use=False,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2045,7 +2050,7 @@ per AS (
   -- tf-weighted fold, mirroring the operator
   SELECT tf.doc_id,
          CAST(SUM(tf) AS BIGINT) AS n_tokens,
-         SUM(CAST(logp AS DECIMAL(18,10)) * CAST(tf AS DECIMAL(10,0))) AS s
+         SUM(CAST(logp AS DECIMAL(18,10)) * CAST(tf AS DECIMAL(19,0))) AS s
   FROM tf JOIN lm USING (token) GROUP BY 1
 )
 -- decimal->double via VARCHAR: bit-matches Spark's correctly-rounded cast
@@ -3211,7 +3216,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_near_dups(spark, sf_dir).withColumn(
         "quality", F.length("text").cast("long")
     )
-    return _dedup.dedup_keep_best(corpus, "quality", n=3, threshold=0.6)
+    return _dedup.dedup_keep_best(
+        corpus, "quality", n=3, threshold=0.6, warn_single_use=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3533,7 +3540,8 @@ def q_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_with_near_dups(spark, sf_dir)
     return leakage_safe_splits(
-        docs, _CLUSTER_SPLIT_WEIGHTS, n=3, threshold=0.6, seed=42
+        docs, _CLUSTER_SPLIT_WEIGHTS, n=3, threshold=0.6, seed=42,
+        warn_single_use=False,
     ).select("doc_id", "cluster_id", "split")
 
 
@@ -4287,7 +4295,7 @@ per AS (
          CAST(CAST(CAST(round(
            -(CAST(CAST(SUM(
                  CAST(round(ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 10)
-                      AS DECIMAL(18,10)) * CAST(k AS DECIMAL(10,0)))
+                      AS DECIMAL(18,10)) * CAST(k AS DECIMAL(19,0)))
                  AS VARCHAR) AS DOUBLE)
              / CAST(MAX(n) AS DOUBLE)) + 0.0,
            7) AS DECIMAL(18,7)) AS VARCHAR) AS DOUBLE) AS entropy

@@ -89,10 +89,15 @@ def install_pip_package(*packages: str) -> None:
     # local mode executors fetch added archives INTO that directory,
     # and a source already at the destination path collides with its
     # own copy (NoSuchFileException on every subsequent task).  A plain
-    # OS tempdir is safe on any deploy mode.
-    archive_base = os.path.join(
-        tempfile.mkdtemp(prefix="spark-pip-archive"), os.path.basename(target)
-    )
+    # OS tempdir is safe on any deploy mode; executors fetch the
+    # archive lazily, so it must outlive this call — reclaim it at
+    # interpreter exit instead (Spark's own userFiles cleanup happens
+    # at application exit too, so the lifetime matches).
+    import atexit
+
+    archive_dir = tempfile.mkdtemp(prefix="spark-pip-archive")
+    atexit.register(shutil.rmtree, archive_dir, ignore_errors=True)
+    archive_base = os.path.join(archive_dir, os.path.basename(target))
     archive = shutil.make_archive(archive_base, "zip", target)
     spark.sparkContext.addArchive(archive)
     sys.path.insert(0, target)

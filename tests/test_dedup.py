@@ -922,3 +922,41 @@ class TestCheckpointLifecycle:
         assert self._cached_ids(spark) <= before
         with pytest.raises(RuntimeError, match="set first"):
             UnpersistHandle()()
+
+
+def test_connected_components_single_use_warning_controls(spark):
+    import warnings as _warnings
+
+    from spark_extension_spark import connected_components
+    from spark_extension_spark.utils import UnpersistHandle
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    # no handle -> one discoverable warning
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        connected_components(edges).collect()
+    assert any("single-use" in str(x.message) for x in w)
+    # opt-out accepts the contract silently
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        connected_components(edges, warn_single_use=False).collect()
+    assert not [x for x in w if "single-use" in str(x.message)]
+    # a handle makes the result durable -> no warning either
+    h = UnpersistHandle()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        connected_components(edges, unpersist_handle=h).collect()
+    assert not [x for x in w if "single-use" in str(x.message)]
+    h()
+
+
+def test_composed_dedup_ops_forward_warn_flag(spark):
+    import warnings as _warnings
+
+    from spark_extension_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        near_dup_clusters(pairs, warn_single_use=False).collect()
+    assert not [x for x in w if "single-use" in str(x.message)]

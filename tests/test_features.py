@@ -816,3 +816,40 @@ class TestFitLogistic:
         )
         duck = sorted((f, repr(w)) for f, w in con.execute(sql).fetchall())
         assert got == duck
+
+    def test_sql_replay_matches_with_stored_nans(self, spark):
+        # literal NaN stored in the data (IS NOT NULL in SQL!) must be
+        # excluded by the replay's WHERE exactly like the operator's
+        # isnan filter — without the NOT isnan clause every replayed
+        # weight would come back NaN while the operator stays finite
+        import duckdb
+
+        from spark_extension_spark.operators.features import (
+            fit_logistic, fit_logistic_sql,
+        )
+
+        nan = float("nan")
+        rows = self._rows() + [(nan, 0.3, 0.4), (1.0, nan, 0.1), (0.0, 0.2, nan)]
+        df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+        got = sorted(
+            (r["feature"], repr(r["weight"]))
+            for r in fit_logistic(df, "y", ["x1", "x2"], 4, 2.0).collect()
+        )
+        assert all(w != "nan" for _, w in got)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(
+                "(" + ", ".join(
+                    "CAST('NaN' AS DOUBLE)" if v != v else repr(v) for v in row
+                ) + ")"
+                for row in rows
+            )
+            + ") AS v(y, x1, x2)"
+        )
+        sql = fit_logistic_sql(
+            "t", ["x1", "x2"], "y", iterations=4, learning_rate=2.0,
+            feature_names=["x1", "x2"],
+        )
+        duck = sorted((f, repr(w)) for f, w in con.execute(sql).fetchall())
+        assert got == duck

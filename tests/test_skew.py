@@ -128,3 +128,12 @@ def test_salted_join_hint_escape_hatches(skewed, dim, spark):
         assert got == plain, hint
     merged = salted_join(skewed, dim, "k", salt=4, join_hint="merge")
     assert "SortMergeJoin" in summarize_plan(merged).joins
+
+
+def test_salted_join_rejects_unknown_hint(skewed, dim):
+    # Spark's analyzer would silently ignore a typo'd hint (and a
+    # 'broadcast' hint would defeat the operator's whole purpose), so
+    # both must be rejected loudly.
+    for bad in ("shufle_hash", "broadcast", "SHUFFLE_HASH "):
+        with pytest.raises(ValueError, match="join_hint must be"):
+            salted_join(skewed, dim, "k", join_hint=bad)
