@@ -276,6 +276,29 @@ def bpe_train_sql(
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _norm_merges(merges: Sequence) -> List[Tuple[str, str]]:
+    """Normalize a merge list to ``(sym_a, sym_b)`` pairs.  Accepts the
+    trainer's 4-field output (``rank, sym_a, sym_b, merged``) and plain
+    2-element pairs, in any sequence form — tuple, list (JSON
+    round-trips), or Row — discriminated by LENGTH, not type: a
+    4-element list must not be read as a pair (it would emit the
+    garbage merge ``(rank, sym_a)``), and a 2-field Row must not be
+    indexed at [2]."""
+    norm: List[Tuple[str, str]] = []
+    for m in merges:
+        seq = list(m)
+        if len(seq) == 4:
+            norm.append((seq[1], seq[2]))
+        elif len(seq) == 2:
+            norm.append((seq[0], seq[1]))
+        else:
+            raise ValueError(
+                "merge entries must have 2 fields (sym_a, sym_b) or 4"
+                f" (rank, sym_a, sym_b, merged); got {len(seq)}: {m!r}"
+            )
+    return norm
+
+
 def bpe_segment(
     df: DataFrame,
     merges: Sequence[Tuple[str, str]],
@@ -295,14 +318,11 @@ def bpe_segment(
     projection — split into two passes beyond that).
 
     ``merges`` accepts the trainer's output rows, ``(sym_a, sym_b)``
-    tuples, or ``(rank, sym_a, sym_b, merged)`` tuples.
+    pairs, or ``(rank, sym_a, sym_b, merged)`` 4-sequences — tuples,
+    lists (e.g. a merge table round-tripped through JSON), and Rows
+    alike.
     """
-    norm: List[Tuple[str, str]] = []
-    for m in merges:
-        if hasattr(m, "__fields__") or (isinstance(m, tuple) and len(m) == 4):
-            norm.append((m[1], m[2]))
-        else:
-            norm.append((m[0], m[1]))
+    norm = _norm_merges(merges)
 
     def apply_merges(word: Column) -> Column:
         s = _spaced(word)
@@ -339,7 +359,7 @@ def bpe_segment_sql(
     repeats it stabilized at ``xx x xx``, skipping every pair whose
     leading space the previous match had consumed.)"""
     expr = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
-    for a, b in [(m[0], m[1]) if len(m) != 4 else (m[1], m[2]) for m in merges]:
+    for a, b in _norm_merges(merges):
         expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return f"""
 SELECT {id_expr} AS doc_id,

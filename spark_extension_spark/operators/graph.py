@@ -196,11 +196,7 @@ def undirected_edges(
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(id, degree) over the canonical undirected graph: number of
     distinct neighbours per node.  One union + one count aggregate."""
-    und = undirected_edges(edges, src, dst)
-    ends = und.select(F.col("u").alias("id")).unionAll(
-        und.select(F.col("v").alias("id"))
-    )
-    return ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return degrees_from_canonical(undirected_edges(edges, src, dst))
 
 
 def triangle_counts(

@@ -89,10 +89,15 @@ def with_running_total(
     )
     local = pinned.withColumn(local_sum, F.sum(value).over(local_w))
 
-    # 4) one row per partition, prefix-summed in a tiny single window
+    # 4) one row per partition, prefix-summed in a tiny single window.
+    # The partition total is a plain SUM over the pinned input — NOT
+    # max(local_sum): the max of an inclusive cumulative sum equals the
+    # total only when every value is non-negative, and this operator is
+    # a general running sum (deltas/balances may go negative).  Summing
+    # from `pinned` also skips the window entirely on this branch.
     offsets = (
-        local.groupBy(pid)
-        .agg(F.max(local_sum).alias(part_total))
+        pinned.groupBy(pid)
+        .agg(F.sum(value).alias(part_total))
         .withColumn(
             offset,
             F.coalesce(

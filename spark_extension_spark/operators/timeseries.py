@@ -51,7 +51,14 @@ def _epoch_axis(df: DataFrame, ts_col: str, unit_seconds: int):
 
 def time_bucket(ts: Union[str, Column], width_seconds: int) -> Column:
     """Bucket start (timestamp) of the fixed-width window containing
-    ``ts``.  Equivalent to DuckDB/Timescale ``time_bucket(interval, ts)``."""
+    ``ts``.  Equivalent to DuckDB/Timescale ``time_bucket(interval, ts)``.
+
+    Column-level helper, so it cannot see the schema: it expects a
+    TIMESTAMP (instant) column.  For TIMESTAMP_NTZ or raw-numeric epoch
+    axes use :func:`time_bucket_rollup`, which dispatches on the actual
+    column type — a blind ``cast('timestamp')`` here would shift NTZ
+    values by the session timezone and misread numeric axes as
+    seconds."""
     col = F.col(ts) if isinstance(ts, str) else ts
     epoch = F.unix_micros(col.cast("timestamp"))
     width_us = width_seconds * 1_000_000
@@ -70,8 +77,28 @@ def time_bucket_rollup(
     group_by: Sequence[str] = (),
 ) -> DataFrame:
     """Continuous-aggregate-style rollup: one row per (bucket, group)
-    with the given aggregate expressions."""
-    bucket = time_bucket(ts_col, width_seconds).alias("bucket")
+    with the given aggregate expressions.
+
+    ``ts_col`` may be TIMESTAMP, TIMESTAMP_NTZ, or a raw-numeric epoch
+    column (``width_seconds`` then counts the column's own units, as in
+    :func:`sessionize`).  The bucket column keeps the input's domain:
+    timestamps bucket to their own timestamp type (NTZ stays NTZ — no
+    session-timezone shift), numeric axes bucket to the numeric bucket
+    start."""
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, T.TimestampType):
+        bucket = time_bucket(ts_col, width_seconds).alias("bucket")
+    else:
+        axis, width_units = _epoch_axis(df, ts_col, width_seconds)
+        floored = axis - ((axis % width_units) + width_units) % width_units
+        if isinstance(dtype, T.TimestampNTZType):
+            bucket = F.timestamp_add(
+                "MICROSECOND",
+                floored,
+                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+            ).alias("bucket")
+        else:
+            bucket = floored.cast(dtype).alias("bucket")
     return (
         df.groupBy(bucket, *[F.col(c) for c in group_by])
         .agg(*[expr.alias(name) for name, expr in aggregates.items()])
@@ -260,8 +287,10 @@ def cohort_retention(
 
     ``period`` is in the time column's own units (e.g. ``86400 *
     10**9`` for daily cohorts over a nanosecond axis); period indices
-    use integer ``div`` — no float on the time axis, so bucketing is
-    exact at any epoch magnitude.
+    use floored integer division — no float on the time axis (exact at
+    any epoch magnitude) and floor semantics at negative epochs, so
+    pre-1970 activity cohorts one period below, never into a
+    double-width period straddling zero.
 
     Plan: one per-user ``min`` aggregate (shuffle on user), the
     cohort map joined back onto activity (same key — AQE/Catalyst
@@ -279,7 +308,17 @@ def cohort_retention(
     d = (
         df.where(u.isNotNull() & F.col(ts_col).isNotNull())
         .select(u.alias("__u"), axis.alias("__ts"))
-        .select("__u", F.expr(f"__ts div {int(period)}").alias("__p"))
+        # floored division (not `div`, which truncates toward zero):
+        # pre-1970 negative epochs must land in the bucket BELOW, or
+        # the period straddling zero is double-width (time_bucket's
+        # floored-modulo discipline)
+        .select(
+            "__u",
+            F.expr(
+                f"(__ts - ((__ts % {int(period)}) + {int(period)})"
+                f" % {int(period)}) div {int(period)}"
+            ).alias("__p"),
+        )
     )
     first = d.groupBy("__u").agg(F.min("__p").alias("cohort"))
     act = (
@@ -398,7 +437,9 @@ def resample_interpolate(
     sampled axis.
 
     ``step`` is in the time column's own units (e.g. ``3600 * 10**9``
-    for hourly over nanoseconds); bucket indices use integer ``div``.
+    for hourly over nanoseconds); bucket indices use floored integer
+    division (floor semantics at negative epochs, like
+    :func:`time_bucket`).
     Returns ``(by…, bucket_ts, value, interpolated)`` where
     ``bucket_ts`` is the bucket's start on the original axis and
     ``interpolated`` marks filled rows.
@@ -430,7 +471,13 @@ def resample_interpolate(
     )
     d = d.select(
         *[F.col(c) for c in by],
-        F.expr(f"__ax div {int(step)}").alias("__idx"),
+        # floored division (not `div`, which truncates toward zero) so
+        # negative-epoch observations bucket below, never into a
+        # double-width bucket straddling zero
+        F.expr(
+            f"(__ax - ((__ax % {int(step)}) + {int(step)})"
+            f" % {int(step)}) div {int(step)}"
+        ).alias("__idx"),
         "__v",
     )
     obs = d.groupBy(*[F.col(c) for c in by], F.col("__idx")).agg(

@@ -4809,7 +4809,11 @@ def q_safe_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COHORT_ORACLE = """
 WITH d AS (
-  SELECT user_id AS u, epoch_ns(ts) // 3600000000000 AS p
+  -- floored division (// truncates toward zero in DuckDB), mirroring
+  -- the operator's negative-epoch-safe bucketing
+  SELECT user_id AS u,
+         (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
+          % 3600000000000) // 3600000000000 AS p
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 fc AS (SELECT u, MIN(p) AS cohort FROM d GROUP BY u),
@@ -5080,7 +5084,12 @@ def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RESAMPLE_ORACLE = """
 WITH d AS (
-  SELECT user_id, epoch_ns(ts) // 3600000000000 AS idx, CAST(value AS DOUBLE) AS v
+  -- floored division (// truncates toward zero in DuckDB), mirroring
+  -- the operator's negative-epoch-safe bucketing
+  SELECT user_id,
+         (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
+          % 3600000000000) // 3600000000000 AS idx,
+         CAST(value AS DOUBLE) AS v
   FROM events
   WHERE user_id % 50 = 0 AND user_id IS NOT NULL
     AND ts IS NOT NULL AND value IS NOT NULL

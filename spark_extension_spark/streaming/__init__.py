@@ -278,7 +278,12 @@ def streaming_running_stats(
         else:
             n, total, vmin, vmax = 0, 0.0, None, None
         for pdf in pdfs:
+            # NULLs arrive as NaN after the float64 cast: drop them so
+            # n counts exactly the values summed, and so an all-NULL
+            # first batch can't checkpoint vmin = vmax = NaN (NaN never
+            # orders under min/max — the poison would survive restarts)
             vals = pdf[value_col].astype("float64")
+            vals = vals[vals.notna()]
             if len(vals) == 0:
                 continue
             n += int(len(vals))
@@ -453,11 +458,25 @@ def streaming_mix_monitor(
     total_w = float(sum(targets.values()))
     if total_w <= 0:
         raise ValueError("targets must sum to a positive value")
+    # 'total'/'other' strata would emit a second n_total/n_other column
+    # — ambiguous for every downstream reference; reject up front
+    reserved = {"total", "other"} & {str(n) for n in targets}
+    if reserved:
+        raise ValueError(
+            f"target strata named {sorted(reserved)} collide with the"
+            " n_total/n_other output columns; rename the stratum"
+        )
+    from ..utils import distinct_prefix_for
+
     s = F.col(strata_col)
     names = list(targets)
+    # aggregate under index-based internal aliases: stratum names are
+    # data values and may contain dots or anything else that breaks a
+    # column reference — only the final select exposes n_{name}
+    prefix = distinct_prefix_for(stream.columns)
     aggs = [
-        F.sum(F.when(s == F.lit(name), 1).otherwise(0)).alias(f"n_{name}")
-        for name in names
+        F.sum(F.when(s == F.lit(name), 1).otherwise(0)).alias(f"{prefix}n_{i}")
+        for i, name in enumerate(names)
     ] + [
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(s.isin(names), 0).otherwise(1)).alias("n_other"),
@@ -468,10 +487,13 @@ def streaming_mix_monitor(
         .agg(*aggs)
     )
     total = F.col("n_total").cast("double")
+    counts = []
     shares = []
     devs = []
-    for name in names:
-        share = F.col(f"n_{name}").cast("double") / total
+    for i, name in enumerate(names):
+        n_i = F.col(f"{prefix}n_{i}")
+        counts.append(n_i.alias(f"n_{name}"))
+        share = n_i.cast("double") / total
         shares.append(share.alias(f"share_{name}"))
         devs.append(F.abs(share - F.lit(float(targets[name]) / total_w)))
     max_dev = devs[0]
@@ -481,7 +503,7 @@ def streaming_mix_monitor(
         "window",
         "n_total",
         "n_other",
-        *[F.col(f"n_{name}") for name in names],
+        *counts,
         *shares,
         max_dev.alias("max_abs_dev"),
     )
@@ -513,16 +535,26 @@ def streaming_asof_enrich(
     checkpoint location.
     """
     from ..operators.asof import asof_join
+    from ..utils import SilentUnpersistHandle
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = asof_join(
-            batch_df,
-            dimension,
-            on,
-            by=by,
-            tolerance=tolerance,
-            direction=direction,
-        )
-        on_batch(enriched, batch_id)
+        # the keyless asof path persists its range-partitioned union;
+        # without releasing it after on_batch, a long-running stream
+        # accumulates one cached frame per micro-batch until executor
+        # storage thrashes (the foreach_batch_near_dedup discipline)
+        handle = SilentUnpersistHandle()
+        try:
+            enriched = asof_join(
+                batch_df,
+                dimension,
+                on,
+                by=by,
+                tolerance=tolerance,
+                direction=direction,
+                unpersist_handle=handle,
+            )
+            on_batch(enriched, batch_id)
+        finally:
+            handle()
 
     return stream.writeStream.foreachBatch(process)

@@ -73,3 +73,18 @@ def test_running_total_offsets_join_is_broadcast(toks):
     # single-partition window over the full data (same shape as
     # with_row_numbers, pinned in PLANS.md)
     assert "BroadcastHashJoin" in plan.joins
+
+
+def test_global_running_total_with_negative_values(spark):
+    # partition totals must be SUM, not max(cumsum): with negatives the
+    # max of the inclusive prefix sum overstates the partition total and
+    # every later partition's offset is wrong
+    rows = [(0, 5), (1, -3), (2, 2), (3, 1), (4, -10), (5, 4)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(3)
+    got = with_running_total(df, "v", order=["id"], out="run")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("run", F.sum(F.col("v").cast("long")).over(w))
+    assert (
+        got.select("id", "run").exceptAll(want.select("id", "run")).count() == 0
+    )
+    assert got.count() == want.count()

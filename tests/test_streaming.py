@@ -433,3 +433,108 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     run_once()
     second = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert second == {1, 2, 4}  # 3 dropped by recovered state
+
+
+def test_streaming_mix_monitor_awkward_stratum_names(spark, tmp_path):
+    """Stratum names are data values: dots must not break column
+    references, and 'total'/'other' (which would collide with the
+    n_total/n_other outputs) are rejected up front."""
+    import datetime as _dt
+
+    from spark_extension_spark.streaming import streaming_mix_monitor
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(0, "a.b", t0), (1, "a.b", t0), (2, "plain", t0), (3, "x", t0)]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, source string, ts timestamp").coalesce(
+        1
+    ).write.parquet(path)
+    schema = "doc_id long, source string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_mix_monitor(
+        stream, {"a.b": 0.5, "plain": 0.5}, window_duration="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mix_dots_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r = spark.sql("select * from mix_dots_sink").collect()[0]
+    assert r["n_total"] == 4 and r["n_other"] == 1
+    assert r["n_a.b"] == 2 and r["share_plain"] == 0.25
+
+    for bad in ("total", "other"):
+        with pytest.raises(ValueError, match="collide"):
+            streaming_mix_monitor(stream, {bad: 1.0})
+
+
+def test_streaming_running_stats_skips_nulls(spark, tmp_path):
+    """NULL values must not count toward n, and an all-NULL first batch
+    must not checkpoint NaN into vmin/vmax (NaN never orders under
+    min/max, so it would poison the key's stats forever)."""
+    import datetime as _dt
+
+    from spark_extension_spark.streaming import streaming_running_stats
+
+    path = str(tmp_path / "events")
+    t0 = _dt.datetime(2024, 1, 1)
+    schema = "user_id long, value double, ts timestamp"
+    # batch 1: all NULL for user 1; batch 2: real values
+    spark.createDataFrame(
+        [(1, None, t0), (1, None, t0)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(1, 5.0, t0), (1, None, t0), (1, 7.0, t0)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_running_stats(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats_nulls_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from running_stats_nulls_sink").collect()
+    last = rows[-1]
+    assert last["n"] == 2 and last["total"] == 12.0
+    assert last["vmin"] == 5.0 and last["vmax"] == 7.0
+
+
+def test_streaming_asof_enrich_releases_batch_caches(spark, tmp_path):
+    """The per-batch keyless asof persist must be released after
+    on_batch — a long stream otherwise accumulates one cached frame per
+    micro-batch."""
+    from spark_extension_spark.streaming import streaming_asof_enrich
+
+    path = str(tmp_path / "trades")
+    spark.createDataFrame(
+        [(1, 100, 10.0), (2, 205, 20.0)], "id long, t long, v double"
+    ).write.parquet(path)
+    quotes = spark.createDataFrame([(90, "q90")], "t long, quote string")
+    stream = spark.readStream.schema("id long, t long, v double").parquet(path)
+
+    def on_batch(df, batch_id):
+        df.count()
+
+    before = len(
+        [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    )
+    q = (
+        streaming_asof_enrich(stream, quotes, "t", on_batch=on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    assert after <= before

@@ -565,3 +565,35 @@ class TestBpe:
                         tok for w in t.split() for tok in _ref_segment(w, want)
                     ]
                     assert seg[i] == ref, (corpus, i)
+
+
+def test_bpe_segment_accepts_lists_and_two_field_rows(spark):
+    # merge tables round-tripped through JSON arrive as lists, and
+    # select('sym_a','sym_b').collect() yields 2-field Rows — both must
+    # normalize by LENGTH, not python type
+    from pyspark.sql import Row
+
+    from spark_extension_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame([(1, "hehe ha")], ["doc_id", "text"])
+
+    def toks(merges):
+        return [
+            r["tokens"]
+            for r in bpe_segment(df, merges).orderBy("doc_id").collect()
+        ][0]
+
+    base = [(0, "h", "e", "he"), (1, "he", "h", "heh")]
+    got_tuple4 = toks(base)
+    got_list4 = toks([list(m) for m in base])
+    got_pairs = toks([(m[1], m[2]) for m in base])
+    got_rows2 = toks([Row(sym_a=m[1], sym_b=m[2]) for m in base])
+    # merge (h,e) applies to ALL non-overlapping pairs in one pass, so
+    # "hehe" -> [he, he] and (he,h) then finds no adjacency
+    want = ["he", "he", "h", "a"]
+    assert got_tuple4 == got_list4 == got_pairs == got_rows2 == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2 fields .* or 4"):
+        bpe_segment(df, [("a", "b", "c")])

@@ -398,3 +398,65 @@ class TestDecayedAggregates:
         # ages 1 and 0 against half-life 0.5 -> weights 0.25 and 1.0
         assert abs(row["decayed_count"] - 1.25) < 1e-12
         assert abs(row["decayed_sum"] - 1.25) < 1e-12
+
+
+def test_time_bucket_rollup_ntz_no_session_tz_shift(spark):
+    # NTZ axes must bucket on wall-clock, not shift by the session tz
+    # (UTC+5:30 is not a whole hour, so a shift splits buckets at :30)
+    import datetime
+
+    from pyspark.sql import types as T
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        rows = [
+            (datetime.datetime(2024, 1, 1, 10, 15),),
+            (datetime.datetime(2024, 1, 1, 10, 45),),
+            (datetime.datetime(2024, 1, 1, 11, 5),),
+        ]
+        schema = T.StructType([T.StructField("ts", T.TimestampNTZType())])
+        df = spark.createDataFrame(rows, schema)
+        out = time_bucket_rollup(df, "ts", 3600, {"n": F.count(F.lit(1))})
+        assert isinstance(out.schema["bucket"].dataType, T.TimestampNTZType)
+        got = {r["bucket"]: r["n"] for r in out.collect()}
+        assert got == {
+            datetime.datetime(2024, 1, 1, 10, 0): 2,
+            datetime.datetime(2024, 1, 1, 11, 0): 1,
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_time_bucket_rollup_raw_numeric_axis(spark):
+    # raw nanosecond longs (the events.ts shape) bucket in their own
+    # unit — previously cast('timestamp') read nanos as seconds
+    ns = 3_600 * 10**9
+    df = spark.createDataFrame(
+        [(ns + 5,), (ns + 7,), (3 * ns - 1,)], "ts long"
+    )
+    out = time_bucket_rollup(df, "ts", ns, {"n": F.count(F.lit(1))})
+    got = {r["bucket"]: r["n"] for r in out.collect()}
+    assert got == {ns: 2, 2 * ns: 1}
+    assert dict(out.dtypes)["bucket"] == "bigint"
+
+
+def test_negative_epoch_floored_bucketing(spark):
+    # truncating `div` merges the buckets either side of zero; floored
+    # division must keep -9 and +9 in distinct buckets
+    from spark_extension_spark.operators.timeseries import (
+        cohort_retention,
+        resample_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -9, 1.0), (1, 9, 3.0)], "user_id long, ts long, value double"
+    )
+    res = resample_interpolate(df, "ts", "value", 10, by=["user_id"])
+    got = {r["bucket_ts"]: (r["value"], r["interpolated"]) for r in res.collect()}
+    assert got == {-10: (1.0, False), 0: (3.0, False)}
+
+    coh = cohort_retention(df, "user_id", "ts", 10).collect()
+    # single user cohorted in period -1, active again 1 period later
+    offsets = {(r["cohort"], r["period_offset"]) for r in coh}
+    assert offsets == {(-1, 0), (-1, 1)}
