@@ -164,7 +164,16 @@ class EquivDiffComparator(DiffComparator):
         self._equiv = equiv
         self.input_type = input_type
         fn = equiv
-        self._udf = F.udf(lambda a, b: bool(fn(a, b)), T.BooleanType())
+        # None-guard INSIDE the UDF: Catalyst extracts Python UDFs into
+        # BatchEvalPython, which evaluates them for every row BEFORE the
+        # surrounding isNotNull conjuncts — without the guard, a
+        # one-sided NULL reaches the user lambda and typically raises
+        # TypeError in the worker.  False is inert: _both_null_or's
+        # null logic decides those rows.
+        self._udf = F.udf(
+            lambda a, b: False if a is None or b is None else bool(fn(a, b)),
+            T.BooleanType(),
+        )
 
     def equiv(self, left: Column, right: Column) -> Column:
         if self.input_type is not None:

@@ -218,10 +218,17 @@ def resize_images(
                     continue
                 _, w, h, payload = data.split(b"|", 3)
                 w, h = int(w), int(h)
-                scale = min(tw / w, th / h, 1.0)
+                # degenerate 0-dimension blobs (nothing validates dims
+                # at creation) clamp to 1px instead of crashing the
+                # whole task on a ZeroDivisionError
+                scale = min(tw / max(w, 1), th / max(h, 1), 1.0)
                 ow = max(1, int(w * scale))
                 oh = max(1, int(h * scale))
-                keep = max(1, (len(payload) * ow * oh) // (w * h)) if payload else 0
+                keep = (
+                    max(1, (len(payload) * ow * oh) // max(w * h, 1))
+                    if payload
+                    else 0
+                )
                 out_payload = payload[:keep]
                 header = f"IMG1|{ow}|{oh}|".encode()
                 ids.append(doc_id)

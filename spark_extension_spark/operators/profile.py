@@ -127,7 +127,8 @@ def psi_report(
     Scale shape: one map-side-combined count aggregate per side (bins
     rows each), densified against a ``range(bins+2)`` spine, pure
     arithmetic after — the snapshots are scanned once each and never
-    joined row-to-row.  NULL values land in the underflow bin."""
+    joined row-to-row.  NULL and NaN values land in the underflow
+    bin."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     if not (hi > lo):
@@ -137,8 +138,11 @@ def psi_report(
     def bucket(df: DataFrame) -> Column:
         v = F.col(value_col).cast("double")
         raw = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+        # NaN joins NULL in the underflow bin: floor(NaN) casts to long
+        # 0, which would otherwise silently land NaN in the first
+        # in-range bucket and distort its p_a/p_b
         return (
-            F.when(v.isNull() | (raw < 0), F.lit(-1))
+            F.when(v.isNull() | F.isnan(v) | (raw < 0), F.lit(-1))
             .when(raw >= int(bins), F.lit(int(bins)))
             .otherwise(raw)
             + F.lit(1)  # shift to 0..bins+1 (0 = underflow, bins+1 = overflow)
@@ -376,8 +380,8 @@ def reliability_report(
 
     Returns ``(bin, n, avg_score, frac_positive, abs_gap, weight,
     ece_term)``; only observed buckets appear.  Scores are clamped
-    into [0, 1] (values outside land in the edge buckets); NULL score
-    or label rows are excluded.  One hash aggregate (decimal sums —
+    into [0, 1] (values outside land in the edge buckets); NULL or NaN
+    score/label rows are excluded.  One hash aggregate (decimal sums —
     order-independent) + a 1-row total broadcast: scan-speed at any
     size.
     """
@@ -386,7 +390,10 @@ def reliability_report(
     dec = f"decimal(38,{int(scale)})"
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    d = df.where(s.isNotNull() & y.isNotNull())
+    # NaN is excluded like NULL: it would count toward n (NaN IS NOT
+    # NULL) while its decimal cast is NULL and vanishes from the sums —
+    # understating avg_score/frac_positive for its bucket
+    d = df.where(s.isNotNull() & ~F.isnan(s) & y.isNotNull() & ~F.isnan(y))
     bucket = F.least(
         F.greatest(F.floor(s * F.lit(int(bins))).cast("long"), F.lit(0)),
         F.lit(int(bins) - 1),

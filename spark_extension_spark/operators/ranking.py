@@ -690,6 +690,7 @@ def vocab_curve(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: Optional[int] = None,
+    unpersist_handle=None,
 ) -> DataFrame:
     """Vocabulary coverage curve: tokens ranked by corpus frequency
     with the cumulative fraction of all token *occurrences* each
@@ -707,6 +708,10 @@ def vocab_curve(
     window even for 10⁸-type vocabularies.  ``top_k`` truncates the
     *output* after ranking; coverage is always relative to the full
     token stream.
+
+    Both prefix-sum helpers pin their sorted input at MEMORY_AND_DISK;
+    pass an :class:`~spark_extension_spark.utils.UnpersistHandle` to
+    release those caches when done (one call frees both).
     """
     counts = (
         _tokens(df, id_col, text_col)
@@ -716,9 +721,18 @@ def vocab_curve(
     from .packing import with_running_total
     from .row_numbers import with_row_numbers
 
+    run_h = row_h = None
+    if unpersist_handle is not None:
+        from ..utils import SilentUnpersistHandle
+
+        run_h, row_h = SilentUnpersistHandle(), SilentUnpersistHandle()
+        unpersist_handle.add_callback(run_h)
+        unpersist_handle.add_callback(row_h)
     order = [F.col("freq").desc(), F.col("token").asc()]
-    cum = with_running_total(counts, "freq", order, out="cum_freq")
-    ranked = with_row_numbers(cum, "rank", order=order)
+    cum = with_running_total(
+        counts, "freq", order, out="cum_freq", unpersist_handle=run_h
+    )
+    ranked = with_row_numbers(cum, "rank", order=order, unpersist_handle=row_h)
     total = counts.agg(F.sum("freq").cast("double").alias("__total"))
     out = ranked.crossJoin(F.broadcast(total)).select(
         "rank",

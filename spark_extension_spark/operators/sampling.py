@@ -20,7 +20,7 @@ Ops:
 
 from __future__ import annotations
 
-from typing import Dict, Union
+from typing import Dict, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -120,6 +120,11 @@ def assign_splits(
     for a given seed no matter how the data is later re-partitioned."""
     if not weights:
         raise ValueError("weights must not be empty")
+    # a negative weight would pass the sum check but corrupt every
+    # cumulative threshold after it — silently wrong splits
+    for name, w in weights.items():
+        if float(w) < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -128,7 +128,17 @@ class SortedGroupByDataFrame:
 
         def run_group(key, pdf):
             if order_names:
-                pdf = pdf.sort_values(order_names, ascending=ascending, kind="mergesort")
+                # na_position mirrors Spark's sort (asc = NULLS FIRST,
+                # desc = NULLS LAST) so this path iterates groups in
+                # exactly the order flat_map_sorted_groups streams them
+                # — pandas' default ('last' always) would silently
+                # reorder NULL-keyed rows between the two paths
+                pdf = pdf.sort_values(
+                    order_names,
+                    ascending=ascending,
+                    kind="mergesort",
+                    na_position="first" if ascending else "last",
+                )
             return user_fn(key, pdf)
 
         return self._df.groupBy(*self.key_columns).applyInPandas(run_group, schema)

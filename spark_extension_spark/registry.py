@@ -3731,14 +3731,16 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSI_ORACLE = """
 WITH ca AS (
-  SELECT (CASE WHEN value IS NULL OR CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) < 0 THEN -1
+  -- isnan mirrors the operator: NaN joins NULL in the underflow bin
+  SELECT (CASE WHEN value IS NULL OR isnan(CAST(value AS DOUBLE)) OR CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) < 0 THEN -1
                WHEN CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) >= 10 THEN 10
                ELSE CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) END) + 1 AS bin,
          CAST(COUNT(*) AS BIGINT) AS n_a
   FROM events WHERE event_type = 'click' GROUP BY 1
 ),
 cb AS (
-  SELECT (CASE WHEN value IS NULL OR CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) < 0 THEN -1
+  -- isnan mirrors the operator: NaN joins NULL in the underflow bin
+  SELECT (CASE WHEN value IS NULL OR isnan(CAST(value AS DOUBLE)) OR CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) < 0 THEN -1
                WHEN CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) >= 10 THEN 10
                ELSE CAST(floor((CAST(value AS DOUBLE) - 0.0) / 40.0) AS BIGINT) END) + 1 AS bin,
          CAST(COUNT(*) AS BIGINT) AS n_b

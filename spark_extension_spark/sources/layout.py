@@ -115,17 +115,27 @@ def with_hilbert_value(
     min/max-scaled to ``bits`` bits per column — same exact integer
     scaling as :func:`with_z_value`).
 
-    One tiny min/max aggregate broadcast back, then ``bits`` chained
-    projections implementing the classic per-level quadrant walk::
+    One tiny min/max aggregate broadcast back, then ONE higher-order
+    ``aggregate()`` expression folding the classic per-level quadrant
+    walk over ``sequence(bits-1, 0)``::
 
-        s = 2^level; rx = (x & s) > 0; ry = (y & s) > 0
+        s = 2^level; rx = bit(x, level); ry = bit(y, level)
         d += s*s*((3*rx) XOR ry)
         if ry == 0: {if rx == 1: x,y = n-1-x, n-1-y}; swap(x, y)
 
-    All integer CASE/AND/XOR arithmetic inside whole-stage codegen (the
-    chained projections collapse into one stage); no UDF, no shuffle.
-    Write with ``repartitionByRange(out_col)`` + in-partition sort for
-    the clustered layout (same recipe as :func:`write_zordered`).
+    The walk is a single expression node (a fold with a struct
+    accumulator), not ``bits`` chained projections: chained
+    ``withColumns`` produce an alias chain that Catalyst re-substitutes
+    whenever a predicate references the (nullable) output, and at
+    16 levels that blows the driver heap.  The fold keeps the plan
+    O(1)-sized, so filters/joins/range-partitioning over ``out_col``
+    optimize cheaply.  The reflect-and-swap step is pure integer
+    arithmetic (no CASE), so a NULL coordinate propagates to a NULL
+    curve value — matching :func:`with_z_value`; NULL rows range-sort
+    together into the first partition instead of scattering across the
+    curve and defeating min/max pruning.  No UDF, no shuffle.  Write
+    with ``repartitionByRange(out_col)`` + in-partition sort for the
+    clustered layout (same recipe as :func:`write_zordered`).
     """
     if len(cols) != 2:
         raise ValueError(f"hilbert layout is 2-D: need exactly 2 cols, got {len(cols)}")
@@ -150,31 +160,35 @@ def with_hilbert_value(
                 f"(CAST(`{cy}` AS BIGINT) - `__mn_y`) * {scale} DIV "
                 f"GREATEST(`__mx_y` - `__mn_y`, CAST(1 AS BIGINT))"
             ),
-            "__hd": F.lit(0).cast("long"),
         }
     )
-    for level in reversed(range(bits)):
-        s = 1 << level
-        rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-        ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-        # materialize this level's rx/ry once, then update x/y/d from them
-        out = out.withColumns({"__rx": rx, "__ry": ry})
-        d_new = F.col("__hd") + F.lit(s * s).cast("long") * (
-            (F.lit(3) * F.col("__rx")).bitwiseXOR(F.col("__ry")).cast("long")
-        )
-        reflect_x = F.when(
-            F.col("__rx") == 1, F.lit(n - 1) - F.col("__hx")
-        ).otherwise(F.col("__hx"))
-        reflect_y = F.when(
-            F.col("__rx") == 1, F.lit(n - 1) - F.col("__hy")
-        ).otherwise(F.col("__hy"))
-        # ry == 0 -> (maybe reflect then) swap; ry == 1 -> unchanged
-        x_new = F.when(F.col("__ry") == 0, reflect_y).otherwise(F.col("__hx"))
-        y_new = F.when(F.col("__ry") == 0, reflect_x).otherwise(F.col("__hy"))
-        out = out.withColumns({"__hd": d_new, "__hx": x_new, "__hy": y_new})
-    return out.withColumn(out_col, F.col("__hd")).drop(
-        "__hx", "__hy", "__hd", "__rx", "__ry", "__mn_x", "__mx_x", "__mn_y", "__mx_y"
+    one = F.lit(1).cast("long")
+    nm1 = F.lit(n - 1).cast("long")
+    levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    acc0 = F.struct(
+        F.col("__hx").alias("x"),
+        F.col("__hy").alias("y"),
+        F.lit(0).cast("long").alias("d"),
     )
+
+    def step(acc, lvl):
+        # s = 2^level, exact through double pow for level <= 52
+        s = F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
+        # bit extraction without CASE: (x & s) is 0 or s, exact /s
+        rx = (acc["x"].bitwiseAND(s) / s).cast("long")
+        ry = (acc["y"].bitwiseAND(s) / s).cast("long")
+        d_new = acc["d"] + (s * s) * (
+            (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+        )
+        x, y = acc["x"], acc["y"]
+        # ry==1: keep; ry==0 & rx==0: swap; ry==0 & rx==1: reflect+swap
+        x_new = ry * x + (one - ry) * ((one - rx) * y + rx * (nm1 - y))
+        y_new = ry * y + (one - ry) * ((one - rx) * x + rx * (nm1 - x))
+        return F.struct(x_new.alias("x"), y_new.alias("y"), d_new.alias("d"))
+
+    return out.withColumn(
+        out_col, F.aggregate(levels, acc0, step, lambda acc: acc["d"])
+    ).drop("__hx", "__hy", "__mn_x", "__mx_x", "__mn_y", "__mx_y")
 
 
 def write_hilbert(

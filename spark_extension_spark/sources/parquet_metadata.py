@@ -402,8 +402,18 @@ def _split_plan(spark: SparkSession, files: List[Tuple[str, int]]):
 
 
 def _parse_bytes(raw: str) -> int:
+    """Parse Spark byte-size strings: both the one-letter form ('128m')
+    and the two-letter form Spark's docs use ('128MB'), plus t/p."""
     text = str(raw).strip().lower()
-    for suffix, mult in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+    if text.endswith("b"):
+        text = text[:-1]
+    for suffix, mult in (
+        ("k", 1024),
+        ("m", 1024**2),
+        ("g", 1024**3),
+        ("t", 1024**4),
+        ("p", 1024**5),
+    ):
         if text.endswith(suffix):
             return int(float(text[: -len(suffix)]) * mult)
     return int(text)

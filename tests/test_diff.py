@@ -270,3 +270,19 @@ def test_dots_in_column_names(spark):
     result = diff(l, r, "the.id")
     assert result.columns == ["diff", "the.id", "left_the.value", "right_the.value"]
     assert result.collect()[0]["diff"] == "C"
+
+
+def test_equiv_comparator_null_safe(spark):
+    # BatchEvalPython evaluates the UDF for every row BEFORE the
+    # isNotNull conjuncts — a null-unaware lambda must not crash the
+    # job on one-sided NULLs; the row simply reports as changed
+    from spark_extension_spark.operators.comparators import DiffComparators
+    from spark_extension_spark.operators.diff import diff, DiffOptions
+
+    left = spark.createDataFrame([(1, "A"), (2, None)], "id long, v string")
+    right = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    opts = DiffOptions().with_column_name_comparator(
+        DiffComparators.equiv(lambda a, b: a.lower() == b.lower()), "v"
+    )
+    got = {r["id"]: r["diff"] for r in diff(left, right, "id", options=opts).collect()}
+    assert got == {1: "C", 2: "N"}

@@ -129,3 +129,16 @@ class TestHilbert:
         path = str(tmp_path / "hilbert")
         write_hilbert(df.select("a", "b"), path, ["a", "b"], bits=4)
         assert spark.read.parquet(path).count() == 1
+
+
+def test_hilbert_null_coordinates_yield_null_value(spark):
+    # a NULL coordinate must yield a NULL curve value (like
+    # with_z_value) — not a meaningless index scattered inside the
+    # curve, which would silently destroy min/max pruning
+    from spark_extension_spark.sources.layout import with_hilbert_value
+
+    df = spark.createDataFrame(
+        [(1, 1, 2), (2, None, 5), (3, 4, None)], "id long, x int, y int"
+    )
+    got = {r["id"]: r["h_value"] for r in with_hilbert_value(df, ["x", "y"], bits=3).collect()}
+    assert got[1] is not None and got[2] is None and got[3] is None

@@ -349,3 +349,19 @@ class TestAudioStats:
         df = spark.createDataFrame([(1, bytearray(b"RIFF...."))], ["doc_id", "blob"])
         with _pytest.raises(Exception, match="NotImplementedError|FAKE"):
             audio_stats(df).collect()
+
+
+def test_resize_zero_dimension_blob_does_not_crash(spark):
+    # nothing validates dims at blob creation; a 0-width FAKE blob must
+    # clamp to 1px, not ZeroDivisionError the whole task
+    from spark_extension_spark.operators.multimodal import (
+        make_fake_image_blob,
+        resize_images,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "payload")], ["doc_id", "text"]).select(
+        "doc_id", make_fake_image_blob(F.col("text"), F.lit(0), F.lit(10)).alias("blob")
+    )
+    row = resize_images(df, 4, 4).collect()[0]
+    assert row["out_width"] >= 1 and row["out_height"] >= 1

@@ -99,3 +99,16 @@ def test_parallelism_knob(spark):
 def test_missing_path(spark):
     with pytest.raises(FileNotFoundError):
         parquet_metadata(spark, "/does/not/exist.parquet")
+
+
+def test_parse_bytes_two_letter_suffixes():
+    # Spark's own docs write '128MB'; both forms must parse
+    from spark_extension_spark.sources.parquet_metadata import _parse_bytes
+
+    assert _parse_bytes("128MB") == 128 * 1024**2
+    assert _parse_bytes("128m") == 128 * 1024**2
+    assert _parse_bytes("4kb") == 4096
+    assert _parse_bytes("1t") == 1024**4
+    assert _parse_bytes("1pb") == 1024**5
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("2048") == 2048

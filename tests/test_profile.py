@@ -304,3 +304,34 @@ def test_ks_report_disjoint_supports_is_one(spark):
     a2 = spark.createDataFrame([(None,), (1.0,)], ["v"])
     row2 = ks_report(a2, a2, "v").collect()[0]
     assert row2["n_a"] == 1 and row2["ks_stat"] == 0.0
+
+
+def test_psi_nan_lands_in_underflow_bin(spark):
+    # floor(NaN)->long 0 would otherwise put NaN in the first in-range
+    # bucket; NaN must join NULL in underflow (bin 0)
+    from spark_extension_spark.operators.profile import psi_report
+
+    a = spark.createDataFrame(
+        [(float("nan"),), (None,), (5.0,)], "v double"
+    )
+    b = spark.createDataFrame([(5.0,)], "v double")
+    rows = {r["bin"]: (r["n_a"], r["n_b"]) for r in
+            psi_report(a, b, "v", lo=0.0, hi=10.0, bins=2).collect()}
+    assert rows[0] == (2, 0)          # NaN + NULL in underflow
+    assert rows[2] == (1, 1)          # 5.0 in [5,10)
+    assert rows[1] == (0, 0)
+
+
+def test_reliability_excludes_nan_rows(spark):
+    # NaN passes isNotNull but vanishes from decimal sums — it must be
+    # excluded from n as well, like NULL
+    from spark_extension_spark.operators.profile import reliability_report
+
+    df = spark.createDataFrame(
+        [(0.25, 1.0), (0.25, 0.0), (float("nan"), 1.0), (0.35, float("nan"))],
+        "s double, y double",
+    )
+    rows = {r["bin"]: r for r in reliability_report(df, "s", "y", bins=4).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n"] == 2 and rows[1]["avg_score"] == 0.25
+    assert rows[1]["frac_positive"] == 0.5

@@ -388,3 +388,19 @@ class TestSemanticDecontam:
         bench = self._df(spark, [(2, [1.0, 0.0]), (3, [1.0, 0.0, 0.0])])
         with _pytest.raises(ValueError, match="inconsistent dimensions"):
             semantic_decontam_flags(corpus, bench)
+
+
+def test_vocab_curve_unpersist_handle_releases_caches(spark):
+    from spark_extension_spark.operators.ranking import vocab_curve
+    from spark_extension_spark.utils import UnpersistHandle
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], ["doc_id", "text"]
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    h = UnpersistHandle()
+    out = vocab_curve(df, unpersist_handle=h)
+    assert out.count() == 3
+    h()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before

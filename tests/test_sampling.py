@@ -429,3 +429,11 @@ class TestTemperatureMix:
         df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
         with _pytest.raises(ValueError):
             temperature_mix(df, "source", 1.5, "doc_id")
+
+
+def test_assign_splits_rejects_negative_weight(spark):
+    from spark_extension_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="must be >= 0"):
+        assign_splits(df, {"train": -0.2, "val": 0.6, "test": 0.6}, "id")

@@ -197,3 +197,29 @@ def test_group_by_key_sorted_matches_window(spark, sf_dir):
     diff = got.join(want, ["user_id", "ts"]).where(F.abs(got["run"] - want["run"]) > 1e-6)
     assert got.count() == want.count()
     assert diff.count() == 0
+
+
+def test_null_order_values_identical_across_paths(spark):
+    # Spark's ascending sort is NULLS FIRST; pandas defaults NaN-last —
+    # both processing paths of the same grouped frame must iterate
+    # NULL-ordered rows identically
+    ndf = spark.createDataFrame(
+        [(1, None, 10), (1, 2, 20), (1, 1, 30)], "k long, o long, v long"
+    )
+    grouped = group_by_sorted(ndf, "k", "o")
+
+    def rdd_order(key, rows):
+        yield (key[0], [r["v"] for r in rows])
+
+    def pandas_order(key, pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"k": [key[0]], "vs": [list(pdf["v"])]})
+
+    via_rdd = grouped.flat_map_sorted_groups(
+        rdd_order, "k long, vs array<long>"
+    ).collect()[0]["vs"]
+    via_pandas = grouped.apply_in_pandas(
+        pandas_order, "k long, vs array<long>"
+    ).collect()[0]["vs"]
+    assert via_rdd == via_pandas == [10, 30, 20]  # NULL first, then 1, 2
