@@ -90,9 +90,16 @@ def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True
 ) -> DataFrame:
     """Keep one representative (min id) per distinct content hash.
-    One hash aggregate; no join."""
+    One hash aggregate; no join.  NULL text is its own content class
+    (one representative survives): ``md5(NULL)`` is NULL and the
+    semi-join's null-unsafe equality would otherwise silently drop
+    every NULL-text row, so NULLs hash to a sentinel that no real md5
+    (32 hex chars) can collide with."""
     content = normalize_text(text_col) if normalized else F.col(text_col)
-    hashed = df.withColumn("__content_hash", F.md5(content))
+    hashed = df.withColumn(
+        "__content_hash",
+        F.coalesce(F.md5(content), F.lit("__null_text__")),
+    )
     keep = hashed.groupBy("__content_hash").agg(F.min(id_col).alias(id_col))
     return (
         hashed.join(keep, ["__content_hash", id_col], "left_semi")
@@ -104,10 +111,16 @@ def duplicate_clusters(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True
 ) -> DataFrame:
     """(content_hash, size, representative id) for every duplicate
-    cluster of two or more documents."""
+    cluster of two or more documents.  NULL text forms its own cluster
+    under the same sentinel hash :func:`exact_dedup` uses."""
     content = normalize_text(text_col) if normalized else F.col(text_col)
     return (
-        df.select(F.md5(content).alias("content_hash"), F.col(id_col))
+        df.select(
+            F.coalesce(F.md5(content), F.lit("__null_text__")).alias(
+                "content_hash"
+            ),
+            F.col(id_col),
+        )
         .groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min(id_col).alias("representative"))
         .where(F.col("cluster_size") > 1)
@@ -842,7 +855,10 @@ def paragraph_dedup(
     empty string are never counted or removed.
 
     Returns ``(id, text, n_paragraphs, n_removed)`` where ``text`` is
-    the surviving paragraphs re-joined with ``sep``.
+    the surviving paragraphs re-joined with ``sep``.  NULL-text
+    documents pass through with NULL text and zero counts (``split``
+    of NULL emits no paragraphs — without the spine join they would
+    vanish from the output entirely).
 
     Scale design (100 TB): ``posexplode`` is shuffle-free; the
     frequency table has one row per *distinct* paragraph (map-side
@@ -850,8 +866,9 @@ def paragraph_dedup(
     exactly one row — no fan-out, no cap needed.  Reassembly sorts
     within each document via ``array_sort`` on collected
     ``(pos, para)`` structs, so the result is independent of
-    partitioning and shuffle order.  Three keyed exchanges total
-    (paragraph hash ×2, document id ×1), no driver materialization.
+    partitioning and shuffle order.  Four keyed exchanges total
+    (paragraph hash ×2, document id ×1, plus the id-only spine for
+    NULL-text pass-through), no driver materialization.
     """
     para_raw = F.col("__para")
     norm = normalize_text(para_raw) if normalized else para_raw
@@ -878,7 +895,7 @@ def paragraph_dedup(
         )
     kept_struct = F.when(~F.coalesce(removed, F.lit(False)),
                          F.struct(F.col("__pos"), F.col("__para")))
-    return (
+    per_doc = (
         flagged.groupBy(id_col)
         .agg(
             F.array_join(
@@ -889,6 +906,19 @@ def paragraph_dedup(
             ).alias(text_col),
             F.count(F.lit(1)).alias("n_paragraphs"),
             F.sum(F.coalesce(removed, F.lit(False)).cast("long")).alias("n_removed"),
+        )
+    )
+    # spine join: split(NULL) explodes to nothing, so NULL-text docs
+    # have no per_doc row — they pass through with zero counts instead
+    # of silently disappearing
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            text_col,
+            F.coalesce("n_paragraphs", F.lit(0).cast("long")).alias("n_paragraphs"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
         )
     )
 

@@ -116,7 +116,11 @@ def winsorize(
     order = [v.asc(), *[F.col(c).asc() for c in tiebreak]]
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     wn = Window.partitionBy(*[F.col(c) for c in by])
-    ranked = df.select(
+    # rank only non-NULL values: NULLs sort first under asc, so an
+    # unfiltered rank shifts every quantile index and a NULL landing on
+    # the lower boundary collapses __lo/__hi to a single value
+    # (percentile_disc semantics exclude NULLs)
+    ranked = df.where(v.isNotNull()).select(
         *[F.col(c) for c in by],
         v.alias("__v"),
         F.row_number().over(w).alias("__rn"),
@@ -134,7 +138,11 @@ def winsorize(
         if by
         else df.crossJoin(F.broadcast(bounds))
     )
-    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    # greatest/least SKIP NULLs, so an unguarded clip would turn a NULL
+    # value into the lower bound — clipping must never invent a value
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
     return joined.withColumn(clipped_col, clipped).drop("__lo", "__hi")
 
 
@@ -170,7 +178,10 @@ def group_quantiles(
     order = [v.asc(), *[F.col(c).asc() for c in tiebreak]]
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     wn = Window.partitionBy(*[F.col(c) for c in by])
-    ranked = df.select(
+    # NULL values are excluded from ranks and from n — SQL
+    # percentile_disc semantics; unfiltered, NULLs (sorting first)
+    # shift every index and can be returned as the quantile itself
+    ranked = df.where(v.isNotNull()).select(
         *[F.col(c) for c in by],
         v.alias("__v"),
         F.row_number().over(w).alias("__rn"),
@@ -301,21 +312,33 @@ def mad_outliers(
     data is never sorted globally and never self-joined.  Medians are
     discrete (``percentile_disc`` semantics), so flags replay exactly
     across engines and partitionings."""
+    # null-safe join back (the zscore_normalize pattern): a NULL group
+    # key is a real group to GROUP BY, but a plain inner join's
+    # null-unsafe equality would silently drop every NULL-key row
+    def join_back(data: DataFrame, summary: DataFrame) -> DataFrame:
+        if not by:
+            return data.crossJoin(F.broadcast(summary))
+        renamed = summary
+        for c in by:
+            renamed = renamed.withColumnRenamed(c, f"__k_{c}")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in by],
+        )
+        return data.join(F.broadcast(renamed), cond).drop(
+            *[f"__k_{c}" for c in by]
+        )
+
     med = group_quantiles(
         df, value_col, by=by, quantiles=(0.5,), tiebreak=tiebreak
     ).select(*by, F.col("q50").alias("group_median"))
-    join_med = (
-        df.join(F.broadcast(med), list(by)) if by else df.crossJoin(F.broadcast(med))
-    )
-    dev = join_med.withColumn(
+    dev = join_back(df, med).withColumn(
         "__adev", F.abs(F.col(value_col) - F.col("group_median"))
     )
     mad = group_quantiles(
         dev, "__adev", by=by, quantiles=(0.5,), tiebreak=tiebreak
     ).select(*by, F.col("q50").alias("group_mad"))
-    joined = (
-        dev.join(F.broadcast(mad), list(by)) if by else dev.crossJoin(F.broadcast(mad))
-    )
+    joined = join_back(dev, mad)
     return joined.withColumn(
         out, F.col("__adev") > F.lit(float(k)) * F.col("group_mad")
     ).drop("__adev")
@@ -716,7 +739,16 @@ def feature_hash(
         return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % (1 << 31)
 
     def part(c: str, numeric: bool) -> DataFrame:
-        key = F.concat(F.lit(c + ":"), F.col(c).cast("string"))
+        # categorical: the hash key is "col:value" — each distinct value
+        # is its own feature.  Numeric: the key is the feature NAME
+        # alone — one stable index per feature, weight = value × sign.
+        # Hashing the value into a numeric key would scatter every
+        # distinct value of the same feature to an unrelated index, so
+        # no single model coefficient could ever cover it.
+        if numeric:
+            key = F.lit(c)
+        else:
+            key = F.concat(F.lit(c + ":"), F.col(c).cast("string"))
         sign = F.when(_h31(F.concat(F.lit("#"), key)) % 2 == 0, F.lit(1.0)).otherwise(
             F.lit(-1.0)
         )

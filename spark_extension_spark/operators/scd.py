@@ -68,18 +68,25 @@ def scd2_merge(
     ts_lit = ts if isinstance(ts, Column) else F.lit(ts)
 
     history = current.where(F.col(valid_to).isNotNull())
-    open_rows = current.where(F.col(valid_to).isNull())
-
+    # per-side presence markers: the join matches ids null-safely, so
+    # presence must NOT be inferred from the (nullable) id values — a
+    # NULL id row would read as absent-from-both-sides and be kept open
+    # AND re-inserted simultaneously
+    open_rows = current.where(F.col(valid_to).isNull()).withColumn(
+        "__cur_present", F.lit(1)
+    )
     upd = updates.select(
         *[F.col(c).alias(f"__u_{c}") for c in ids + attrs]
-    )
+    ).withColumn("__upd_present", F.lit(1))
     cond = None
     for c in ids:
         clause = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
         cond = clause if cond is None else cond & clause
     joined = open_rows.join(upd, cond, "full_outer")
 
-    matched = F.col(ids[0]).isNotNull() & F.col(f"__u_{ids[0]}").isNotNull()
+    matched = (
+        F.col("__cur_present").isNotNull() & F.col("__upd_present").isNotNull()
+    )
     # null-safe attribute equality via struct comparison (diff's default)
     same = F.struct(*[F.col(c) for c in attrs]).eqNullSafe(
         F.struct(*[F.col(f"__u_{c}") for c in attrs])
@@ -87,7 +94,7 @@ def scd2_merge(
 
     cur_cols = current.columns
     kept_open = joined.where(
-        (matched & same) | (F.col(f"__u_{ids[0]}").isNull())
+        (matched & same) | (F.col("__upd_present").isNull())
     ).select(*cur_cols)
     closed = joined.where(matched & ~same).select(
         *[F.col(c) if c != valid_to else ts_lit.alias(valid_to) for c in cur_cols]
@@ -107,7 +114,7 @@ def scd2_merge(
         return rows.select(*proj)
 
     opened = new_version(joined.where(matched & ~same))
-    inserted = new_version(joined.where(F.col(ids[0]).isNull()))
+    inserted = new_version(joined.where(F.col("__cur_present").isNull()))
 
     return history.unionAll(kept_open).unionAll(closed).unionAll(opened).unionAll(inserted)
 

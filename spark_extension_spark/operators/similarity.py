@@ -304,20 +304,38 @@ def _with_buckets(
     df: DataFrame, vec_col: str, planes: List[List[int]], probes: int
 ) -> DataFrame:
     """Attach one row per probed bucket.  probes=0: exact bucket only;
-    probes=1 adds every 1-bit-flip neighbour bucket."""
+    probes=k adds every neighbour bucket within Hamming distance k of
+    the exact one (all 1-bit flips, 2-bit flips, … up to k-bit).  The
+    fan-out is Σ_{j<=k} C(num_planes, j) rows per input row — intended
+    for the (small) query side."""
+    import itertools
+
+    if probes < 0:
+        raise ValueError(f"probes must be >= 0, got {probes}")
     bucketed = _bucket_column(df, vec_col, planes)
     if probes == 0:
         return bucketed
     num = len(planes)
     bucket = F.col("__bucket")
-    variants = [bucket] + [
-        F.concat(
-            F.substring(bucket, 1, i),
-            F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1"),
-            F.substring(bucket, i + 2, num - i - 1),
-        )
-        for i in range(num)
-    ]
+
+    def flipped(positions) -> Column:
+        # rebuild the bit string with the given 0-based positions flipped
+        pieces = []
+        prev = 0
+        for i in positions:
+            if i > prev:
+                pieces.append(F.substring(bucket, prev + 1, i - prev))
+            pieces.append(
+                F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1")
+            )
+            prev = i + 1
+        if prev < num:
+            pieces.append(F.substring(bucket, prev + 1, num - prev))
+        return F.concat(*pieces)
+
+    variants = [bucket]
+    for j in range(1, min(probes, num) + 1):
+        variants += [flipped(c) for c in itertools.combinations(range(num), j)]
     return bucketed.withColumn("__bucket", F.explode(F.array(*variants)))
 
 
@@ -598,6 +616,10 @@ def ivf_assignments(
         import pandas as pd
 
         for pdf in batches:
+            # NULL embeddings can't stack (0-d arrays) and would crash
+            # the task; drop them like the sibling kernels do
+            if len(pdf):
+                pdf = pdf[pdf[vec_name].notna()].reset_index(drop=True)
             if len(pdf) == 0:
                 yield pdf.assign(__cell=pd.Series(dtype="int32"))
                 continue
@@ -605,8 +627,11 @@ def ivf_assignments(
             vnorms = np.linalg.norm(vectors, axis=1)
             vnorms[vnorms == 0] = 1.0
             scores = (vectors / vnorms[:, None]) @ cents_unit  # (n, k)
-            top = np.argsort(-scores, axis=1, kind="stable")[:, :probes]  # (n, p)
-            repeated = pdf.loc[pdf.index.repeat(probes)].reset_index(drop=True)
+            # probing more cells than exist clamps to k — argsort can't
+            # produce more columns, and the repeat must match
+            p = min(probes, scores.shape[1])
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :p]  # (n, p)
+            repeated = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
             repeated["__cell"] = top.reshape(-1).astype("int32")
             yield repeated
 
@@ -624,7 +649,11 @@ def ivf_centroids(
     oracle comparison; for production recall fit real cluster centers
     with :func:`fit_centroids` and pass them via ``centroids=``)."""
     rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
     )
     return [[float(x) for x in r[vec_col]] for r in rows]
 

@@ -93,11 +93,25 @@ def kmv_distinct(
     from pyspark.sql import Window
 
     by = list(by or [])
-    hashed = df.select(*by, _hash64(_col(value_col), "kmv").alias("__h")).dropDuplicates(
-        by + ["__h"]
-    )
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.col("__h").asc())
-    ranked = hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    # NULLs are excluded (COUNT DISTINCT semantics): md5(NULL) is a
+    # NULL hash that would sort FIRST, evicting the true k-th minimum
+    # and inflating the estimate
+    hashed = df.where(_col(value_col).isNotNull()).select(
+        *by, _hash64(_col(value_col), "kmv").alias("__h")
+    ).dropDuplicates(by + ["__h"])
+    if by:
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.col("__h").asc())
+        ranked = hashed.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= k
+        )
+    else:
+        # global case: orderBy+limit compiles to TakeOrderedAndProject
+        # (per-partition top-k, tiny merge) — a no-partition window
+        # would single-partition-sort the ENTIRE distinct hash set
+        topk = hashed.orderBy(F.col("__h").asc()).limit(k)
+        ranked = topk.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(F.col("__h").asc()))
+        )
     sk = ranked.groupBy(*by).agg(
         F.count(F.lit(1)).alias("__sz"),
         F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
@@ -164,7 +178,11 @@ def hll_distinct(
         .cast("int")
     )
     regs = (
-        df.select(*by, bucket.alias("__b"), rho.alias("__rho"))
+        # NULLs excluded (COUNT DISTINCT semantics): a NULL value would
+        # otherwise create a phantom NULL-bucket register that raises
+        # __nregs while contributing nothing to the scaled sum
+        df.where(_col(value_col).isNotNull())
+        .select(*by, bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*by, "__b")
         .agg(F.max("__rho").alias("__reg"))
     )
@@ -333,9 +351,18 @@ def kmv_overlap(
     right_col = right_col or left_col
 
     def sketch(df: DataFrame, col: str) -> DataFrame:
-        hashed = df.select(_hash64(_col(col), "kmv").alias("__h")).dropDuplicates(["__h"])
-        w = Window.orderBy(F.col("__h").asc())
-        return hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+        # NULLs excluded (COUNT DISTINCT semantics) — a NULL hash sorts
+        # first and evicts the true k-th minimum.  orderBy+limit is
+        # TakeOrderedAndProject (distributed top-k); ranking the k
+        # surviving rows in a window is then O(k), not a
+        # single-partition sort of the whole distinct hash set.
+        hashed = df.where(_col(col).isNotNull()).select(
+            _hash64(_col(col), "kmv").alias("__h")
+        ).dropDuplicates(["__h"])
+        topk = hashed.orderBy(F.col("__h").asc()).limit(k)
+        return topk.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(F.col("__h").asc()))
+        )
 
     sa = sketch(left, left_col).select(F.col("__h"), F.col("__rn").alias("__rn_a"))
     sb = sketch(right, right_col).select(F.col("__h"), F.col("__rn").alias("__rn_b"))

@@ -129,9 +129,17 @@ def chunk_documents(
     t = F.trim(_col(text_col))
     tokens = F.split(t, r"\s+")
     n = F.size(tokens)
-    # guard: sequence(0, -1) would generate a DESCENDING sequence
+    # upper bound n - overlap - 1, not n - 1: a start s >= n - overlap
+    # yields a chunk whose every token is already covered by the chunk
+    # at s - stride — 100%-duplicated training text.  greatest(0, ...)
+    # keeps one chunk for documents shorter than the overlap (and
+    # guards sequence(0, -1), which would generate DESCENDING).
     starts = F.when(t == "", F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n - 1, F.lit(stride))
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.lit(0), n - F.lit(overlap) - 1),
+            F.lit(stride),
+        )
     )
     chunks = F.transform(
         starts, lambda s: F.array_join(F.slice(tokens, s + 1, chunk_tokens), " ")

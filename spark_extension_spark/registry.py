@@ -2331,7 +2331,10 @@ chunks AS (
          CAST(s / 48 AS INT) AS chunk_id,
          array_to_string(t[s + 1 : s + 64], ' ') AS text,
          CAST(len(t[s + 1 : s + 64]) AS INT) AS n_tokens
-  FROM toks, UNNEST(generate_series(0, len(t) - 1, 48)) AS u(s)
+  -- upper bound len - overlap - 1 (mirroring the operator): a start
+  -- within the final overlap window is fully covered by the previous
+  -- chunk; greatest() keeps one chunk for overlap-short documents
+  FROM toks, UNNEST(generate_series(0, greatest(0, len(t) - 16 - 1), 48)) AS u(s)
 )
 SELECT doc_id, chunk_id, text, n_tokens FROM chunks
 """
@@ -5765,15 +5768,24 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hashing-trick featurization (sparse triplets)
 # ---------------------------------------------------------------------------
 
-def _fh_idx(col: str, val_expr: str, dim: int) -> str:
-    key = f"CONCAT('{col}:', CAST({val_expr} AS VARCHAR))"
+def _fh_key(col: str, val_expr: "str | None") -> str:
+    # categorical: 'col:value' (one feature per distinct value);
+    # numeric (val_expr None): the feature NAME alone — one stable
+    # index per numeric feature, mirroring the operator
+    if val_expr is None:
+        return f"'{col}'"
+    return f"CONCAT('{col}:', CAST({val_expr} AS VARCHAR))"
+
+
+def _fh_idx(col: str, val_expr: "str | None", dim: int) -> str:
+    key = _fh_key(col, val_expr)
     return (
         f"(CAST(CONCAT('0x', substr(md5({key}), 1, 8)) AS BIGINT) % 2147483648) % {dim}"
     )
 
 
-def _fh_sign(col: str, val_expr: str) -> str:
-    key = f"CONCAT('#', CONCAT('{col}:', CAST({val_expr} AS VARCHAR)))"
+def _fh_sign(col: str, val_expr: "str | None") -> str:
+    key = f"CONCAT('#', {_fh_key(col, val_expr)})"
     h = f"(CAST(CONCAT('0x', substr(md5({key}), 1, 8)) AS BIGINT) % 2147483648)"
     return f"(CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
 
@@ -5791,8 +5803,8 @@ WITH parts AS (
   FROM events WHERE user_id IS NOT NULL
   UNION ALL
   SELECT event_id AS id,
-         CAST({_fh_idx('value', 'value', 64)} AS INT) AS idx,
-         {_fh_sign('value', 'value')} * CAST(value AS DOUBLE) AS weight
+         CAST({_fh_idx('value', None, 64)} AS INT) AS idx,
+         {_fh_sign('value', None)} * CAST(value AS DOUBLE) AS weight
   FROM events WHERE value IS NOT NULL
 )
 SELECT id, idx,

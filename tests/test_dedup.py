@@ -960,3 +960,34 @@ def test_composed_dedup_ops_forward_warn_flag(spark):
         _warnings.simplefilter("always")
         near_dup_clusters(pairs, warn_single_use=False).collect()
     assert not [x for x in w if "single-use" in str(x.message)]
+
+
+def test_exact_dedup_null_text_keeps_one_representative(spark):
+    from spark_extension_spark.operators.dedup import (
+        duplicate_clusters,
+        exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hello"), (4, "hello")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # one NULL representative, one 'hello'
+    clusters = {r["content_hash"]: r for r in duplicate_clusters(df).collect()}
+    assert len(clusters) == 2
+    sizes = sorted(r["cluster_size"] for r in clusters.values())
+    assert sizes == [2, 2]
+
+
+def test_paragraph_dedup_null_text_passthrough(spark):
+    from spark_extension_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(df, min_repeat=2).collect()}
+    assert set(got) == {1, 2, 3}  # NULL-text doc does not vanish
+    assert got[3]["text"] is None
+    assert got[3]["n_paragraphs"] == 0 and got[3]["n_removed"] == 0
+    assert got[1]["n_removed"] == 1 and got[1]["text"] == "b"

@@ -853,3 +853,48 @@ class TestFitLogistic:
         )
         duck = sorted((f, repr(w)) for f, w in con.execute(sql).fetchall())
         assert got == duck
+
+
+def test_quantiles_and_winsorize_exclude_nulls(spark):
+    # NULLs sort first under asc — unfiltered they shift every quantile
+    # index (and a NULL on the lower boundary collapses the clip bounds)
+    from spark_extension_spark.operators.features import (
+        group_quantiles,
+        winsorize,
+    )
+
+    rows = [(None,), (1.0,), (2.0,), (3.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    q = group_quantiles(df, "v", quantiles=(0.5,)).collect()[0]
+    assert q["n"] == 3 and q["q50"] == 2.0  # median of {1,2,3}, not 1.0
+
+    w = winsorize(df, "v", lower=0.0, upper=1.0).collect()
+    got = sorted((r["v_winsorized"] for r in w if r["v"] is not None))
+    assert got == [1.0, 2.0, 3.0]
+    assert [r["v_winsorized"] for r in w if r["v"] is None] == [None]
+
+
+def test_mad_outliers_keeps_null_group_keys(spark):
+    from spark_extension_spark.operators.features import mad_outliers
+
+    rows = [("a", 1.0), ("a", 1.1), ("a", 99.0), (None, 5.0), (None, 5.1)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", by=["g"], k=3.0)
+    assert out.count() == 5  # NULL-key rows are not silently dropped
+    flags = {(r["g"], r["v"]): r["is_outlier"] for r in out.collect()}
+    assert flags[("a", 99.0)] is True
+
+
+def test_feature_hash_numeric_index_is_per_feature(spark):
+    # the numeric index must come from the feature NAME, not the value —
+    # otherwise each distinct value scatters to an unrelated index and
+    # no single model coefficient can cover the feature
+    from spark_extension_spark.operators.features import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, 30.0), (2, 31.0), (3, 30.0)], "id long, age double"
+    )
+    out = feature_hash(df, [], dim=1024, id_col="id", numeric_cols=["age"]).collect()
+    assert len({r["idx"] for r in out}) == 1  # one stable index for 'age'
+    weights = {r["id"]: abs(r["weight"]) for r in out}
+    assert weights == {1: 30.0, 2: 31.0, 3: 30.0}

@@ -235,8 +235,11 @@ def test_paragraph_dedup_three_keyed_exchanges(spark):
     # count agg (hash) + count join back (hash) + doc reassembly (hash):
     # every exchange is keyed; no cartesian, no broadcast of the corpus
     assert not plan.has_cartesian
-    # the paragraph stream branches (postings + counts): both scans pruned
-    assert all(cols == ["doc_id", "text"] for cols in plan.read_columns())
+    # the paragraph stream branches (postings + counts) plus the
+    # id-only spine for NULL-text pass-through: every scan pruned
+    cols = plan.read_columns()
+    assert all(c in (["doc_id", "text"], ["doc_id"]) for c in cols)
+    assert ["doc_id"] in cols and ["doc_id", "text"] in cols
 
 
 def test_interval_join_equi_on_grid_cell(spark):
@@ -516,3 +519,19 @@ def test_salted_join_is_shuffled_hash_never_broadcast(spark):
     assert "ShuffledHashJoin" in plan.joins, plan.joins
     assert "BroadcastHashJoin" not in plan.joins, plan.joins
     assert not plan.has_cartesian
+
+
+def test_kmv_topk_is_take_ordered_not_global_window(spark):
+    # the k smallest hashes must come from TakeOrderedAndProject
+    # (per-partition top-k + tiny merge), never a row_number window over
+    # the entire unpartitioned distinct hash set
+    from spark_extension_spark.operators.sketches import kmv_distinct
+
+    plan = QUERIES["kmv_overlap_orders_customer"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    global_plan = (
+        kmv_distinct(events, "user_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in global_plan

@@ -108,3 +108,28 @@ class TestSnapshotDelta:
                snapshot_delta(old, new, ["id"], by=["src"]).collect()}
         assert out[("newdim", "C")] == 1  # C rows labelled with the NEW dim
         assert out[("x", "D")] == 1       # D rows can only use the old dim
+
+
+def test_scd2_merge_null_id_rows(spark):
+    # presence is detected with per-side markers, not the nullable key:
+    # an unchanged NULL-id row must stay a single open version, and a
+    # changed one must be closed + reopened exactly once
+    from spark_extension_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [(None, "x", 0, None)], "id string, attr string, valid_from long, valid_to long"
+    )
+    same = spark.createDataFrame([(None, "x")], "id string, attr string")
+    out = scd2_merge(current, same, ["id"], ts=5, valid_from="valid_from",
+                     valid_to="valid_to").collect()
+    assert len(out) == 1 and out[0]["valid_to"] is None
+
+    changed = spark.createDataFrame([(None, "y")], "id string, attr string")
+    out2 = sorted(
+        scd2_merge(current, changed, ["id"], ts=5, valid_from="valid_from",
+                   valid_to="valid_to").collect(),
+        key=lambda r: (r["valid_to"] is None, r["attr"]),
+    )
+    assert len(out2) == 2
+    assert out2[0]["attr"] == "x" and out2[0]["valid_to"] == 5
+    assert out2[1]["attr"] == "y" and out2[1]["valid_to"] is None

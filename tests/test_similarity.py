@@ -406,3 +406,44 @@ def test_embedding_stats_partitioning_independent(spark, sf_dir):
     a = embedding_stats(emb).collect()[0]
     b = embedding_stats(emb.repartition(7)).collect()[0]
     assert a == b
+
+
+def test_lsh_probes_widen_neighborhood(spark):
+    # probes=k must probe ALL buckets within Hamming distance k — not
+    # silently behave like probes=1
+    from spark_extension_spark.operators.similarity import (
+        _with_buckets,
+        rp_planes,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, [1.0, 0.0, 0.5, -0.25])], ["vec_id", "embedding"])
+    planes = rp_planes(num_planes=4, dim=4, seed=7)
+    import math
+
+    for probes, expect in [(0, 1), (1, 5), (2, 1 + 4 + 6), (4, 16)]:
+        got = _with_buckets(df, "embedding", planes, probes=probes)
+        buckets = [r["__bucket"] for r in got.collect()]
+        assert len(buckets) == expect, (probes, buckets)
+        assert len(set(buckets)) == expect  # all distinct
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probes must be >= 0"):
+        _with_buckets(df, "embedding", planes, probes=-1)
+
+
+def test_ivf_ignores_null_embeddings(spark):
+    from spark_extension_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame([(10, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    cents = ivf_centroids(corpus, n_centroids=2)
+    assert all(c is not None for c in cents)
+    top = ivf_topk(corpus, queries, k=2, centroids=cents).collect()
+    assert [r["vec_id"] for r in top][:1] == [2]

@@ -308,17 +308,19 @@ def test_chunk_documents_windows_and_overlap(spark):
     by_doc = {}
     for r in got:
         by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
-    # stride 3: starts 0,3,6,9 -> 4 chunks, last is the lone tail token
-    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    # stride 3: starts 0,3,6 -> 3 chunks.  Start 9 is NOT emitted: the
+    # lone tail token w9 is already covered by the chunk at start 6
+    # (a start inside the final overlap window is 100% duplicated text)
+    assert sorted(by_doc[1]) == [0, 1, 2]
     assert by_doc[1][0]["text"] == "w0 w1 w2 w3"
     assert by_doc[1][1]["text"] == "w3 w4 w5 w6"   # one-token overlap
-    assert by_doc[1][3]["text"] == "w9" and by_doc[1][3]["n_tokens"] == 1
+    assert by_doc[1][2]["text"] == "w6 w7 w8 w9"
     assert by_doc[2][0]["text"] == "short"
     assert 3 not in by_doc  # blank docs produce no chunks
 
     # reconstruction: stripping each chunk's overlap prefix rebuilds the doc
     rebuilt = by_doc[1][0]["text"].split()
-    for i in (1, 2, 3):
+    for i in (1, 2):
         rebuilt += by_doc[1][i]["text"].split()[1:]
     assert rebuilt == words.split()
 
@@ -597,3 +599,30 @@ def test_bpe_segment_accepts_lists_and_two_field_rows(spark):
 
     with _pytest.raises(ValueError, match="2 fields .* or 4"):
         bpe_segment(df, [("a", "b", "c")])
+
+
+def test_chunk_documents_no_fully_contained_trailing_chunk(spark):
+    # a start inside the final overlap window is 100% covered by the
+    # previous chunk — duplicated training text
+    from spark_extension_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"]
+    )
+    got = [
+        r["text"]
+        for r in chunk_documents(df, chunk_tokens=5, overlap=2)
+        .orderBy("chunk_id")
+        .collect()
+    ]
+    # starts 0, 3, 6 — NOT 9 (chunk [9:10] is inside chunk [6:11))
+    assert got == [
+        "t0 t1 t2 t3 t4",
+        "t3 t4 t5 t6 t7",
+        "t6 t7 t8 t9",
+    ]
+    for prev, cur in zip(got, got[1:]):
+        assert not set(cur.split()).issubset(set(prev.split()))
+    # a document shorter than the overlap still yields its one chunk
+    tiny = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert chunk_documents(tiny, chunk_tokens=5, overlap=2).count() == 1
