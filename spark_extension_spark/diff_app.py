@@ -84,12 +84,16 @@ def _read(
     options: dict,
     hive: bool,
 ) -> DataFrame:
-    if hive:
-        return spark.table(path)
-    reader = spark.read.format(fmt).options(**options)
+    # reader options and schema apply on BOTH routes, mirroring the
+    # reference (App.scala:250-265 chains .options/.schema before
+    # either .load or .table) — previously --hive silently ignored
+    # --schema / --left-option / --right-option
+    reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
-    return reader.load(path)
+    if hive:
+        return reader.table(path)
+    return reader.format(fmt).load(path)
 
 
 def run(spark: SparkSession, args: argparse.Namespace) -> None:

@@ -99,7 +99,12 @@ def asof_join(
     value_cols = [c for c in right.columns if c != on and c not in by_cols]
     left_cols = list(left.columns)
 
-    tagged_right = right.select(
+    # NULL-time right rows are excluded (DuckDB ASOF / pandas
+    # merge_asof semantics): NULLs sort FIRST, so an unfiltered NULL
+    # row's payload would carry into every left row that has no real
+    # predecessor.  NULL-time LEFT rows are kept and get no match —
+    # they also sort first, before any (non-NULL) right row.
+    tagged_right = right.where(F.col(backticks(on)).isNotNull()).select(
         *[F.col(backticks(c)) for c in by_cols],
         F.col(backticks(on)).alias(on),
         F.lit(0).alias(side),
@@ -130,7 +135,7 @@ def asof_join(
             # right (side 0) sorts before left at equal time: inclusive <=
             wb = (
                 Window.partitionBy(*part)
-                .orderBy(F.col(on).asc(), F.col(side).asc())
+                .orderBy(F.col(backticks(on)).asc(), F.col(side).asc())
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
             merged = merged.withColumn(
@@ -141,7 +146,7 @@ def asof_join(
             # the frame [current, following] still sees that right row
             wf = (
                 Window.partitionBy(*part)
-                .orderBy(F.col(on).asc(), F.col(side).desc())
+                .orderBy(F.col(backticks(on)).asc(), F.col(side).desc())
                 .rowsBetween(Window.currentRow, Window.unboundedFollowing)
             )
             merged = merged.withColumn(
@@ -158,7 +163,11 @@ def asof_join(
     def with_tolerance(col: Column, forward: bool) -> Column:
         if tolerance is None:
             return col
-        dist = (col[right_on] - F.col(on)) if forward else (F.col(on) - col[right_on])
+        dist = (
+            (col[right_on] - F.col(backticks(on)))
+            if forward
+            else (F.col(backticks(on)) - col[right_on])
+        )
         return F.when(dist <= tolerance, col)
 
     if direction == "backward":
@@ -171,13 +180,17 @@ def asof_join(
         match_col = (
             F.when(b.isNull(), f)
             .when(f.isNull(), b)
-            .when((F.col(on) - b[right_on]) <= (f[right_on] - F.col(on)), b)
+            .when(
+                (F.col(backticks(on)) - b[right_on])
+                <= (f[right_on] - F.col(backticks(on))),
+                b,
+            )
             .otherwise(f)
         )
 
     projection = (
         [F.col(backticks(c)) for c in by_cols]
-        + [F.col(on)]
+        + [F.col(backticks(on))]
         + [F.col(backticks(prefix + c)).alias(c) for c in left_cols
            if c != on and c not in by_cols]
         + [match_col[right_on].alias(f"{right_prefix}_{on}")]
@@ -227,7 +240,7 @@ def _keyless_fills(
     # two orders.  Heavy single-timestamp skew concentrates in one
     # partition; callers with that shape should pre-bucket the time.
     ranged = (
-        union.repartitionByRange(F.col(on))
+        union.repartitionByRange(F.col(backticks(on)))
         .withColumn(pid, F.spark_partition_id())
         .persist(storage_level)
     )
@@ -240,7 +253,7 @@ def _keyless_fills(
     if back_col is not None:
         local_b = (
             Window.partitionBy(pid)
-            .orderBy(F.col(on).asc(), F.col(side).asc())
+            .orderBy(F.col(backticks(on)).asc(), F.col(side).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out = out.withColumn(back_col, F.last(payload, ignorenulls=True).over(local_b))
@@ -248,7 +261,10 @@ def _keyless_fills(
         last_per_partition = ranged.groupBy(pid).agg(
             F.max_by(
                 F.col(payload),
-                F.when(F.col(payload).isNotNull(), F.struct(F.col(on), F.col(side))),
+                F.when(
+                    F.col(payload).isNotNull(),
+                    F.struct(F.col(backticks(on)), F.col(side)),
+                ),
             ).alias(payload)
         )
         carries_b = last_per_partition.select(
@@ -262,7 +278,7 @@ def _keyless_fills(
     if fwd_col is not None:
         local_f = (
             Window.partitionBy(pid)
-            .orderBy(F.col(on).asc(), F.col(side).desc())
+            .orderBy(F.col(backticks(on)).asc(), F.col(side).desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         out = out.withColumn(fwd_col, F.first(payload, ignorenulls=True).over(local_f))
@@ -274,7 +290,8 @@ def _keyless_fills(
             F.min_by(
                 F.col(payload),
                 F.when(
-                    F.col(payload).isNotNull(), F.struct(F.col(on), (-F.col(side)).alias(side))
+                    F.col(payload).isNotNull(),
+                    F.struct(F.col(backticks(on)), (-F.col(side)).alias(side)),
                 ),
             ).alias(payload)
         )

@@ -331,6 +331,18 @@ class _ResolvedDiff:
     def _value_expr(self, name: str, left_side: bool) -> Column:
         value = self._side(name, left_side)
         if self.options.sparse_mode:
+            cs = self.case_sensitive
+            # sparse nulling needs BOTH sides to compare; a one-sided
+            # ignore column has no counterpart, so it passes through
+            # unchanged (the reference's sparse projection references
+            # both sides unconditionally and would throw here —
+            # Diff.scala:198-216 — an uncovered corner of its own test
+            # matrix; graceful pass-through is the only sane semantics)
+            one_sided = names_contain(
+                self.left_ignored, name, cs
+            ) != names_contain(self.right_ignored, name, cs)
+            if one_sided:
+                return value
             l, r = self._side(name, True), self._side(name, False)
             return F.when(~l.eqNullSafe(r), value)
         return value

@@ -49,20 +49,33 @@ _METHODS = {
 
 
 _installed: dict = {}
+_MISSING = object()
+_shadowed: dict = {}
 
 
 def install() -> None:
-    """Attach the extension methods to ``DataFrame``."""
+    """Attach the extension methods to ``DataFrame``.  Any attribute
+    already present under one of these names (e.g. a genuine method a
+    future Spark version defines) is stashed and restored by
+    :func:`uninstall` — never silently destroyed."""
     for name, fn in _METHODS.items():
+        if name not in _installed:
+            _shadowed[name] = DataFrame.__dict__.get(name, _MISSING)
         setattr(DataFrame, name, fn)
         _installed[name] = fn
 
 
 def uninstall() -> None:
-    """Remove only the attributes this package set: a name that now
-    holds something else (e.g. a genuine DataFrame method a future
-    Spark version defines) is left untouched."""
+    """Remove only the attributes this package set, restoring any
+    attribute that existed before :func:`install` shadowed it; a name
+    that now holds something else entirely (re-patched by other code
+    after install) is left untouched."""
     for name, fn in list(_installed.items()):
         if getattr(DataFrame, name, None) is fn:
-            delattr(DataFrame, name)
+            prior = _shadowed.get(name, _MISSING)
+            if prior is _MISSING:
+                delattr(DataFrame, name)
+            else:
+                setattr(DataFrame, name, prior)
+        _shadowed.pop(name, None)
         del _installed[name]

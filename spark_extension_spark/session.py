@@ -105,20 +105,26 @@ def install_pip_package(*packages: str) -> None:
 
 def install_poetry_project(project_dir: str, *args: str) -> None:
     """Build a poetry project into wheels and install them
-    (reference python __init__.py:697-731).  Requires poetry + network."""
-    import subprocess
+    (reference python __init__.py:697-731).  Requires poetry + network.
 
-    dist = create_temporary_dir("poetry")
+    Only wheels produced by THIS build are installed: ``dist/`` may
+    hold stale wheels from earlier versions, and feeding pip the whole
+    directory would install (or conflict on) the old one."""
+    import subprocess
+    import time
+
+    dist_dir = os.path.join(project_dir, "dist")
+    started = time.time()
     subprocess.check_call(["poetry", "build", "--format", "wheel"], cwd=project_dir)
     wheels = [
-        os.path.join(project_dir, "dist", f)
-        for f in os.listdir(os.path.join(project_dir, "dist"))
+        os.path.join(dist_dir, f)
+        for f in os.listdir(dist_dir)
         if f.endswith(".whl")
+        and os.path.getmtime(os.path.join(dist_dir, f)) >= started - 1.0
     ]
     if not wheels:
-        raise RuntimeError(f"poetry build produced no wheels in {project_dir}/dist")
+        raise RuntimeError(f"poetry build produced no wheels in {dist_dir}")
     install_pip_package(*wheels, *args)
-    del dist
 
 
 # -- fluent conditionals (reference uk/co/gresearch/package.scala:19-145) ----

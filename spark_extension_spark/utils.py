@@ -322,33 +322,42 @@ def safe_union(
     frames = list(frames)
     if not frames:
         raise ValueError("safe_union needs at least one DataFrame")
+    # fold names per the session's resolution mode: under the default
+    # case-insensitive resolution, 'ID' and 'id' are ONE logical column
+    # — treating them as two would split the data into half-NULL twins
+    cs = is_case_sensitive(frames[0].sparkSession)
     order: List[str] = []
     types: dict = {}
     for df in frames:
         for name, dtype in df.dtypes:
-            if name not in types:
-                order.append(name)
-                types[name] = dtype
+            key = fold_name(name, cs)
+            if key not in types:
+                order.append(name)  # first spelling wins the output name
+                types[key] = dtype
             else:
-                w = _widen(types[name], dtype)
+                w = _widen(types[key], dtype)
                 if w is None:
                     if coerce_to_string:
                         w = "string"
                     else:
                         raise TypeError(
                             f"safe_union: column {name!r} has incompatible "
-                            f"types {types[name]!r} and {dtype!r} "
+                            f"types {types[key]!r} and {dtype!r} "
                             "(pass coerce_to_string=True to force strings)"
                         )
-                types[name] = w
+                types[key] = w
     aligned = []
     for df in frames:
-        have = dict(df.dtypes)
+        have = {fold_name(n, cs): n for n, _ in df.dtypes}
         cols = [
             (
-                F.col(c).cast(types[c])
-                if c in have
-                else F.lit(None).cast(types[c])
+                # backticks: a column literally named 'a.b' must not be
+                # parsed as struct-field access
+                F.col(backticks(have[fold_name(c, cs)])).cast(
+                    types[fold_name(c, cs)]
+                )
+                if fold_name(c, cs) in have
+                else F.lit(None).cast(types[fold_name(c, cs)])
             ).alias(c)
             for c in order
         ]

@@ -203,3 +203,30 @@ def test_asof_rejects_bad_direction(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="t", by="k", direction="sideways")
+
+
+def test_asof_null_time_rows(spark):
+    # a NULL-time right row must never match (DuckDB ASOF / pandas
+    # semantics: NULLs sort first and would otherwise become the
+    # carried payload for every left row with no real predecessor);
+    # NULL-time left rows are kept with no match
+    from spark_extension_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 50, "early"), (2, 150, "late"), (3, None, "null-t")],
+        "id long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, "phantom"), (100, "q100")], "t long, quote string"
+    )
+    got = {r["id"]: r["right_quote"] for r in asof_join(left, right, "t").collect()}
+    assert got == {1: None, 2: "q100", 3: None}
+
+
+def test_asof_dotted_on_column(spark):
+    from spark_extension_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], ["id", "event.time"])
+    right = spark.createDataFrame([(90, "q")], ["event.time", "quote"])
+    row = asof_join(left, right, "event.time").collect()[0]
+    assert row["right_quote"] == "q" and row["right_event.time"] == 90

@@ -286,3 +286,14 @@ def test_equiv_comparator_null_safe(spark):
     )
     got = {r["id"]: r["diff"] for r in diff(left, right, "id", options=opts).collect()}
     assert got == {1: "C", 2: "N"}
+
+
+def test_sparse_mode_with_one_sided_ignore_column(spark):
+    # validate() permits one-sided ignore columns; sparse mode must not
+    # crash referencing the missing side — the one-sided column passes
+    # through unchanged (it has no counterpart to compare against)
+    left = spark.createDataFrame([(1, "a", "x")], ["id", "v", "extra"])
+    right = spark.createDataFrame([(1, "b")], ["id", "v"])
+    opts = DiffOptions(sparse_mode=True)
+    rows = diff(left, right, "id", options=opts, ignore_columns=["extra"]).collect()
+    assert rows[0]["diff"] == "C" and rows[0]["left_extra"] == "x"

@@ -82,3 +82,32 @@ def test_distinct_prefix_for():
     assert distinct_prefix_for(["a", "b"]) == "_"
     assert distinct_prefix_for(["a", "_b", "__c"]) == "___"
     assert distinct_prefix_for([]) == "_"
+
+
+def test_safe_union_dotted_and_mixed_case_columns(spark):
+    from spark_extension_spark.utils import safe_union
+
+    a = spark.createDataFrame([(1, 2)], ["ID", "a.b"])
+    b = spark.createDataFrame([(3, 4)], ["id", "a.b"])
+    out = safe_union([a, b])
+    # case-insensitive resolution: ID/id are ONE column, not half-NULL twins
+    assert len(out.columns) == 2 and out.columns[0] == "ID"
+    assert sorted(r["ID"] for r in out.collect()) == [1, 3]
+    assert sorted(r["a.b"] for r in out.collect()) == [2, 4]
+
+
+def test_patch_restores_shadowed_attribute(spark):
+    from pyspark.sql import DataFrame
+
+    from spark_extension_spark import patch
+
+    sentinel = lambda self: "original"  # noqa: E731
+    DataFrame.histogram = sentinel
+    try:
+        patch.install()
+        assert DataFrame.histogram is not sentinel
+        patch.uninstall()
+        assert DataFrame.__dict__.get("histogram") is sentinel
+    finally:
+        if DataFrame.__dict__.get("histogram") is sentinel:
+            delattr(DataFrame, "histogram")
