@@ -258,7 +258,14 @@ HEADLINE = [
 ]
 
 # drift guard: any registry query not listed above still gets a bench row
-# (appended after the stable prefix so historical q{i} keys keep meaning)
+# (appended after the stable prefix so historical q{i} keys keep meaning);
+# and a name REMOVED/renamed in the registry is dropped with a note
+# instead of KeyError-ing mid-run and losing the whole bench
+_stale = [q for q in HEADLINE if q not in QUERIES]
+if _stale:
+    print(f"bench: dropping stale HEADLINE entries: {', '.join(_stale)}",
+          file=sys.stderr)
+    HEADLINE = [q for q in HEADLINE if q in QUERIES]
 HEADLINE += [q for q in QUERIES if q not in HEADLINE]
 
 

@@ -136,7 +136,11 @@ def base_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__local") + F.col("__offset")).cast("bigint").alias("row_number"),
         )
     )
-    out = out.localCheckpoint(eager=False)
+    # eager checkpoint BEFORE releasing the pinned partitioning: both
+    # plan branches above depend on the persisted partition assignment,
+    # and a lazy checkpoint would recompute them (possibly under a
+    # different partitioning) after the unpersist
+    out = out.localCheckpoint(eager=True)
     parted.unpersist()
     return out
 
@@ -174,8 +178,15 @@ def base_sorted_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def base_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
     orders = load(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="spark_ext_base_write_") + "/orders"
+    base = tempfile.mkdtemp(prefix="spark_ext_base_write_")
+    # 1 warmup + 3 timed runs x 2 layouts write 8 copies per script
+    # run — reclaim them at exit instead of silently filling /tmp
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = base + "/orders"
     (
         orders.repartition("o_orderstatus")
         .sortWithinPartitions("o_orderkey")
@@ -269,11 +280,20 @@ def main() -> None:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repacked = os.path.join(here, ".bench_cache", os.path.basename(SF_DIR.rstrip("/")))
-    _repack(SF_DIR, repacked)
+    layouts = [("shipped", SF_DIR)]
+    try:
+        # same fail-safe contract as bench.py: the repack is a timing
+        # optimization, never a correctness requirement — a read-only
+        # checkout or exotic schema degrades to the shipped layout
+        _repack(SF_DIR, repacked)
+        layouts.append(("repacked", repacked))
+    except Exception as exc:  # noqa: BLE001 - any repack failure degrades
+        print(f"repack skipped ({exc}); timing the shipped layout only",
+              file=sys.stderr)
     warm = WARM_DIR
 
     out = {"sf_dir": SF_DIR, "cpus": int(CPUS), "layouts": {}}
-    for layout, d in [("shipped", SF_DIR), ("repacked", repacked)]:
+    for layout, d in layouts:
         rows = {}
         for name, qkey, base_fn in PAIRS:
             lib = _time(spark, QUERIES[qkey], d, warm)

@@ -53,6 +53,11 @@ def normalize(val):
             return "NaN"
         if STRICT:
             return repr(val)
+        if val == 0.0:
+            # -0.0 == 0.0 but formats as '-0' — numerically equal
+            # values must not produce a spurious mismatch in the
+            # tolerance mode
+            val = 0.0
         return f"{val:.12g}"
     if isinstance(val, (list, tuple)):
         return tuple(normalize(v) for v in val)
@@ -78,6 +83,12 @@ def main() -> int:
         STRICT = True
         argv.remove("--strict")
     only = set(argv)
+    unknown = sorted(n for n in only if n not in entry.queries())
+    if unknown:
+        # a typo'd name must not silently certify a zero-check run —
+        # fail fast, before any Spark JVM spins up
+        print(f"UNKNOWN QUERY NAMES: {', '.join(unknown)}")
+        return 2
     if not only:
         # A single long-lived local Spark JVM accumulates open file
         # handles across 130+ queries (shuffle/persist/parquet) and
@@ -129,6 +140,10 @@ def main() -> int:
         spark_rows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
             print(f"{name}: rows-only check, {len(spark_rows)} rows")
+            # internally-persisting operators must not accumulate
+            # storage/descriptors across the chunk (same reason as the
+            # end-of-loop clearCache)
+            spark.catalog.clearCache()
             continue
         # The footer-metadata oracles pin the driver's t2 path
         # (/root/testdata/sf0.01) because oracle_sql() strings are

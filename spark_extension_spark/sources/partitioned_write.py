@@ -54,16 +54,24 @@ def write_partitioned_by(
     computed_names = iter(prepared.columns[len(df.columns):])
 
     def named(cols):
-        return [c if isinstance(c, str) else next(computed_names) for c in cols]
+        return [
+            (c, False) if isinstance(c, str) else (next(computed_names), True)
+            for c in cols
+        ]
 
-    partition_names = named(partition_columns)
-    file_names = named(more_file_columns)
-    for name in partition_names + file_names:
-        if name.startswith("`") or "(" in name:
+    partition_tagged = named(partition_columns)
+    file_tagged = named(more_file_columns)
+    # the unnamed-expression check applies ONLY to computed entries: a
+    # real column legitimately named 'f(x)' passed as a string must not
+    # be rejected by the '(' heuristic
+    for name, was_computed in partition_tagged + file_tagged:
+        if was_computed and (name.startswith("`") or "(" in name):
             raise ValueError(
                 f"Computed partition/file column '{name}' must be named — "
                 "use Column.alias(name)"
             )
+    partition_names = [n for n, _ in partition_tagged]
+    file_names = [n for n, _ in file_tagged]
 
     range_cols = [F.col(backticks(c)) for c in partition_names + file_names]
     ranged = (

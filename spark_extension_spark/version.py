@@ -23,7 +23,15 @@ def spark_version() -> Tuple[int, int, int]:
     parts = (pyspark.__version__.split("+")[0].split(".") + ["0", "0"])[:3]
     nums = []
     for p in parts:
-        digits = "".join(ch for ch in p if ch.isdigit())
+        # take the LEADING digit run only: '0rc1' / '0-preview2' must
+        # parse as 0, not concatenate into 1 / 2 — otherwise a 4.1.0
+        # pre-release reads as 4.1.2 and version gates take the wrong
+        # branch
+        digits = ""
+        for ch in p:
+            if not ch.isdigit():
+                break
+            digits += ch
         nums.append(int(digits or 0))
     return tuple(nums)
 

@@ -111,3 +111,31 @@ def test_patch_restores_shadowed_attribute(spark):
     finally:
         if DataFrame.__dict__.get("histogram") is sentinel:
             delattr(DataFrame, "histogram")
+
+
+def test_spark_version_parses_prerelease_suffixes(monkeypatch):
+    import pyspark
+
+    from spark_extension_spark import version as V
+
+    cases = {
+        "4.1.2": (4, 1, 2),
+        "3.5.0rc1": (3, 5, 0),       # rc digits must NOT concatenate
+        "4.1.0-preview2": (4, 1, 0),
+        "4.0.1+custom.3": (4, 0, 1),
+        "4.1": (4, 1, 0),
+    }
+    for raw, want in cases.items():
+        monkeypatch.setattr(pyspark, "__version__", raw)
+        assert V.spark_version() == want, raw
+
+
+def test_operators_all_covers_public_surface():
+    import spark_extension_spark.operators as ops
+
+    public = sorted(
+        n for n in dir(ops) if not n.startswith("_") and callable(getattr(ops, n))
+    )
+    missing = [n for n in public if n not in ops.__all__]
+    dangling = [n for n in ops.__all__ if not hasattr(ops, n)]
+    assert missing == [] and dangling == []

@@ -73,3 +73,25 @@ def test_unpersist_handle_accepted(df, tmp_path):
         str(tmp_path / "h")
     )
     handle()  # no-op on Spark >= 3.5, must not raise
+
+
+def test_string_column_named_like_expression_is_accepted(spark, tmp_path):
+    # the unnamed-computed-expression heuristic must not reject a REAL
+    # column whose name merely contains parentheses
+    from pyspark.sql import functions as F
+
+    from spark_extension_spark.sources.partitioned_write import (
+        write_partitioned_by,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "k"]).withColumn(
+        "f(x)", F.col("id") % 2
+    )
+    path = str(tmp_path / "out")
+    write_partitioned_by(df, ["f(x)"]).parquet(path)
+    assert spark.read.parquet(path).count() == 2
+    # unnamed computed expressions still raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be named"):
+        write_partitioned_by(df, [F.col("id") % 3])
