@@ -300,3 +300,78 @@ def test_asof_join_matches_pandas_merge_asof(spark, case, direction):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@given(
+    values=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=30),
+)
+@SETTINGS
+def test_running_total_prefix_sum_law(spark, values):
+    # for ANY integer sequence (negatives included), the global running
+    # total at position i equals the plain prefix sum — regardless of
+    # how Spark partitions the data
+    from spark_extension_spark import with_running_total
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    got = {
+        r["id"]: r["run"]
+        for r in with_running_total(df, "v", order=["id"], out="run").collect()
+    }
+    acc = 0
+    for i, v in enumerate(values):
+        acc += v
+        assert got[i] == acc, (i, values)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    chunk=st.integers(min_value=1, max_value=8),
+    data=st.data(),
+)
+@SETTINGS
+def test_chunk_documents_coverage_and_no_containment(spark, n, chunk, data):
+    # chunking laws for any (n, chunk_tokens, overlap): every token is
+    # covered, chunks appear in order, and no chunk is a subrange of
+    # its predecessor (no 100%-duplicated text)
+    from spark_extension_spark.operators.text import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    toks = [f"t{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    out = [
+        r["text"].split()
+        for r in chunk_documents(df, chunk, overlap).orderBy("chunk_id").collect()
+    ]
+    covered = [t for c in out for t in c]
+    assert set(covered) == set(toks), (n, chunk, overlap, out)
+    stride = chunk - overlap
+    for i, c in enumerate(out):
+        assert c[0] == toks[i * stride]
+        assert len(c) <= chunk
+    for prev, cur in zip(out, out[1:]):
+        assert not set(cur).issubset(set(prev)), (n, chunk, overlap, out)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_hilbert_index_injective_on_grid(spark, pts):
+    # distinct grid points must map to distinct curve positions within
+    # [0, 4^bits): the fold is a bijection on the full grid
+    from spark_extension_spark.sources.layout import with_hilbert_value
+
+    # pin the scaling: include the grid corners so min/max scaling is
+    # the identity on 3-bit coordinates
+    pts = sorted(set(pts) | {(0, 0), (7, 7)})
+    df = spark.createDataFrame([(i, x, y) for i, (x, y) in enumerate(pts)],
+                               "id long, x int, y int")
+    vals = [r["h_value"] for r in with_hilbert_value(df, ["x", "y"], bits=3).collect()]
+    assert len(set(vals)) == len(pts)
+    assert all(0 <= v < 64 for v in vals)
