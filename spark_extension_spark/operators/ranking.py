@@ -282,16 +282,23 @@ def doc_logprob(
                 # (18,10)×(19,0) → precision exactly 38, still lossless
                 * F.col("tf").cast("decimal(19,0)")
             ).alias("__s"),
+            # SQL SUM skips NULL terms, so the "OOV propagates NULL"
+            # contract needs an explicit count: without it a document
+            # that is 90% out-of-vocabulary would score over only its
+            # matched 10% and look HIGH quality — exactly the junk a
+            # quality filter must catch
+            F.sum(F.when(logp.isNull(), 1).otherwise(0)).alias("__n_oov"),
         )
     )
+    score = F.when(F.col("__n_oov") == 0, F.col("__s").cast("double"))
     return (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            F.col("__s").cast("double").alias("sum_logp"),
-            (F.col("__s").cast("double") / F.col("n_tokens").cast("double")).alias("avg_logp"),
+            score.alias("sum_logp"),
+            (score / F.col("n_tokens").cast("double")).alias("avg_logp"),
         )
     )
 
