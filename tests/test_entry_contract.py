@@ -47,6 +47,37 @@ def test_window_prefix_is_oracle_backed():
     assert not unbacked, f"window queries without oracles: {unbacked}"
 
 
+def test_oracle_output_types_portable():
+    # DuckDB widens integer SUM to HUGEINT (int128) and VALUES literals
+    # to DECIMAL; both materialize differently per fetch path (native
+    # int vs pandas float64 vs arrow decimal128), so a harness that
+    # stringifies fetched values hash-diverges on numerically identical
+    # integers.  This was the r06/r07 driver-red root cause
+    # (char_entropy / dup_ngram — the only two HUGEINT-emitting oracles
+    # of 150), invisible to the local native-fetch mirror by
+    # construction.  Pin the whole surface: every oracle output column
+    # must be BIGINT/DOUBLE/VARCHAR/BOOL/temporal (EXACTNESS.md rule 6;
+    # scripts/audit_oracle_types.py is the standalone sweep).
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, (str(x) for x in rel.types)):
+            if str(typ).upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL")):
+                offenders.append((name, col, str(typ)))
+    assert not offenders, f"non-portable oracle output types: {offenders}"
+
+
 def test_gate_outputs_are_scalar_typed(spark):
     # the driver's canonicalizer sorts pandas values: array/map/struct
     # cells are unhashable and error the row (round-5 failure class).
