@@ -130,6 +130,38 @@ def test_doc_logprob_external_lm_and_unk(docs, spark):
     assert got2[3]["sum_logp"] == pytest.approx(-20.0 * 5)
 
 
+def test_doc_logprob_partial_oov_is_null_not_partial_sum(docs, spark):
+    # The sharp edge of the OOV contract: a document with SOME matched
+    # tokens.  SQL SUM skips NULL terms, so before round 8's fix a doc
+    # that was 90% out-of-vocabulary scored over only its matched 10%
+    # and looked HIGH quality — exactly the junk a quality filter must
+    # catch.  The whole score must go NULL, not a silent partial sum.
+    from spark_extension_spark.operators.ranking import doc_logprob, unigram_lm
+
+    lm = unigram_lm(docs)  # vocabulary = the fixture corpus
+    mixed = spark.createDataFrame(
+        [(10, "the quick fox"), (11, "the quick zzzunseen")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in doc_logprob(mixed, lm=lm).collect()}
+    # fully in-vocab doc scores; 2-of-3-matched doc propagates NULL
+    assert got[10]["sum_logp"] is not None and got[10]["avg_logp"] is not None
+    assert got[11]["n_tokens"] == 3  # tokens counted even when unscored
+    assert got[11]["sum_logp"] is None and got[11]["avg_logp"] is None
+
+    # with unk_logp the same doc scores matched-sum + floor, exactly
+    from decimal import ROUND_HALF_UP, Decimal
+
+    snap = lambda x: Decimal(repr(x)).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+    lmv = {r["token"]: r["logp"] for r in lm.collect()}
+    expect = float(snap(lmv["the"]) + snap(lmv["quick"]) + snap(-20.0))
+    got2 = {
+        r["doc_id"]: r for r in doc_logprob(mixed, lm=lm, unk_logp=-20.0).collect()
+    }
+    assert got2[11]["sum_logp"] == pytest.approx(expect, rel=1e-12)
+    assert got2[11]["avg_logp"] == pytest.approx(expect / 3, rel=1e-12)
+
+
 def test_doc_logprob_empty_doc(spark):
     from spark_extension_spark.operators.ranking import doc_logprob
 
