@@ -384,6 +384,12 @@ def main() -> None:
                 # is machine noise, not a plan change — adjudicate from
                 # the spread before profiling
                 "runs": spreads,
+                # per-query min of the 3 steady-state runs: the
+                # statistic least sensitive to one-sided load bursts
+                # (the r7 q7-q11 adjudication in PLANS.md) — a flagged
+                # query whose recorded min matches the quiet-machine
+                # median was load, not a regression
+                "mins": {k: min(v) for k, v in spreads.items()},
                 "sf": sf,
                 # totals are only comparable round-over-round on the
                 # same layout — false means the repack fell back to the
@@ -401,6 +407,16 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": {k: timings[name] for k, name in keys.items()},
+                # sum of per-query minima (+ repack): the load-robust
+                # floor — when value drifts but min_total doesn't, the
+                # drift was machine load (full per-query mins are in
+                # bench_detail.json; the one-line JSON is capped at
+                # ~2000 chars so only the total fits here)
+                "min_total": round(
+                    sum(min(v) for v in spreads.values())
+                    + timings.get("ingest_repack", 0.0),
+                    3,
+                ),
                 "sf": sf,
                 "repack": repack_applied,
                 "keys": "BENCH_KEYS.md",

@@ -314,7 +314,13 @@ def mad_outliers(
     across engines and partitionings."""
     # null-safe join back (the zscore_normalize pattern): a NULL group
     # key is a real group to GROUP BY, but a plain inner join's
-    # null-unsafe equality would silently drop every NULL-key row
+    # null-unsafe equality would silently drop every NULL-key row.
+    # LEFT join, not inner: group_quantiles excludes NULL values, so a
+    # group whose every value is NULL has no summary row at all — the
+    # contract is "input rows plus flag", and those rows must survive
+    # with NULL median/MAD/flag (winsorize's row-preserving behavior),
+    # not vanish.  (The no-`by` crossJoin is safe as-is: a global
+    # aggregate always emits exactly one row.)
     def join_back(data: DataFrame, summary: DataFrame) -> DataFrame:
         if not by:
             return data.crossJoin(F.broadcast(summary))
@@ -325,7 +331,7 @@ def mad_outliers(
             lambda a, b: a & b,
             [F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in by],
         )
-        return data.join(F.broadcast(renamed), cond).drop(
+        return data.join(F.broadcast(renamed), cond, "left").drop(
             *[f"__k_{c}" for c in by]
         )
 

@@ -59,7 +59,10 @@ def install() -> None:
     future Spark version defines) is stashed and restored by
     :func:`uninstall` — never silently destroyed."""
     for name, fn in _METHODS.items():
-        if name not in _installed:
+        # don't re-stash a name whose stash survived a prior uninstall
+        # (foreign code held the slot then): overwriting would replace
+        # the genuine pre-install attribute with the foreign one
+        if name not in _installed and name not in _shadowed:
             _shadowed[name] = DataFrame.__dict__.get(name, _MISSING)
         setattr(DataFrame, name, fn)
         _installed[name] = fn
@@ -69,13 +72,23 @@ def uninstall() -> None:
     """Remove only the attributes this package set, restoring any
     attribute that existed before :func:`install` shadowed it; a name
     that now holds something else entirely (re-patched by other code
-    after install) is left untouched."""
+    after install) is left untouched — and its stash is RETAINED, so a
+    later install/uninstall cycle can still restore the genuine
+    pre-install attribute once the foreign patch is gone."""
+    import warnings
+
     for name, fn in list(_installed.items()):
         if getattr(DataFrame, name, None) is fn:
-            prior = _shadowed.get(name, _MISSING)
+            prior = _shadowed.pop(name, _MISSING)
             if prior is _MISSING:
                 delattr(DataFrame, name)
             else:
                 setattr(DataFrame, name, prior)
-        _shadowed.pop(name, None)
+        elif name in _shadowed:
+            warnings.warn(
+                f"uninstall(): DataFrame.{name} was re-patched by other "
+                "code after install(); leaving it (and the stashed "
+                "original) in place",
+                stacklevel=2,
+            )
         del _installed[name]

@@ -4244,9 +4244,12 @@ med AS (
   GROUP BY event_type
 ),
 dev AS (
+  -- LEFT joins mirror the operator's row-preserving contract: a group
+  -- whose every value is NULL has no median/MAD summary row, and its
+  -- rows must survive with NULL flags rather than vanish
   SELECT e.event_id, e.event_type, e.value, med.group_median,
          abs(e.value - med.group_median) AS adev
-  FROM events e JOIN med USING (event_type)
+  FROM events e LEFT JOIN med USING (event_type)
 ),
 r2 AS (
   SELECT event_type, adev,
@@ -4262,7 +4265,7 @@ mad AS (
 )
 SELECT dev.event_id, dev.event_type, dev.value, dev.group_median,
        mad.group_mad, dev.adev > 3.0 * mad.group_mad AS is_outlier
-FROM dev JOIN mad USING (event_type)
+FROM dev LEFT JOIN mad USING (event_type)
 """
 
 

@@ -109,18 +109,30 @@ def install_poetry_project(project_dir: str, *args: str) -> None:
 
     Only wheels produced by THIS build are installed: ``dist/`` may
     hold stale wheels from earlier versions, and feeding pip the whole
-    directory would install (or conflict on) the old one."""
+    directory would install (or conflict on) the old one.  "Produced by
+    this build" is decided by a before/after snapshot of ``dist/``
+    (name, size, mtime) — never by comparing file mtimes against the
+    wall clock, which misfires on filesystems with coarse or skewed
+    timestamps (NFS, container clock drift): a wheel is new if its
+    snapshot entry changed, including a same-name rebuild."""
     import subprocess
-    import time
+
+    def _snapshot(d: str) -> dict:
+        out = {}
+        for f in os.listdir(d) if os.path.isdir(d) else []:
+            if f.endswith(".whl"):
+                st = os.stat(os.path.join(d, f))
+                out[f] = (st.st_size, st.st_mtime_ns)
+        return out
 
     dist_dir = os.path.join(project_dir, "dist")
-    started = time.time()
+    before = _snapshot(dist_dir)
     subprocess.check_call(["poetry", "build", "--format", "wheel"], cwd=project_dir)
+    after = _snapshot(dist_dir)
     wheels = [
         os.path.join(dist_dir, f)
-        for f in os.listdir(dist_dir)
-        if f.endswith(".whl")
-        and os.path.getmtime(os.path.join(dist_dir, f)) >= started - 1.0
+        for f, sig in sorted(after.items())
+        if before.get(f) != sig
     ]
     if not wheels:
         raise RuntimeError(f"poetry build produced no wheels in {dist_dir}")

@@ -885,6 +885,27 @@ def test_mad_outliers_keeps_null_group_keys(spark):
     assert flags[("a", 99.0)] is True
 
 
+def test_mad_outliers_all_null_value_group_rows_survive(spark):
+    # group_quantiles excludes NULL values, so a group whose every
+    # value is NULL has no median/MAD summary row; the join back must
+    # be row-preserving (left), yielding NULL median/MAD/flag — not
+    # silently dropping the group (round-8 fix; winsorize's contract)
+    from spark_extension_spark.operators.features import mad_outliers
+
+    rows = [("a", 1.0), ("a", 1.1), ("a", 99.0), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", by=["g"], k=3.0).collect()
+    assert len(out) == 5
+    b_rows = [r for r in out if r["g"] == "b"]
+    assert len(b_rows) == 2
+    for r in b_rows:
+        assert r["group_median"] is None
+        assert r["group_mad"] is None
+        assert r["is_outlier"] is None
+    flags = {(r["g"], r["v"]): r["is_outlier"] for r in out}
+    assert flags[("a", 99.0)] is True
+
+
 def test_feature_hash_numeric_index_is_per_feature(spark):
     # the numeric index must come from the feature NAME, not the value —
     # otherwise each distinct value scatters to an unrelated index and

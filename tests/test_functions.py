@@ -113,6 +113,41 @@ def test_patch_restores_shadowed_attribute(spark):
             delattr(DataFrame, "histogram")
 
 
+def test_patch_uninstall_retains_stash_when_repatched(spark):
+    # third-party code re-patches the slot after install(): uninstall()
+    # must leave the foreign attribute alone AND keep the stashed
+    # original, so a later cycle can still restore it (round-8 fix:
+    # the stash used to be popped unconditionally, permanently
+    # discarding the genuine pre-install attribute)
+    import warnings
+
+    from pyspark.sql import DataFrame
+
+    from spark_extension_spark import patch
+
+    original = lambda self: "original"  # noqa: E731
+    foreign = lambda self: "foreign"  # noqa: E731
+    DataFrame.histogram = original
+    try:
+        patch.install()
+        DataFrame.histogram = foreign  # third-party re-patch
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            patch.uninstall()
+        assert any("re-patched" in str(w.message) for w in caught)
+        assert DataFrame.__dict__.get("histogram") is foreign  # untouched
+        # foreign patch goes away; the next cycle restores the original
+        delattr(DataFrame, "histogram")
+        patch.install()  # must NOT re-stash over the retained original
+        patch.uninstall()
+        assert DataFrame.__dict__.get("histogram") is original
+    finally:
+        patch._installed.clear()
+        patch._shadowed.clear()
+        if DataFrame.__dict__.get("histogram") in (original, foreign):
+            delattr(DataFrame, "histogram")
+
+
 def test_spark_version_parses_prerelease_suffixes(monkeypatch):
     import pyspark
 

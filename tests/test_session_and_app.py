@@ -296,6 +296,56 @@ def test_install_pip_package_local_wheel(spark, tmp_path):
         sys.modules.pop("sx_wheeltest", None)
 
 
+def test_install_poetry_project_detects_wheels_by_snapshot(tmp_path, monkeypatch):
+    """Wheel selection is a before/after snapshot of dist/, not a
+    wall-clock mtime comparison (round-8 fix): a build landing with a
+    skewed/coarse filesystem timestamp — here a full hour in the past —
+    is still 'new', a stale wheel is still excluded, and a same-name
+    rebuild (changed size, old mtime) is re-detected."""
+    import os
+    import subprocess
+    import time
+
+    import spark_extension_spark.session as S
+
+    project = tmp_path / "proj"
+    dist = project / "dist"
+    dist.mkdir(parents=True)
+    stale = dist / "proj-0.9-py3-none-any.whl"
+    stale.write_bytes(b"stale")
+
+    built: list[bytes] = [b"fresh-build-1"]
+
+    def fake_build(cmd, cwd=None, **kw):
+        assert cmd[:2] == ["poetry", "build"] and cwd == str(project)
+        new = dist / "proj-1.0-py3-none-any.whl"
+        new.write_bytes(built[0])
+        past = time.time() - 3600  # NFS/container clock skew
+        os.utime(new, (past, past))
+        return 0
+
+    installed: list[tuple] = []
+    monkeypatch.setattr(subprocess, "check_call", fake_build)
+    monkeypatch.setattr(S, "install_pip_package", lambda *a: installed.append(a))
+
+    S.install_poetry_project(str(project))
+    assert installed == [(str(dist / "proj-1.0-py3-none-any.whl"),)]
+
+    # same-name rebuild with different content: snapshot diff catches it
+    built[0] = b"fresh-build-2-different-size"
+    S.install_poetry_project(str(project))
+    assert installed[-1] == (str(dist / "proj-1.0-py3-none-any.whl"),)
+
+    # a build that only leaves the stale wheel untouched raises
+    def no_op_build(cmd, cwd=None, **kw):
+        (dist / "proj-1.0-py3-none-any.whl").unlink()
+        return 0
+
+    monkeypatch.setattr(subprocess, "check_call", no_op_build)
+    with pytest.raises(RuntimeError, match="produced no wheels"):
+        S.install_poetry_project(str(project))
+
+
 def test_install_pip_package_failure_propagates(spark, tmp_path):
     """A package pip cannot resolve raises CalledProcessError — no
     silent success, no sys.path/archive side effects."""
