@@ -105,7 +105,7 @@ def test_connected_components_two_clusters(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], ["id_a", "id_b"]
     )
-    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges, warn_single_use=False).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
 
@@ -114,7 +114,7 @@ def test_connected_components_chain_and_direction(spark):
 
     # labels must flow against edge direction too (symmetrization)
     edges = spark.createDataFrame([(5, 4), (4, 3), (3, 2), (2, 1)], ["id_a", "id_b"])
-    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges, warn_single_use=False).collect()}
     assert set(got.values()) == {1}
 
 
@@ -122,7 +122,7 @@ def test_connected_components_empty(spark):
     from spark_extension_spark import connected_components
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
-    assert connected_components(edges).count() == 0
+    assert connected_components(edges, warn_single_use=False).count() == 0
 
 
 def test_connected_components_star_matches_label(spark):
@@ -135,9 +135,9 @@ def test_connected_components_star_matches_label(spark):
         ["id_a", "id_b"],
     )
     label = {r["id"]: r["cluster_id"]
-             for r in connected_components(edges, algorithm="label").collect()}
+             for r in connected_components(edges, algorithm="label", warn_single_use=False).collect()}
     star = {r["id"]: r["cluster_id"]
-            for r in connected_components(edges, algorithm="star").collect()}
+            for r in connected_components(edges, algorithm="star", warn_single_use=False).collect()}
     assert label == star
     assert star[6] == 1 and star[12] == 10 and star[21] == 20
 
@@ -150,7 +150,7 @@ def test_connected_components_star_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
     )
-    got = connected_components(edges, algorithm="star", max_iterations=15)
+    got = connected_components(edges, algorithm="star", max_iterations=15, warn_single_use=False)
     assert {r["cluster_id"] for r in got.collect()} == {0}
     assert got.count() == 101
 
@@ -163,7 +163,7 @@ def test_connected_components_check_every_batching(spark):
         [(5, 4), (4, 3), (3, 2), (2, 1)], ["id_a", "id_b"]
     )
     got = {r["id"]: r["cluster_id"]
-           for r in connected_components(edges, check_every=5).collect()}
+           for r in connected_components(edges, check_every=5, warn_single_use=False).collect()}
     assert set(got.values()) == {1}
 
 
@@ -192,7 +192,7 @@ def test_near_dup_clusters_representative(spark):
     from pyspark.sql import functions as F
 
     pairs = spark.createDataFrame([(7, 3), (3, 9), (20, 21)], ["id_a", "id_b"])
-    clusters = near_dup_clusters(pairs)
+    clusters = near_dup_clusters(pairs, warn_single_use=False)
     reps = clusters.where(F.col("doc_id") == F.col("cluster_id"))
     assert {r["doc_id"] for r in reps.collect()} == {3, 20}
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id"))
@@ -371,7 +371,7 @@ def test_dedup_keep_best(spark):
     )
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
     out = {r["doc_id"]: r for r in
-           dedup_keep_best(df, "quality", pairs=pairs).collect()}
+           dedup_keep_best(df, "quality", pairs=pairs, warn_single_use=False).collect()}
     # quality tie between 2 and 3 -> smallest id (2) wins; singleton kept
     assert set(out) == {2, 4}
     assert out[2]["cluster_id"] == 1 and out[2]["cluster_size"] == 3
@@ -416,7 +416,7 @@ def test_dedup_keep_best_self_computed_pairs(spark, docs):
 
     scored = docs.withColumn("quality", F.length("text").cast("double"))
     kept = {r["doc_id"] for r in
-            dedup_keep_best(scored, "quality", threshold=0.5).collect()}
+            dedup_keep_best(scored, "quality", threshold=0.5, warn_single_use=False).collect()}
     # docs 1,2,3 are near-dups (cluster of 3): longest (2: BASE + '.')
     # survives -- 1 and 3 tie on content length but 2 has the extra dot
     assert 4 in kept and 5 in kept
@@ -804,7 +804,8 @@ class TestLabelPropagation:
         edges = spark.createDataFrame(c1 + c2 + [(4, 10)], ["src", "dst"])
 
         cc = connected_components(
-            edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b")
+            edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b"),
+            warn_single_use=False,
         )
         assert cc.select("cluster_id").distinct().count() == 1
 
@@ -884,7 +885,7 @@ class TestCheckpointLifecycle:
         before = len(self._cached_ids(spark))
         outs = []
         for _ in range(3):
-            out = near_dup_clusters(pairs)
+            out = near_dup_clusters(pairs, warn_single_use=False)
             out.count()
             outs.append(out)
         grown = len(self._cached_ids(spark)) - before
