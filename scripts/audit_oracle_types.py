@@ -42,11 +42,27 @@ TABLES = [
 _FLAGGED = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
+def flagged_columns(columns, types):
+    """(column, type) pairs whose type contains a non-portable DuckDB
+    type — substring match, so a HUGEINT/DECIMAL nested inside a
+    LIST/STRUCT/MAP type string is flagged too (a nested value
+    materializes just as fetch-path-dependently as a top-level one)."""
+    return [
+        (c, t)
+        for c, t in zip(columns, (str(t) for t in types))
+        if any(f in t.upper() for f in _FLAGGED)
+    ]
+
+
 def main() -> int:
     sf = "/root/testdata/sf0.001"
     argv = sys.argv[1:]
     if "--sf" in argv:
-        sf = argv[argv.index("--sf") + 1]
+        i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            print("usage: audit_oracle_types.py [--sf DIR]")
+            return 2
+        sf = argv[i + 1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -56,14 +72,11 @@ def main() -> int:
     for name, sql in entry.oracle_sql().items():
         try:
             rel = con.sql(sql)
-            cols = list(zip(rel.columns, (str(t) for t in rel.types)))
+            flagged = flagged_columns(rel.columns, rel.types)
         except Exception as e:  # footer oracles read absolute paths; surface, don't die
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             bad += 1
             continue
-        flagged = [
-            (c, t) for c, t in cols if any(t.upper().startswith(f) for f in _FLAGGED)
-        ]
         if flagged:
             bad += 1
             print(f"{name}: FLAGGED {flagged}")

@@ -58,12 +58,31 @@ def install() -> None:
     already present under one of these names (e.g. a genuine method a
     future Spark version defines) is stashed and restored by
     :func:`uninstall` — never silently destroyed."""
+    import warnings
+
     for name, fn in _METHODS.items():
+        cur = DataFrame.__dict__.get(name, _MISSING)
         # don't re-stash a name whose stash survived a prior uninstall
         # (foreign code held the slot then): overwriting would replace
         # the genuine pre-install attribute with the foreign one
         if name not in _installed and name not in _shadowed:
-            _shadowed[name] = DataFrame.__dict__.get(name, _MISSING)
+            _shadowed[name] = cur
+        elif (
+            cur is not _MISSING
+            and cur is not fn
+            and cur is not _installed.get(name)
+            and cur is not _shadowed.get(name, _MISSING)
+        ):
+            # the slot holds foreign code that was never stashed (it
+            # arrived after our stash was taken) — it cannot be
+            # preserved without discarding the genuine original, so
+            # overwrite it loudly, not silently
+            warnings.warn(
+                f"install(): DataFrame.{name} holds code patched by a "
+                "third party since the last install(); overwriting it "
+                "(the original pre-install attribute remains stashed)",
+                stacklevel=2,
+            )
         setattr(DataFrame, name, fn)
         _installed[name] = fn
 

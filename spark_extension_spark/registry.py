@@ -4232,10 +4232,13 @@ def q_doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_ORACLE = """
 WITH r1 AS (
-  SELECT event_type, value,
+  -- ranks mirror group_quantiles exactly: NULL values are excluded
+  -- from both the ordering and the group count n (percentile_disc
+  -- semantics) — ranking them would shift every quantile index
+  SELECT event_type, value, event_id,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 med AS (
   SELECT event_type,
@@ -4244,18 +4247,18 @@ med AS (
   GROUP BY event_type
 ),
 dev AS (
-  -- LEFT joins mirror the operator's row-preserving contract: a group
-  -- whose every value is NULL has no median/MAD summary row, and its
-  -- rows must survive with NULL flags rather than vanish
+  -- row-preserving LEFT join, null-SAFE on the group key (the
+  -- operator joins with eqNullSafe): a group whose every value is
+  -- NULL has no summary row and its rows survive with NULL flags
   SELECT e.event_id, e.event_type, e.value, med.group_median,
          abs(e.value - med.group_median) AS adev
-  FROM events e LEFT JOIN med USING (event_type)
+  FROM events e LEFT JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type
 ),
 r2 AS (
-  SELECT event_type, adev,
+  SELECT event_type, adev, event_id,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM dev
+  FROM dev WHERE adev IS NOT NULL
 ),
 mad AS (
   SELECT event_type,
@@ -4265,7 +4268,7 @@ mad AS (
 )
 SELECT dev.event_id, dev.event_type, dev.value, dev.group_median,
        mad.group_mad, dev.adev > 3.0 * mad.group_mad AS is_outlier
-FROM dev LEFT JOIN mad USING (event_type)
+FROM dev LEFT JOIN mad ON dev.event_type IS NOT DISTINCT FROM mad.event_type
 """
 
 

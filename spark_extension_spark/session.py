@@ -111,29 +111,53 @@ def install_poetry_project(project_dir: str, *args: str) -> None:
     hold stale wheels from earlier versions, and feeding pip the whole
     directory would install (or conflict on) the old one.  "Produced by
     this build" is decided by a before/after snapshot of ``dist/``
-    (name, size, mtime) — never by comparing file mtimes against the
-    wall clock, which misfires on filesystems with coarse or skewed
-    timestamps (NFS, container clock drift): a wheel is new if its
-    snapshot entry changed, including a same-name rebuild."""
+    (name, size, mtime, content hash) — never by comparing file mtimes
+    against the wall clock, which misfires on filesystems with coarse
+    or skewed timestamps (NFS, container clock drift): a wheel is new
+    if its snapshot entry changed, including a same-name rebuild (the
+    content hash catches a different-bytes rebuild under a coarse,
+    e.g. 1-second, timestamp).  The one case the snapshot cannot see —
+    a byte-identical rebuild with an unchanged coarse timestamp — falls
+    back to the wheel names poetry itself printed ("Built x.whl"),
+    which identify the same artifact anyway."""
+    import hashlib
+    import re
     import subprocess
 
     def _snapshot(d: str) -> dict:
         out = {}
         for f in os.listdir(d) if os.path.isdir(d) else []:
             if f.endswith(".whl"):
-                st = os.stat(os.path.join(d, f))
-                out[f] = (st.st_size, st.st_mtime_ns)
+                p = os.path.join(d, f)
+                st = os.stat(p)
+                with open(p, "rb") as fh:
+                    digest = hashlib.md5(fh.read()).hexdigest()
+                out[f] = (st.st_size, st.st_mtime_ns, digest)
         return out
 
     dist_dir = os.path.join(project_dir, "dist")
     before = _snapshot(dist_dir)
-    subprocess.check_call(["poetry", "build", "--format", "wheel"], cwd=project_dir)
+    proc = subprocess.run(
+        ["poetry", "build", "--format", "wheel"],
+        cwd=project_dir,
+        check=True,
+        capture_output=True,
+        text=True,
+    )
     after = _snapshot(dist_dir)
     wheels = [
         os.path.join(dist_dir, f)
         for f, sig in sorted(after.items())
         if before.get(f) != sig
     ]
+    if not wheels:
+        # byte-identical rebuild (nothing in dist/ changed): trust the
+        # names poetry reported building — same bytes, same artifact
+        named = re.findall(r"\S+\.whl", proc.stdout + proc.stderr)
+        wheels = sorted(
+            {os.path.join(dist_dir, os.path.basename(n)) for n in named}
+            & {os.path.join(dist_dir, f) for f in after}
+        )
     if not wheels:
         raise RuntimeError(f"poetry build produced no wheels in {dist_dir}")
     install_pip_package(*wheels, *args)

@@ -56,25 +56,26 @@ def test_oracle_output_types_portable():
     # (char_entropy / dup_ngram — the only two HUGEINT-emitting oracles
     # of 150), invisible to the local native-fetch mirror by
     # construction.  Pin the whole surface: every oracle output column
-    # must be BIGINT/DOUBLE/VARCHAR/BOOL/temporal (EXACTNESS.md rule 6;
-    # scripts/audit_oracle_types.py is the standalone sweep).
+    # must be BIGINT/DOUBLE/VARCHAR/BOOL/temporal (EXACTNESS.md rule 6).
+    # The table list and the flag predicate are the audit script's own
+    # (single source of truth — the CI guard must not drift narrower
+    # than the documented sweep).
     import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import audit_oracle_types as audit
 
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in audit.TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     offenders = []
     for name, sql in entry.oracle_sql().items():
         rel = con.sql(sql)
-        for col, typ in zip(rel.columns, (str(x) for x in rel.types)):
-            if str(typ).upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL")):
-                offenders.append((name, col, str(typ)))
+        for col, typ in audit.flagged_columns(rel.columns, rel.types):
+            offenders.append((name, col, typ))
     assert not offenders, f"non-portable oracle output types: {offenders}"
 
 

@@ -219,3 +219,48 @@ class TestDecimalFoldPrecision:
                 str(sum((half_up(c, 12) for c in coses), decimal.Decimal(0)))
             ) / len(coses)
             assert got[g] == pytest.approx(avg, abs=5e-13), g
+
+
+class TestMadOracleNullParity:
+    def test_mad_outliers_matches_oracle_on_null_bearing_data(
+        self, spark, duck, tmp_path
+    ):
+        """The gate testdata has no NULL event values or keys, so the
+        driver hash cannot exercise the NULL paths — pin operator/oracle
+        parity on them directly (round-8 review finding: the oracle
+        ranked NULL values into the quantile index while the operator's
+        group_quantiles excludes them, a latent hash red the moment the
+        testdata grows a NULL)."""
+        import os
+
+        from spark_extension_spark.operators.features import mad_outliers
+        from spark_extension_spark.registry import ORACLES
+
+        rows = [
+            (1, "a", 1.0), (2, "a", 2.0), (3, "a", None),   # mixed NULL value
+            (4, "b", None), (5, "b", None),                 # all-NULL group
+            (6, None, 5.0), (7, None, 5.2), (8, None, 50.0),  # NULL group key
+            (9, "c", 1.0), (10, "c", 1.1), (11, "c", 99.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        pq = os.path.join(str(tmp_path), "events.parquet")
+        df.coalesce(1).write.parquet(pq)
+        got = sorted(
+            tuple(r)
+            for r in mad_outliers(
+                df, "value", by=["event_type"], k=3.0, tiebreak=["event_id"]
+            )
+            .select(
+                "event_id", "event_type", "value",
+                "group_median", "group_mad", "is_outlier",
+            )
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        want = sorted(con.execute(ORACLES["mad_outliers_events"]).fetchall())
+        assert got == want

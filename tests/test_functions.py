@@ -148,6 +148,39 @@ def test_patch_uninstall_retains_stash_when_repatched(spark):
             delattr(DataFrame, "histogram")
 
 
+def test_patch_reinstall_over_live_foreign_patch_warns(spark):
+    # install() while a foreign patch still holds the slot (after a
+    # stash-retaining uninstall) cannot preserve both the foreign code
+    # and the genuine original — it overwrites the foreign patch, but
+    # must do so loudly, and the original must still win the next cycle
+    import warnings
+
+    from pyspark.sql import DataFrame
+
+    from spark_extension_spark import patch
+
+    original = lambda self: "original"  # noqa: E731
+    foreign = lambda self: "foreign"  # noqa: E731
+    DataFrame.histogram = original
+    try:
+        patch.install()
+        DataFrame.histogram = foreign
+        with warnings.catch_warnings(record=True):
+            warnings.simplefilter("always")
+            patch.uninstall()  # retains stash, leaves foreign
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            patch.install()  # foreign still live: overwrite + warn
+        assert any("third party" in str(w.message) for w in caught)
+        patch.uninstall()
+        assert DataFrame.__dict__.get("histogram") is original
+    finally:
+        patch._installed.clear()
+        patch._shadowed.clear()
+        if DataFrame.__dict__.get("histogram") in (original, foreign):
+            delattr(DataFrame, "histogram")
+
+
 def test_spark_version_parses_prerelease_suffixes(monkeypatch):
     import pyspark
 

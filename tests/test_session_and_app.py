@@ -305,6 +305,7 @@ def test_install_poetry_project_detects_wheels_by_snapshot(tmp_path, monkeypatch
     import os
     import subprocess
     import time
+    from types import SimpleNamespace
 
     import spark_extension_spark.session as S
 
@@ -320,28 +321,39 @@ def test_install_poetry_project_detects_wheels_by_snapshot(tmp_path, monkeypatch
         assert cmd[:2] == ["poetry", "build"] and cwd == str(project)
         new = dist / "proj-1.0-py3-none-any.whl"
         new.write_bytes(built[0])
-        past = time.time() - 3600  # NFS/container clock skew
-        os.utime(new, (past, past))
-        return 0
+        # fixed past timestamp: models both NFS/container clock skew
+        # (wall-clock comparison would reject the wheel) AND a coarse
+        # filesystem where a rebuild lands on the identical mtime
+        os.utime(new, (1_000_000_000, 1_000_000_000))
+        return SimpleNamespace(
+            returncode=0, stdout="  - Built proj-1.0-py3-none-any.whl\n", stderr=""
+        )
 
     installed: list[tuple] = []
-    monkeypatch.setattr(subprocess, "check_call", fake_build)
+    monkeypatch.setattr(subprocess, "run", fake_build)
     monkeypatch.setattr(S, "install_pip_package", lambda *a: installed.append(a))
 
     S.install_poetry_project(str(project))
     assert installed == [(str(dist / "proj-1.0-py3-none-any.whl"),)]
 
-    # same-name rebuild with different content: snapshot diff catches it
-    built[0] = b"fresh-build-2-different-size"
+    # same-name rebuild with different content but identical size and a
+    # pinned (coarse-filesystem) mtime: only the content hash differs
+    built[0] = b"fresh-build-2"
     S.install_poetry_project(str(project))
     assert installed[-1] == (str(dist / "proj-1.0-py3-none-any.whl"),)
+
+    # byte-identical rebuild (snapshot sees no change at all): falls
+    # back to the wheel names poetry printed
+    S.install_poetry_project(str(project))
+    assert installed[-1] == (str(dist / "proj-1.0-py3-none-any.whl"),)
+    assert len(installed) == 3
 
     # a build that only leaves the stale wheel untouched raises
     def no_op_build(cmd, cwd=None, **kw):
         (dist / "proj-1.0-py3-none-any.whl").unlink()
-        return 0
+        return SimpleNamespace(returncode=0, stdout="", stderr="")
 
-    monkeypatch.setattr(subprocess, "check_call", no_op_build)
+    monkeypatch.setattr(subprocess, "run", no_op_build)
     with pytest.raises(RuntimeError, match="produced no wheels"):
         S.install_poetry_project(str(project))
 
