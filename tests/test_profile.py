@@ -134,7 +134,8 @@ def test_corr_matrix_matches_numpy(spark):
         (r["col_x"], r["col_y"]): r
     for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
     assert len(out) == 6
-    mat = np.corrcoef(np.array(rows).T)
+    with np.errstate(invalid="ignore"):  # column d is constant: stddev 0
+        mat = np.corrcoef(np.array(rows).T)
     names = ["a", "b", "c", "d"]
     for i, x in enumerate(names):
         for j in range(i + 1, len(names)):
