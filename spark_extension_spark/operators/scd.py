@@ -7,9 +7,14 @@ new ones, so every historical state stays queryable
 (``WHERE valid_from <= t AND (valid_to IS NULL OR valid_to > t)``).
 
 Execution shape: ONE null-safe full-outer equi-join between the open
-versions and the update snapshot (the same join discipline as
-``diff`` — Catalyst may shuffle or broadcast it freely), a struct
-comparison to detect change, and a union of pure projections.  History
+versions and the update snapshot, a struct comparison to detect
+change, and a single-pass CASE/explode that emits every output row of
+the merge (kept-open, closed, re-opened, inserted) from each joined
+row — so the join is scanned, shuffled, and executed exactly once.
+(The earlier formulation unioned four filtered projections of the
+join; Catalyst pushed each branch's filter below the join, the four
+subtrees stopped being equal, exchange reuse never fired, and the
+plan scanned both inputs four times and ran four joins.)  History
 rows pass through untouched (no join).  Nothing iterates; nothing
 collects.
 """
@@ -92,31 +97,37 @@ def scd2_merge(
         F.struct(*[F.col(f"__u_{c}") for c in attrs])
     )
 
+    # One struct per output kind, all shaped as cur_cols; every joined
+    # row emits its outputs through a single CASE/explode so the join
+    # runs once.  (Four `joined.where(...)` union branches would each
+    # push their filter below the join — four distinct subtrees, no
+    # exchange reuse, 4x the scans and joins.)
     cur_cols = current.columns
-    kept_open = joined.where(
-        (matched & same) | (F.col("__upd_present").isNull())
-    ).select(*cur_cols)
-    closed = joined.where(matched & ~same).select(
-        *[F.col(c) if c != valid_to else ts_lit.alias(valid_to) for c in cur_cols]
+    kept = F.struct(*[F.col(c).alias(c) for c in cur_cols])
+    closed = F.struct(
+        *[(ts_lit if c == valid_to else F.col(c)).alias(c) for c in cur_cols]
     )
 
-    def new_version(rows: DataFrame) -> DataFrame:
-        proj = []
-        for c in cur_cols:
-            if c == valid_from:
-                proj.append(ts_lit.alias(valid_from))
-            elif c == valid_to:
-                proj.append(F.lit(None).cast(current.schema[valid_to].dataType).alias(valid_to))
-            elif c in ids or c in attrs:
-                proj.append(F.col(f"__u_{c}").alias(c))
-            else:
-                proj.append(F.lit(None).cast(current.schema[c].dataType).alias(c))
-        return rows.select(*proj)
+    def _new_field(c: str) -> Column:
+        if c == valid_from:
+            return ts_lit.alias(valid_from)
+        if c == valid_to:
+            return F.lit(None).cast(current.schema[valid_to].dataType).alias(valid_to)
+        if c in ids or c in attrs:
+            return F.col(f"__u_{c}").alias(c)
+        return F.lit(None).cast(current.schema[c].dataType).alias(c)
 
-    opened = new_version(joined.where(matched & ~same))
-    inserted = new_version(joined.where(F.col("__cur_present").isNull()))
+    new_version = F.struct(*[_new_field(c) for c in cur_cols])
 
-    return history.unionAll(kept_open).unionAll(closed).unionAll(opened).unionAll(inserted)
+    emitted = (
+        F.when(matched & ~same, F.array(closed, new_version))
+        .when(F.col("__cur_present").isNull(), F.array(new_version))
+        # matched & same, or open row absent from updates: keep as-is
+        .otherwise(F.array(kept))
+    )
+    merged = joined.select(F.explode(emitted).alias("__row")).select("__row.*")
+
+    return history.unionAll(merged)
 
 
 def scd2_current(df: DataFrame, valid_to: str = "valid_to") -> DataFrame:

@@ -63,7 +63,10 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
     for line in text.splitlines():
         stripped = line.strip()
         for kind in _JOIN_KINDS:
-            if kind in stripped:
+            # count the tree form only ("+- SortMergeJoin FullOuter (7)"),
+            # not the "(7) SortMergeJoin" detail header formatted explain
+            # prints for the same node — otherwise every join counts twice
+            if re.search(rf"\b{kind}\b[^(]*\(\d+\)", stripped):
                 summary.joins.append(kind)
         # formatted explain prints each node twice: a tree line
         # "+- Exchange (5)" and a detail header "(5) Exchange" — count

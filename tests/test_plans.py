@@ -346,10 +346,17 @@ def test_pagerank_no_cartesian_broadcast_scalars(spark):
 
 def test_scd2_single_full_outer_join(spark):
     plan = summarize_plan(QUERIES["scd2_merge_orders"](spark, SF))
-    # one equi-join between open versions and updates; history rows
-    # union in join-free
+    # EXACTLY one equi-join between open versions and updates; every
+    # merge output row (kept/closed/re-opened/inserted) is emitted from
+    # that one join via a single CASE/explode, and history rows union
+    # in join-free.  The pre-round-8 form unioned four filtered
+    # projections of the join; the pushed filters made the four
+    # subtrees distinct, exchange reuse never fired, and the plan ran
+    # four joins over eight scans — this pin keeps that from coming
+    # back.
     assert not plan.has_cartesian
-    assert any(j in plan.joins for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert len(plan.joins) == 1
+    assert plan.joins[0] in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
 
 
 def test_group_ols_single_aggregate(spark):
