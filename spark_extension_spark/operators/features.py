@@ -731,8 +731,10 @@ def feature_hash(
     categoricals).  NULL values emit no feature.
 
     Everything is md5 column arithmetic — engine-exact, no UDF, no
-    fitted state; one explode-free union of per-column projections +
-    one aggregate.  Densify downstream only if the model needs it
+    fitted state; one scan of ``df`` emitting every column's entry
+    through a single explode, + one aggregate (a per-column union
+    would re-scan the source, and re-read the id column, once per
+    feature).  Densify downstream only if the model needs it
     (``groupBy(id).pivot`` or a vector assembler); at 100 TB the
     sparse triplet form is the one you can actually shuffle.
     """
@@ -744,7 +746,7 @@ def feature_hash(
     def _h31(c: Column) -> Column:
         return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % (1 << 31)
 
-    def part(c: str, numeric: bool) -> DataFrame:
+    def entry(c: str, numeric: bool) -> Column:
         # categorical: the hash key is "col:value" — each distinct value
         # is its own feature.  Numeric: the key is the feature NAME
         # alone — one stable index per feature, weight = value × sign.
@@ -759,16 +761,26 @@ def feature_hash(
             F.lit(-1.0)
         )
         w = sign * F.col(c).cast("double") if numeric else sign
-        return df.where(F.col(c).isNotNull()).select(
-            F.col(id_col).alias("id"),
-            (_h31(key) % dim).cast("int").alias("idx"),
-            w.alias("weight"),
+        return F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                (_h31(key) % dim).cast("int").alias("idx"), w.alias("weight")
+            ),
         )
 
-    parts = [part(c, False) for c in cols] + [part(c, True) for c in numeric_cols]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
+    # one (idx, weight) entry per feature column, emitted by a single
+    # explode over one scan of df — a per-column union would re-scan
+    # the source (and re-read the id column) once per feature; NULL
+    # cells produce NULL entries, dropped after the explode, exactly
+    # the per-part isNotNull filter of the union form
+    entries = F.array(
+        *[entry(c, False) for c in cols], *[entry(c, True) for c in numeric_cols]
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"), F.explode(entries).alias("__e"))
+        .where(F.col("__e").isNotNull())
+        .select("id", F.col("__e.idx").alias("idx"), F.col("__e.weight").alias("weight"))
+    )
     return out.groupBy("id", "idx").agg(
         F.sum(F.col("weight").cast("decimal(38,12)")).cast("double").alias("weight")
     )

@@ -224,7 +224,9 @@ def triangle_counts(
 
     Joins: two equi-joins over the oriented list + one closure
     equi-join + two broadcast-sized degree joins; per-node counts come
-    from one explode-free union + aggregate.  All arithmetic is
+    from one corner explode + aggregate (a single pass over the
+    triangle list — a union of three projections would re-run the
+    wedge/closure joins per branch).  All arithmetic is
     integer until the final clustering coefficient (``2t / d(d−1)``,
     one double division — engine-exact), so the whole computation
     replays bit-identically in SQL.
@@ -265,10 +267,13 @@ def triangle_counts(
         (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
     ).select("a", "x", "y")
 
-    corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("x").alias("id")))
-        .unionAll(tri.select(F.col("y").alias("id")))
+    # one explode emits all three corners of each triangle in a single
+    # pass over `tri`; a union of three projections would re-execute
+    # the (uncached) wedge + closure joins once per branch — exchange
+    # reuse dedups the shuffles below a SortMergeJoin but not the merge
+    # itself
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("id")
     )
     per_node = corners.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("triangles")
