@@ -361,14 +361,24 @@ def funnel(
     Returns ``(step, event_type, n_users, frac_of_first,
     frac_of_prev)`` — step is 1-based, step 1's fractions are 1.0.
 
-    Plan: one filtered per-user ``min`` aggregate per step (k small
-    aggregates shuffling only that step's events, all keyed on user so
-    the exchanges line up), left-joined into a per-user step-times
-    frame; the summary is ONE global aggregate over that frame,
-    unpivoted with ``stack``.  Nothing collects per-user event lists;
-    skew is bounded by events-per-user per step.  NULL user/timestamp
-    rows are excluded.
+    Plan: ONE shuffle of the (user, event, time) triples by user, then
+    ``k`` chained whole-partition window minima — step *i*'s time is
+    ``min(t) FILTER (event = step_i AND t > t_{i-1} [AND t <= t0 +
+    within])`` over the user's partition, and the chain's sequencing
+    rides on NULL propagation (``t > NULL`` is NULL, so a user who
+    missed step *i−1* can never acquire step *i*).  One per-user
+    collapse reuses the window's partitioning (no second exchange) and
+    the summary is ONE global aggregate, unpivoted with an explode.
+    No joins at all.  (An earlier formulation joined a per-step
+    aggregate back into an accumulating per-user frame; the uncached
+    accumulator appeared in its own successor's lineage, so the plan
+    re-executed it per step — 7 scans and 6 joins for a 3-step
+    funnel, growing exponentially with ``k``.)  Nothing collects
+    per-user event lists; window state is one running minimum per
+    step.  NULL user/timestamp rows are excluded.
     """
+    from pyspark.sql import Window
+
     steps = list(steps)
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -377,24 +387,22 @@ def funnel(
     e = df.where(u.isNotNull() & F.col(ts_col).isNotNull()).select(
         u.alias("__u"), F.col(event_col).alias("__e"), axis.alias("__t")
     )
-    per_user = (
-        e.where(F.col("__e") == steps[0])
-        .groupBy("__u")
-        .agg(F.min("__t").alias("__t0"))
+    w = Window.partitionBy("__u")
+    e = e.withColumn(
+        "__t0", F.min(F.when(F.col("__e") == steps[0], F.col("__t"))).over(w)
     )
     for i, step in enumerate(steps[1:], start=1):
-        prev_cols = ["__u", f"__t{i-1}"] + (["__t0"] if within is not None and i > 1 else [])
-        cond = F.col("__t") > F.col(f"__t{i-1}")
+        cond = (F.col("__e") == step) & (F.col("__t") > F.col(f"__t{i-1}"))
         if within is not None:
             cond = cond & (F.col("__t") <= F.col("__t0") + F.lit(int(within)))
-        nxt = (
-            e.where(F.col("__e") == step)
-            .join(per_user.select(*dict.fromkeys(prev_cols)), "__u")
-            .where(cond)
-            .groupBy("__u")
-            .agg(F.min("__t").alias(f"__t{i}"))
+        e = e.withColumn(
+            f"__t{i}", F.min(F.when(cond, F.col("__t"))).over(w)
         )
-        per_user = per_user.join(nxt, "__u", "left")
+    # one row per user (window values are constant within the user's
+    # partition; the groupBy reuses that partitioning — no exchange)
+    per_user = e.groupBy("__u").agg(
+        *[F.max(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
     counts = per_user.agg(
         *[
             F.count(F.col(f"__t{i}")).cast("long").alias(f"__n{i}")

@@ -403,9 +403,17 @@ def test_safe_union_no_shuffle(spark):
     assert plan.exchanges == 0
 
 
-def test_funnel_per_step_aggregates_no_cartesian(spark):
+def test_funnel_single_scan_no_joins(spark):
     plan = summarize_plan(QUERIES["funnel_events"](spark, SF))
+    # one shuffle of the event triples by user + k chained window
+    # minima — no joins anywhere.  The pre-round-8 form joined a
+    # per-step aggregate back into an accumulating per-user frame
+    # whose uncached lineage re-executed per step (7 scans / 6 joins
+    # for 3 steps, exponential in k); this pin keeps that from coming
+    # back.
     assert not plan.has_cartesian
+    assert plan.joins == []
+    assert plan.scans == 1
 
 
 def test_semantic_decontam_no_join_single_scan(spark):
