@@ -740,7 +740,10 @@ def vocab_curve(
         counts, "freq", order, out="cum_freq", unpersist_handle=run_h
     )
     ranked = with_row_numbers(cum, "rank", order=order, unpersist_handle=row_h)
-    total = counts.agg(F.sum("freq").cast("double").alias("__total"))
+    # the grand total IS the last (= max) cumulative count, and `cum`'s
+    # input is pinned by with_running_total — aggregating raw `counts`
+    # instead would re-run the whole corpus tokenization a second time
+    total = cum.agg(F.max("cum_freq").cast("double").alias("__total"))
     out = ranked.crossJoin(F.broadcast(total)).select(
         "rank",
         "token",
