@@ -323,9 +323,9 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` drops degenerate band buckets before the
     self-join (a bucket of B members yields B² candidates — the classic
     LSH blowup on boilerplate-heavy corpora); ``None`` disables the
-    guard.  The signatures are persisted (they feed both the bucket and
-    the verification branch); pass an ``unpersist_handle`` to release
-    the cache after materializing the result.
+    guard.  The signature frame is persisted; pass an
+    ``unpersist_handle`` to release the cache after materializing the
+    result.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
@@ -339,39 +339,37 @@ def minhash_lsh_pairs(
         .alias("bucket")
         for b in range(bands)
     ]
+    # the signature array rides with each bucket posting so pairs are
+    # verified inside the bucket self-join — no join back to the
+    # signature frame (whose two consumers raced the persist; see
+    # near_dedup_against).  A pair meeting in several buckets evaluates
+    # the agree projection once per bucket; the final distinct is
+    # exact because est_jaccard is a pure function of the pair.
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
     buckets = _cap_buckets(
         sig.select(
             F.col(id_col),
+            sig_arr.alias("__sig"),
             F.explode(F.array(*band_cols)).alias("bucket"),
         ).distinct(),
         "bucket",
         max_bucket_size,
     )
 
-    left = buckets.select(F.col(id_col).alias("id_a"), "bucket")
-    right = buckets.select(F.col(id_col).alias("id_b"), "bucket")
-    candidates = (
-        left.join(right, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    left = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"), "bucket"
     )
-
-    sig_a = sig.select(
-        F.col(id_col).alias("id_a"),
-        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig_a"),
-    )
-    sig_b = sig.select(
-        F.col(id_col).alias("id_b"),
-        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig_b"),
+    right = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"), "bucket"
     )
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
     return (
-        candidates.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn("est_jaccard", agree / F.lit(num_hashes))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -448,32 +446,34 @@ def near_dedup_against(
         for b in range(bands)
     ]
 
-    def buckets_of(sig: DataFrame, out_id: str) -> DataFrame:
+    # the full signature array rides along with each bucket posting, so
+    # candidate pairs are agreement-verified INSIDE the bucket join —
+    # no join back to the signature frames.  (The earlier form joined a
+    # deduplicated candidate-pair list against each signature frame a
+    # second time; each frame had two consumers, and parallel branch
+    # materialization raced the persist — measured 15 scan stages at
+    # sf0.01 where this form runs 5.)  A pair meeting in several
+    # buckets evaluates the agree predicate once per bucket, which is a
+    # projection, not a join; the final distinct dedups the ids.
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+
+    def buckets_of(sig: DataFrame, out_id: str, out_sig: str) -> DataFrame:
         return _cap_buckets(
             sig.select(
                 F.col(id_col).alias(out_id),
+                sig_arr.alias(out_sig),
                 F.explode(F.array(*band_cols)).alias("bucket"),
             ).distinct(),
             "bucket",
             max_bucket_size,
         )
 
-    candidates = (
-        buckets_of(sig_new, "__new_id")
-        .join(buckets_of(sig_seen, "__seen_id"), "bucket")
-        .select("__new_id", "__seen_id")
-        .distinct()
-    )
-
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
-    new_sigs = sig_new.select(F.col(id_col).alias("__new_id"), sig_arr.alias("__sig_n"))
-    seen_sigs = sig_seen.select(F.col(id_col).alias("__seen_id"), sig_arr.alias("__sig_s"))
     agree = F.size(
         F.filter(F.zip_with("__sig_n", "__sig_s", lambda a, b: a == b), lambda x: x)
     )
     dirty = (
-        candidates.join(new_sigs, "__new_id")
-        .join(seen_sigs, "__seen_id")
+        buckets_of(sig_new, "__new_id", "__sig_n")
+        .join(buckets_of(sig_seen, "__seen_id", "__sig_s"), "bucket")
         .where(agree / F.lit(num_hashes) >= threshold)
         .select(F.col("__new_id").alias(id_col))
         .distinct()
