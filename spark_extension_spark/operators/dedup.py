@@ -172,41 +172,53 @@ def ngram_jaccard_pairs(
     the cap (stop-shingles) — the standard skew guard: a shingle shared
     by 1M docs would otherwise create 10^12 candidate pairs.
 
-    The shingle postings are persisted (they feed both the size and the
-    candidate branch); pass an ``unpersist_handle`` to release the cache
-    after materializing the result — required in long-lived sessions
-    (e.g. per-batch inside ``foreachBatch``).
+    The shingle postings are persisted; pass an ``unpersist_handle``
+    to release the cache after materializing the result — required in
+    long-lived sessions (e.g. per-batch inside ``foreachBatch``).
+
+    Plan shape: per-document sizes and per-shingle document
+    frequencies ride the postings as window columns (one exchange
+    each, the second on the join key itself), the stop-shingle cap is
+    a filter on the df column, and sizes arrive at the verification
+    aggregate as ``first()`` of the carried column — the postings
+    lineage has ONE consumer and the self-join's two sides are
+    identical subtrees (one shuffle write, read twice).  The earlier
+    form aggregated sizes and stop-shingle frequencies as separate
+    branches joined back in; five consumers of the (persisted) shingle
+    frame raced the cache under AQE's parallel broadcast builds —
+    measured 11x full-width re-reads of the source at sf0.01.
     """
     sh = shingles(df, id_col, text_col, n).persist()
     if unpersist_handle is not None:
         unpersist_handle.add_dataframe(sh)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    postings = sh
+    postings = sh.withColumn(
+        "__size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     if max_shingle_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_shingle_freq)
-            .select("shingle")
-        )
-        postings = sh.join(rare, "shingle", "left_semi")
+        postings = postings.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).where(F.col("__df") <= max_shingle_freq)
 
-    left = postings.select(F.col(id_col).alias("id_a"), "shingle")
-    right = postings.select(F.col(id_col).alias("id_b"), "shingle")
+    left = postings.select(
+        F.col(id_col).alias("id_a"), F.col("__size").alias("size_a"), "shingle"
+    )
+    right = postings.select(
+        F.col(id_col).alias("id_b"), F.col("__size").alias("size_b"), "shingle"
+    )
     common = (
         left.join(right, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
     )
-    sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
     jaccard = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     return (
-        common.join(sizes_a, "id_a")
-        .join(sizes_b, "id_b")
-        .withColumn("jaccard", jaccard)
+        common.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
     )
@@ -240,33 +252,37 @@ def ngram_containment_pairs(
     sh = shingles(df, id_col, text_col, n).persist()
     if unpersist_handle is not None:
         unpersist_handle.add_dataframe(sh)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    postings = sh
+    # same single-consumer shape as ngram_jaccard_pairs: sizes and
+    # stop-shingle document frequencies ride the postings as window
+    # columns instead of separately-aggregated branches joined back in
+    postings = sh.withColumn(
+        "__size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     if max_shingle_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_shingle_freq)
-            .select("shingle")
-        )
-        postings = sh.join(rare, "shingle", "left_semi")
+        postings = postings.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).where(F.col("__df") <= max_shingle_freq)
 
-    left = postings.select(F.col(id_col).alias("id_a"), "shingle")
-    right = postings.select(F.col(id_col).alias("id_b"), "shingle")
+    left = postings.select(
+        F.col(id_col).alias("id_a"), F.col("__size").alias("size_a"), "shingle"
+    )
+    right = postings.select(
+        F.col(id_col).alias("id_b"), F.col("__size").alias("size_b"), "shingle"
+    )
     common = (
         left.join(right, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
     )
-    sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
     containment = F.col("common") / F.least("size_a", "size_b")
     return (
-        common.join(sizes_a, "id_a")
-        .join(sizes_b, "id_b")
-        .withColumn("containment", containment)
+        common.withColumn("containment", containment)
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "common", "size_a", "size_b", "containment")
     )

@@ -405,8 +405,8 @@ def ahash_near_dup_pairs(
     anywhere.  Verification arithmetic is ``bit_count(xor)`` over the
     bands — JVM-side, codegen, no UDF.
 
-    Signatures are computed once and persisted (they feed both the
-    candidate and verify branches).  The cache outlives the returned
+    Signatures are computed once and persisted.  The cache outlives
+    the returned
     DataFrame's consumption; pass an ``unpersist_handle``
     (:class:`~..utils.UnpersistHandle`) and call it when done to
     release the cached signature blocks — same contract as
@@ -420,10 +420,28 @@ def ahash_near_dup_pairs(
     sig = image_ahash(df, id_col=id_col, blob_col=blob_col).persist()
     if unpersist_handle is not None:
         unpersist_handle.set_dataframe(sig)
+    # the 8-band signature rides with each posting so the exact hamming
+    # distance is computed INSIDE the band join (a projection) — no
+    # join back to the signature frame, whose second consumer used to
+    # race the persist (same restructure as the MinHash LSH operators).
+    # A pair matching on several bands re-evaluates the cheap bit_count
+    # fold; the final distinct is exact because hamming is a pure
+    # function of the pair.
     expl = sig.select(
-        F.col(id_col).alias("__id"), F.posexplode("bands").alias("__band", "__val")
+        F.col(id_col).alias("__id"),
+        F.col("bands").alias("__bands"),
+        F.posexplode("bands").alias("__band", "__val"),
     )
-    cand = (
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.__bands"),
+            F.col("b.__bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
         expl.alias("a")
         .join(
             expl.alias("b"),
@@ -431,21 +449,13 @@ def ahash_near_dup_pairs(
             & (F.col("a.__val") == F.col("b.__val"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("bands").alias("__ba"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("bands").alias("__bb"))
-    ham = F.aggregate(
-        F.zip_with("__ba", "__bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_distance)
+        .distinct()
     )
 
 
