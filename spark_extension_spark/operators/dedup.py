@@ -1345,12 +1345,18 @@ def prefix_jaccard_pairs(
     sh = shingles(df, id_col, text_col, n).persist()
     if unpersist_handle is not None:
         unpersist_handle.add_dataframe(sh)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency rides as a window on the shingle frame itself
+    # (one exchange keyed by shingle) instead of a separate aggregate
+    # joined back — the join-back form gave the persisted shingle frame
+    # an extra consumer, which AQE's parallel branch materialization
+    # races (see ngram_jaccard_pairs)
     w = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
     wn = Window.partitionBy(id_col)
-    ranked = sh.join(dfreq, "shingle").select(
+    ranked = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).select(
         F.col(id_col),
         "shingle",
         F.row_number().over(w).alias("__pos"),
