@@ -156,6 +156,59 @@ def shingles(
     return exploded.distinct() if distinct else exploded
 
 
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_freq: Optional[int],
+    unpersist_handle: Optional[UnpersistHandle],
+) -> DataFrame:
+    """Shared candidate generator for the exact n-gram pair metrics:
+    ``(id_a, id_b, common, size_a, size_b)`` with ``id_a < id_b`` —
+    the metric (Jaccard, containment, …) is the caller's projection.
+
+    Per-document sizes and per-shingle document frequencies ride the
+    postings as window columns (one exchange each, the second on the
+    join key itself), the stop-shingle cap is a filter on the df
+    column, and sizes arrive at the verification aggregate as
+    ``first()`` of the carried column — the postings lineage has ONE
+    consumer and the self-join's two sides are identical subtrees (one
+    shuffle write, read twice).  An earlier form aggregated sizes and
+    stop-shingle frequencies as separate branches joined back in; five
+    consumers of the (persisted) shingle frame raced the cache under
+    AQE's parallel broadcast builds — measured 11x full-width re-reads
+    of the source at sf0.01."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.add_dataframe(sh)
+
+    postings = sh.withColumn(
+        "__size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    if max_shingle_freq is not None:
+        postings = postings.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).where(F.col("__df") <= max_shingle_freq)
+
+    left = postings.select(
+        F.col(id_col).alias("id_a"), F.col("__size").alias("size_a"), "shingle"
+    )
+    right = postings.select(
+        F.col(id_col).alias("id_b"), F.col("__size").alias("size_b"), "shingle"
+    )
+    return (
+        left.join(right, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -175,46 +228,13 @@ def ngram_jaccard_pairs(
     The shingle postings are persisted; pass an ``unpersist_handle``
     to release the cache after materializing the result — required in
     long-lived sessions (e.g. per-batch inside ``foreachBatch``).
-
-    Plan shape: per-document sizes and per-shingle document
-    frequencies ride the postings as window columns (one exchange
-    each, the second on the join key itself), the stop-shingle cap is
-    a filter on the df column, and sizes arrive at the verification
-    aggregate as ``first()`` of the carried column — the postings
-    lineage has ONE consumer and the self-join's two sides are
-    identical subtrees (one shuffle write, read twice).  The earlier
-    form aggregated sizes and stop-shingle frequencies as separate
-    branches joined back in; five consumers of the (persisted) shingle
-    frame raced the cache under AQE's parallel broadcast builds —
-    measured 11x full-width re-reads of the source at sf0.01.
+    Plan shape in :func:`_shingle_pair_counts` (shared with
+    :func:`ngram_containment_pairs`): single-consumer postings lineage,
+    sizes and stop-shingle df as window columns, identical self-join
+    sides.
     """
-    sh = shingles(df, id_col, text_col, n).persist()
-    if unpersist_handle is not None:
-        unpersist_handle.add_dataframe(sh)
-
-    postings = sh.withColumn(
-        "__size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    )
-    if max_shingle_freq is not None:
-        postings = postings.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).where(F.col("__df") <= max_shingle_freq)
-
-    left = postings.select(
-        F.col(id_col).alias("id_a"), F.col("__size").alias("size_a"), "shingle"
-    )
-    right = postings.select(
-        F.col(id_col).alias("id_b"), F.col("__size").alias("size_b"), "shingle"
-    )
-    common = (
-        left.join(right, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("size_a").alias("size_a"),
-            F.first("size_b").alias("size_b"),
-        )
+    common = _shingle_pair_counts(
+        df, id_col, text_col, n, max_shingle_freq, unpersist_handle
     )
     jaccard = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     return (
@@ -249,36 +269,8 @@ def ngram_containment_pairs(
     (``id_a < id_b``; the contained side is the one whose size equals
     the denominator ``least(size_a, size_b)``).
     """
-    sh = shingles(df, id_col, text_col, n).persist()
-    if unpersist_handle is not None:
-        unpersist_handle.add_dataframe(sh)
-
-    # same single-consumer shape as ngram_jaccard_pairs: sizes and
-    # stop-shingle document frequencies ride the postings as window
-    # columns instead of separately-aggregated branches joined back in
-    postings = sh.withColumn(
-        "__size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    )
-    if max_shingle_freq is not None:
-        postings = postings.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).where(F.col("__df") <= max_shingle_freq)
-
-    left = postings.select(
-        F.col(id_col).alias("id_a"), F.col("__size").alias("size_a"), "shingle"
-    )
-    right = postings.select(
-        F.col(id_col).alias("id_b"), F.col("__size").alias("size_b"), "shingle"
-    )
-    common = (
-        left.join(right, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("size_a").alias("size_a"),
-            F.first("size_b").alias("size_b"),
-        )
+    common = _shingle_pair_counts(
+        df, id_col, text_col, n, max_shingle_freq, unpersist_handle
     )
     containment = F.col("common") / F.least("size_a", "size_b")
     return (

@@ -377,8 +377,6 @@ def funnel(
     per-user event lists; window state is one running minimum per
     step.  NULL user/timestamp rows are excluded.
     """
-    from pyspark.sql import Window
-
     steps = list(steps)
     if not steps:
         raise ValueError("funnel needs at least one step")

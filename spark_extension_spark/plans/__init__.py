@@ -65,8 +65,11 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
         for kind in _JOIN_KINDS:
             # count the tree form only ("+- SortMergeJoin FullOuter (7)"),
             # not the "(7) SortMergeJoin" detail header formatted explain
-            # prints for the same node — otherwise every join counts twice
-            if re.search(rf"\b{kind}\b[^(]*\(\d+\)", stripped):
+            # prints for the same node — otherwise every join counts
+            # twice.  Anchor on the trailing node id so AQE annotations
+            # that themselves contain parentheses (e.g.
+            # "SortMergeJoin(skew=true) Inner (8)") still count.
+            if re.search(rf"\b{kind}\b.*\(\d+\)$", stripped):
                 summary.joins.append(kind)
         # formatted explain prints each node twice: a tree line
         # "+- Exchange (5)" and a detail header "(5) Exchange" — count
