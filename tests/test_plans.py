@@ -67,6 +67,38 @@ def test_minhash_lsh_joins_on_buckets(spark):
     assert plan.joins == []  # signatures are a single aggregate, no join
 
 
+def test_pair_generators_single_join(spark):
+    # round-8 restructure pins: the near-dup pair generators execute
+    # exactly ONE data-sized join each — sizes/frequencies ride as
+    # window columns and LSH verification happens inside the bucket
+    # join, so there is no join back to a signature/size frame (the
+    # join-back form gave the persisted frames multiple consumers,
+    # which AQE's parallel broadcast builds race — PLANS.md round 8)
+    from spark_extension_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from spark_extension_spark.registry import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs, minhash_lsh_pairs):
+        plan = summarize_plan(fn(docs))
+        assert len(plan.joins) == 1, (fn.__name__, plan.joins)
+
+
+def test_near_dedup_against_two_joins(spark):
+    # bucket join (with inline verification) + the final left-anti —
+    # nothing else
+    from spark_extension_spark.operators.dedup import near_dedup_against
+    from spark_extension_spark.registry import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    new = docs.limit(50)
+    plan = summarize_plan(near_dedup_against(new, docs, num_hashes=8, bands=4))
+    assert len(plan.joins) == 2, plan.joins
+
+
 def test_minhash_lsh_caps_buckets_before_join(spark):
     from spark_extension_spark.plans import explain_text
     from spark_extension_spark.operators.dedup import minhash_lsh_pairs
