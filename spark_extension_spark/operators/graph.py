@@ -291,10 +291,13 @@ def triangle_counts(
 
 
 def degrees_from_canonical(und: DataFrame) -> DataFrame:
-    """(id, degree) given an already-canonical ``(u, v)`` edge list."""
-    ends = und.select(F.col("u").alias("id")).unionAll(
-        und.select(F.col("v").alias("id"))
-    )
+    """(id, degree) given an already-canonical ``(u, v)`` edge list.
+
+    Both endpoints are emitted by one explode over a single pass — a
+    union of two projections reads the edge list twice (once per
+    branch), which doubles the per-round cache reads inside the
+    iterative consumers (k_core's peeling loop)."""
+    ends = und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("id"))
     return ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
 
 
@@ -340,6 +343,13 @@ def k_core(
     # lag-1 cycling: each pass reads only the previous edge set, so the
     # superseded checkpoint is freed as soon as the next one lands
     cycler = LocalCheckpointCycler(edges.sparkSession, lag=1)
+    if checkpoint_every:
+        # checkpoint the canonical edge set BEFORE the loop: pass 0
+        # consumes it three times (two degree projections + the
+        # semi-join base), and un-truncated each consumer re-runs the
+        # distinct-union over the source — the sibling iteratives
+        # (pagerank, LPA) pin their base frames the same way
+        cur = cycler.checkpoint(cur)
     for r in range(int(rounds)):
         deg = degrees_from_canonical(cur)
         keep = deg.where(F.col("degree") >= int(k)).select("id")
