@@ -23,41 +23,140 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["diff_lineitem"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-hash exposure rotation (round 8): the driver's correctness
+# Driver-hash exposure rotation (round 9): the driver's correctness
 # gate samples a 50-query prefix of this dict.  Cumulative record after
-# round 7: all 150 gate queries driver-hash-checked at least once, 148
-# green on their latest check.  The two reds — `char_entropy_documents`
-# (red r06 AND r07) and `dup_ngram_fraction_documents` (red r07) —
-# were strict-bit-exact in the local mirror both rounds; the round-8
-# audit (scripts/audit_oracle_types.py) found the actual cause: both —
-# and ONLY both — oracles emitted HUGEINT output columns (DuckDB widens
-# integer SUM to int128, and COALESCE(HUGEINT, BIGINT) stays HUGEINT).
-# HUGEINT materializes as float64 on DuckDB's pandas fetch path and
-# decimal128 on arrow (verified against local DuckDB 1.0.0 itself —
-# same engine, different fetch path), while the local mirror's native
-# fetchall() returns plain ints and so could never see the difference.
-# The earlier libm-ulp theory was wrong: the entropy doubles were
-# bit-exact all along; the integer n_chars/n_ngrams/n_dup columns were
-# the mismatch.  Both oracles now cast outputs to BIGINT (no Spark-side
-# change), `weighted_quantiles_documents`'s DECIMAL(2,1) literal column
-# is cast to DOUBLE for the same discipline, and the audit script
-# enforces BIGINT/DOUBLE-only oracle outputs repo-wide (0 flagged).
-# Window layout: positions 1-2 are integer-only diagnostic twins that
-# keep the ORIGINAL string primitives (decode matrix in registry.py at
-# the twin definitions, for the case the originals are somehow still
-# red); 3-5 the three fixed oracles; 6-50 the 45 queries whose latest
-# driver check is round-4 vintage, oldest first, as regression
-# re-certification.  Positions 51+ order the rest r05 -> r06 -> r07.
+# round 8: all 150 gate queries driver-hash-checked at least once, ALL
+# GREEN on their latest check — including the two former reds
+# (`char_entropy_documents`, `dup_ngram_fraction_documents`), whose
+# r06/r07 driver-hash mismatches were root-caused to HUGEINT oracle
+# output columns (DuckDB widens integer SUM to int128, which
+# materializes as float64 on the driver's pandas fetch path but plain
+# int on the local mirror's native fetchall()).  The round-8 decode
+# matrix resolved green+green (originals + integer-only twins), which
+# confirms HUGEINT as the sole cause; the diagnostic twins are removed
+# this round and the registry is back to its frozen 150-gate surface.
+# The BIGINT/DOUBLE/VARCHAR/BOOL/temporal output rule (EXACTNESS.md
+# rule 6) stays enforced by scripts/audit_oracle_types.py and a pytest
+# guard so the class cannot recur.
+# Window layout (round 9): positions 1-10 are the ten round-8 plan
+# restructures whose latest driver check predates the restructure
+# (r5-vintage evidence on r8-shaped plans); position 11 is
+# fuzzy_pairs_part, whose plan changes THIS round (lossless length
+# filter in the bucket join); 12-42 the remaining 31 round-5-vintage
+# gates, oldest evidence first; 43-50 the eight oldest round-6-vintage
+# gates.  Positions 51+ order the rest r06 -> r07 -> r08 so the next
+# rotation continues the freshness sweep.
 _PRIORITY = [
-    # round-8 diagnostic twins (integer-only, original string pipeline)
-    "dup_ngram_counts_documents",
-    "char_entropy_counts_documents",
-    # the two r6/r7 reds, oracles fixed (HUGEINT -> BIGINT outer cast)
+    # the 10 round-8 plan restructures (latest driver check r5 — stale)
+    "scd2_merge_orders",
+    "funnel_events",
+    "vocab_curve_documents",
+    "prefix_jaccard_documents",
+    "triangle_counts_lineitem",
+    "feature_hash_events",
+    "k_core_lineitem",
+    "mad_outliers_events",
+    "ahash_near_dup_documents",
+    "label_propagation_lineitem",
+    # plan changes THIS round (round-9 fuzzy length filter)
+    "fuzzy_pairs_part",
+    # remaining round-5-vintage gates, oldest evidence first
+    "asof_join_forward_events",
+    "asof_join_nearest_events",
+    "association_rules_lineitem",
+    "audio_stats_documents",
+    "bpe_pair_counts_documents",
+    "bpe_train_documents",
+    "cat_assoc_documents",
+    "cohort_retention_events",
+    "corr_matrix_lineitem",
+    "decayed_aggregates_events",
+    "dedup_report_documents",
+    "differential_join_lineitem_orders",
+    "discretize_events",
+    "doc_logprob_bigram_documents",
+    "group_ols_events",
+    "ks_report_events",
+    "pagerank_orders",
+    "plan_compaction_documents",
+    "pmi_pairs_documents",
+    "prune_files_orders",
+    "rank_normalize_events",
+    "reliability_documents",
+    "resample_interpolate_events",
+    "safe_union_documents",
+    "semantic_decontam_embeddings",
+    "snapshot_delta_orders",
+    "target_encode_documents",
+    "temperature_mix_documents",
+    "transition_matrix_events",
+    "ttest_events",
+    "zscore_events",
+    # oldest round-6-vintage gates (8 of 13 fit the window)
+    "check_constraints_orders",
+    "dup_source_matrix_documents",
+    "hilbert_events",
+    "interleave_mix_documents",
+    "interval_join_events",
+    "length_batches_documents",
+    "multimodal_frames_documents",
+    "multimodal_resize_documents",
+    # --- positions 51+: rest of r06, then r07, then the r08 window
+    "pivot_events",
+    "profile_orders",
+    "repeat_upsample_documents",
+    "resample_mix_documents",
+    "vocab_coverage_documents",
+    "ahash_documents",
+    "approx_quantiles_events",
+    "bloom_prune_orders",
+    "bpe_segment_documents",
+    "bucketed_join_orders_customer",
+    "cap_per_source_documents",
+    "chunk_documents",
+    "cluster_splits_documents",
+    "cms_counts_documents",
+    "dedup_against_documents",
+    "dedup_keep_best_documents",
+    "diff_lineitem",
+    "doc_logprob_documents",
+    "dsir_select_documents",
+    "dsir_weights_documents",
+    "embedding_stats_embeddings",
+    "fit_logistic_documents",
+    "group_centroids_embeddings",
+    "group_quantiles_events",
+    "heavy_hitters_documents",
+    "heavy_keys_events",
+    "histogram_lineitem_price",
+    "hll_distinct_events",
+    "json_extract_events",
+    "kmv_distinct_events",
+    "kmv_overlap_orders_customer",
+    "mix_report_documents",
+    "near_dedup_against_documents",
+    "ngram_containment_documents",
+    "paragraph_dedup_documents",
+    "project_embeddings",
+    "psi_report_events",
+    "quality_rules_documents",
+    "quantize_embeddings",
+    "rolling_events",
+    "row_numbers_orders",
+    "semantic_dedup_embeddings",
+    "sorted_groups_running_sum",
+    "sparse_cosine_documents",
+    "token_budget_documents",
+    "top_per_group_documents",
+    "weighted_sample_documents",
+    "winnow_fingerprints_documents",
+    "winnow_overlap_documents",
+    "winsorize_events",
+    "zipf_report_documents",
+    "zorder_events",
     "dup_ngram_fraction_documents",
     "char_entropy_documents",
-    # DECIMAL(2,1) output column -> DOUBLE (same portability discipline)
     "weighted_quantiles_documents",
-    # the 45 queries last driver-checked in round 4 (all green then)
     "diff_lineitem_stats",
     "ticks_events",
     "count_null_events",
@@ -103,109 +202,6 @@ _PRIORITY = [
     "tfidf_documents",
     "bm25_documents",
     "decontaminate_documents",
-    # --- positions 51+: round-5 vintage, then r06, then the r07 window
-    "pagerank_orders",
-    "prune_files_orders",
-    "scd2_merge_orders",
-    "pmi_pairs_documents",
-    "doc_logprob_bigram_documents",
-    "mad_outliers_events",
-    "asof_join_forward_events",
-    "asof_join_nearest_events",
-    "dedup_report_documents",
-    "rank_normalize_events",
-    "group_ols_events",
-    "corr_matrix_lineitem",
-    "discretize_events",
-    "target_encode_documents",
-    "triangle_counts_lineitem",
-    "plan_compaction_documents",
-    "safe_union_documents",
-    "cohort_retention_events",
-    "funnel_events",
-    "vocab_curve_documents",
-    "semantic_decontam_embeddings",
-    "cat_assoc_documents",
-    "ttest_events",
-    "resample_interpolate_events",
-    "prefix_jaccard_documents",
-    "snapshot_delta_orders",
-    "reliability_documents",
-    "transition_matrix_events",
-    "differential_join_lineitem_orders",
-    "association_rules_lineitem",
-    "k_core_lineitem",
-    "ks_report_events",
-    "temperature_mix_documents",
-    "label_propagation_lineitem",
-    "ahash_near_dup_documents",
-    "bpe_pair_counts_documents",
-    "bpe_train_documents",
-    "decayed_aggregates_events",
-    "audio_stats_documents",
-    "zscore_events",
-    "feature_hash_events",
-    "resample_mix_documents",
-    "interleave_mix_documents",
-    "repeat_upsample_documents",
-    "interval_join_events",
-    "hilbert_events",
-    "pivot_events",
-    "profile_orders",
-    "check_constraints_orders",
-    "vocab_coverage_documents",
-    "length_batches_documents",
-    "multimodal_resize_documents",
-    "multimodal_frames_documents",
-    "dup_source_matrix_documents",
-    "diff_lineitem",
-    "row_numbers_orders",
-    "histogram_lineitem_price",
-    "sorted_groups_running_sum",
-    "bucketed_join_orders_customer",
-    "zorder_events",
-    "heavy_hitters_documents",
-    "cap_per_source_documents",
-    "quality_rules_documents",
-    "token_budget_documents",
-    "mix_report_documents",
-    "chunk_documents",
-    "top_per_group_documents",
-    "bloom_prune_orders",
-    "json_extract_events",
-    "heavy_keys_events",
-    "fit_logistic_documents",
-    "bpe_segment_documents",
-    "ahash_documents",
-    "group_centroids_embeddings",
-    "semantic_dedup_embeddings",
-    "embedding_stats_embeddings",
-    "quantize_embeddings",
-    "project_embeddings",
-    "dsir_weights_documents",
-    "dsir_select_documents",
-    "sparse_cosine_documents",
-    "doc_logprob_documents",
-    "zipf_report_documents",
-    "psi_report_events",
-    "rolling_events",
-    "winsorize_events",
-    "group_quantiles_events",
-    "approx_quantiles_events",
-    "kmv_distinct_events",
-    "hll_distinct_events",
-    "cms_counts_documents",
-    "kmv_overlap_orders_customer",
-    "fuzzy_pairs_part",
-    "dedup_keep_best_documents",
-    "cluster_splits_documents",
-    "winnow_fingerprints_documents",
-    "winnow_overlap_documents",
-    "paragraph_dedup_documents",
-    "ngram_containment_documents",
-    "dedup_against_documents",
-    "near_dedup_against_documents",
-    "weighted_sample_documents",
 ]
 
 

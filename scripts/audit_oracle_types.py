@@ -92,7 +92,11 @@ def _cell(v, squash_integral_floats=False):
             return "<null>"
         if squash_integral_floats and v.is_integer() and abs(v) < 2**53:
             return str(int(v))
-        return repr(v)
+        # coerce numpy.float64 (a float subclass) to plain float before
+        # repr: numpy>=2.0 reprs scalars as 'np.float64(1.5)', which
+        # would false-flag every DOUBLE column against the native
+        # fetch's '1.5' even though the values are bit-identical
+        return repr(float(v))
     # numpy scalars stringify like their Python values; pandas NaT has
     # no common base class, so catch it via its own NaN-ness
     s = str(v)

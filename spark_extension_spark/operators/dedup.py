@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "connected_components",
+    "cc_stats_log",
     "near_dup_clusters",
     "dedup_against",
     "near_dedup_against",
@@ -537,6 +538,37 @@ def simhash(
 # connected components — pair lists -> dedup cluster assignments
 # ---------------------------------------------------------------------------
 
+# Debug instrumentation: one entry appended per connected_components
+# convergence in this process ({"algorithm", "iterations",
+# "max_iterations", "converged"}).  The iteration count is what the
+# convergence-check amortization actually paid for — the label
+# algorithm checks only every `check_every` steps, so the recorded
+# number is an upper bound on the graph diameter rounded up to the
+# batch size.  Process-global and append-only (callers drain it);
+# never consulted by library code.
+_CC_STATS_LOG: list = []
+
+
+def cc_stats_log(clear: bool = False) -> list:
+    """Snapshot (optionally drain) the per-call connected-components
+    iteration log — debug/ops introspection for sizing
+    ``max_iterations`` and attributing iterative cost in benchmarks."""
+    out = [dict(e) for e in _CC_STATS_LOG]
+    if clear:
+        _CC_STATS_LOG.clear()
+    return out
+
+
+def _record_cc_stats(algorithm: str, iterations: int, max_iterations: int) -> None:
+    _CC_STATS_LOG.append(
+        {
+            "algorithm": algorithm,
+            "iterations": iterations,
+            "max_iterations": max_iterations,
+            "converged": True,
+        }
+    )
+
 
 def _cc_label_propagation(
     sym: DataFrame, max_iterations: int, check_every: int,
@@ -592,6 +624,7 @@ def _cc_label_propagation(
         labels = stepped
         steps_done += batch
         if changed == 0:
+            _record_cc_stats("label", steps_done, max_iterations)
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
@@ -635,7 +668,7 @@ def _cc_star(
         .distinct()
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    for _ in range(max_iterations):
+    for round_ in range(max_iterations):
         # -- large-star: for every node n, connect strictly-larger
         #    neighbours to m(n) = min over Γ(n) ∪ {n}
         nbrs = work.union(work.select(F.col("v").alias("u"),
@@ -668,6 +701,7 @@ def _cc_star(
         )
         work = small
         if delta == 0:
+            _record_cc_stats("star", round_ + 1, max_iterations)
             # stars: every non-root points straight at its component
             # minimum; roots (the minima) have no outgoing edge
             return (

@@ -96,7 +96,18 @@ def _string_pairs(
     rv = right_strings.select(
         F.col("__rs"), F.explode(deletion_variants("__rs", max_distance)).alias("__variant")
     )
-    cands = lv.join(rv, "__variant").select("__ls", "__rs").distinct()
+    # |len(s) - len(t)| <= d is a NECESSARY condition for ed(s, t) <= d
+    # (each edit changes length by at most 1), so filtering inside the
+    # bucket join is lossless for recall while cutting the candidate
+    # pairs that reach the distinct shuffle and the levenshtein
+    # verification — on natural data most bucket collisions are between
+    # strings of similar-but-not-close-enough lengths
+    cands = (
+        lv.join(rv, "__variant")
+        .where(F.abs(F.length("__ls") - F.length("__rs")) <= max_distance)
+        .select("__ls", "__rs")
+        .distinct()
+    )
     return cands.withColumn("distance", F.levenshtein("__ls", "__rs")).where(
         F.col("distance") <= max_distance
     )

@@ -4340,114 +4340,6 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ROUND-8 DIAGNOSTIC TWINS — remove once the r6/r7 driver-hash reds are
-# adjudicated.  `char_entropy_documents` (red r06+r07) and
-# `dup_ngram_fraction_documents` (red r07) were locally strict-bit-exact
-# yet driver-hash-red; the round-8 audit (scripts/audit_oracle_types.py)
-# found both — and ONLY both — emitted HUGEINT output columns, which
-# materialize as float64/decimal128 on pandas/arrow fetch paths while
-# the local mirror's native fetch hides the difference.  The originals
-# are fixed with outer BIGINT casts; these twins keep the ORIGINAL
-# DuckDB string primitives (regexp_split_to_array + slicing,
-# str_split(text,'')) but emit ONLY BIGINT-cast integers, decoding the
-# residual if the originals are somehow still red:
-#   originals green + twins green -> HUGEINT confirmed, remove twins;
-#   originals red  + twins green -> divergence is in the one double
-#     column (dup_frac / entropy) -> attack that float op;
-#   twins red                    -> the driver DuckDB's string/list
-#     pipeline differs -> rewrite both oracles with the
-#     regexp_extract_all primitives the green heavy_hitters oracle
-#     proves driver-safe.
-# ---------------------------------------------------------------------------
-
-_DUP_NGRAM_COUNTS_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
-  FROM documents
-),
-grams AS (
-  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-  WHERE len(t) >= 3
-),
-per_doc_gram AS (SELECT doc_id, shingle, COUNT(*) AS occ FROM grams GROUP BY 1, 2),
-gram_docs AS (SELECT shingle, COUNT(*) AS n_docs FROM per_doc_gram GROUP BY 1)
-SELECT doc_id,
-       CAST(SUM(occ) AS BIGINT) AS n_ngrams,
-       CAST(SUM(occ * CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-FROM per_doc_gram JOIN gram_docs USING (shingle)
-GROUP BY doc_id
-"""
-
-
-@register("dup_ngram_counts_documents", _DUP_NGRAM_COUNTS_ORACLE)
-def q_dup_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import dup_ngram_fraction
-
-    return dup_ngram_fraction(
-        load(spark, sf_dir, "documents"), n=3, min_docs=2
-    ).select("doc_id", "n_ngrams", "n_dup")
-
-
-_CHAR_COUNTS_ORACLE = """
-WITH chars AS (
-  SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents
-),
-counts AS (
-  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
-  FROM chars WHERE c <> '' GROUP BY 1, 2
-),
-per AS (
-  SELECT doc_id,
-         CAST(SUM(k) AS BIGINT) AS n_chars,
-         CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         CAST(SUM(k * k) AS BIGINT) AS sum_k2,
-         CAST(MAX(k) AS BIGINT) AS max_k
-  FROM counts GROUP BY doc_id
-)
-SELECT d.doc_id,
-       COALESCE(per.n_chars, CAST(0 AS BIGINT)) AS n_chars,
-       COALESCE(per.n_distinct, CAST(0 AS BIGINT)) AS n_distinct,
-       COALESCE(per.sum_k2, CAST(0 AS BIGINT)) AS sum_k2,
-       COALESCE(per.max_k, CAST(0 AS BIGINT)) AS max_k
-FROM documents d LEFT JOIN per USING (doc_id)
-"""
-
-
-@register("char_entropy_counts_documents", _CHAR_COUNTS_ORACLE)
-def q_char_entropy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # integer multiset signature of the exact (char, count) table the
-    # entropy fold consumes — same explode/filter as char_entropy
-    df = load(spark, sf_dir, "documents").select("doc_id", "text")
-    chars = df.select(
-        F.col("doc_id"), F.explode(F.split(F.col("text"), "")).alias("__c")
-    ).where(F.col("__c") != "")
-    per = (
-        chars.groupBy("doc_id", "__c")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("__k").alias("n_chars"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(F.col("__k") * F.col("__k")).alias("sum_k2"),
-            F.max("__k").alias("max_k"),
-        )
-    )
-    zero = F.lit(0).cast("long")
-    return (
-        df.select("doc_id")
-        .join(per, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_chars", zero).alias("n_chars"),
-            F.coalesce("n_distinct", zero).alias("n_distinct"),
-            F.coalesce("sum_k2", zero).alias("sum_k2"),
-            F.coalesce("max_k", zero).alias("max_k"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # as-of join directions: forward / nearest (merge_asof parity)
 # ---------------------------------------------------------------------------
 

@@ -137,13 +137,21 @@ def install_poetry_project(project_dir: str, *args: str) -> None:
 
     dist_dir = os.path.join(project_dir, "dist")
     before = _snapshot(dist_dir)
-    proc = subprocess.run(
-        ["poetry", "build", "--format", "wheel"],
-        cwd=project_dir,
-        check=True,
-        capture_output=True,
-        text=True,
-    )
+    try:
+        proc = subprocess.run(
+            ["poetry", "build", "--format", "wheel"],
+            cwd=project_dir,
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.CalledProcessError as e:
+        # capture_output swallows poetry's streams; surface them in the
+        # raised error or a failed build reports nothing actionable
+        raise RuntimeError(
+            f"poetry build failed (exit {e.returncode}) in {project_dir}\n"
+            f"--- stdout ---\n{e.stdout}\n--- stderr ---\n{e.stderr}"
+        ) from e
     after = _snapshot(dist_dir)
     wheels = [
         os.path.join(dist_dir, f)

@@ -167,6 +167,32 @@ def test_connected_components_check_every_batching(spark):
     assert set(got.values()) == {1}
 
 
+def test_connected_components_stats_log(spark):
+    from spark_extension_spark import connected_components
+    from spark_extension_spark.operators.dedup import cc_stats_log
+
+    cc_stats_log(clear=True)
+    # diameter-4 chain, check_every=2: convergence is detected on a
+    # batch boundary, so iterations is the diameter rounded up to the
+    # batch that first measured zero changes
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1)], ["id_a", "id_b"]
+    )
+    connected_components(edges, check_every=2, warn_single_use=False).count()
+    star_edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    connected_components(
+        star_edges, algorithm="star", warn_single_use=False
+    ).count()
+
+    log = cc_stats_log(clear=True)
+    assert [e["algorithm"] for e in log] == ["label", "star"]
+    label, star = log
+    # the chain needs 4 label steps; the zero-change batch lands at 6
+    assert label["iterations"] == 6 and label["converged"]
+    assert 1 <= star["iterations"] <= star["max_iterations"]
+    assert cc_stats_log() == []  # drained
+
+
 def test_connected_components_unpersist_handle(spark):
     from spark_extension_spark import connected_components
     from spark_extension_spark.utils import UnpersistHandle

@@ -358,6 +358,28 @@ def test_install_poetry_project_detects_wheels_by_snapshot(tmp_path, monkeypatch
         S.install_poetry_project(str(project))
 
 
+def test_install_poetry_project_build_failure_shows_output(tmp_path, monkeypatch):
+    """A failed `poetry build` surfaces poetry's stdout/stderr in the
+    raised error (round-9 fix): capture_output=True swallows the
+    streams, so without re-raising them the user sees only an exit
+    code and no hint of the actual build error."""
+    import subprocess
+
+    import spark_extension_spark.session as S
+
+    project = tmp_path / "proj"
+    (project / "dist").mkdir(parents=True)
+
+    def failing_build(cmd, cwd=None, check=False, **kw):
+        raise subprocess.CalledProcessError(
+            1, cmd, output="building...\n", stderr="error: no pyproject.toml\n"
+        )
+
+    monkeypatch.setattr(subprocess, "run", failing_build)
+    with pytest.raises(RuntimeError, match="no pyproject.toml"):
+        S.install_poetry_project(str(project))
+
+
 def test_install_pip_package_failure_propagates(spark, tmp_path):
     """A package pip cannot resolve raises CalledProcessError — no
     silent success, no sys.path/archive side effects."""
