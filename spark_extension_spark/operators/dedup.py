@@ -539,35 +539,46 @@ def simhash(
 # ---------------------------------------------------------------------------
 
 # Debug instrumentation: one entry appended per connected_components
-# convergence in this process ({"algorithm", "iterations",
-# "max_iterations", "converged"}).  The iteration count is what the
-# convergence-check amortization actually paid for — the label
-# algorithm checks only every `check_every` steps, so the recorded
-# number is an upper bound on the graph diameter rounded up to the
-# batch size.  Process-global and append-only (callers drain it);
-# never consulted by library code.
+# outcome in this process ({"algorithm", "iterations",
+# "max_iterations", "converged"}) — converged=False entries record
+# blown iteration budgets just before the RuntimeError raises.  The
+# iteration count is what the convergence-check amortization actually
+# paid for — the label algorithm checks only every `check_every`
+# steps, so the recorded number is an upper bound on the graph
+# diameter rounded up to the batch size.  Process-global; never
+# consulted by library code.  Bounded drop-oldest at _CC_STATS_MAX so
+# a long-lived driver that never drains it cannot accumulate unbounded
+# entries.
 _CC_STATS_LOG: list = []
+_CC_STATS_MAX = 10_000
 
 
 def cc_stats_log(clear: bool = False) -> list:
     """Snapshot (optionally drain) the per-call connected-components
     iteration log — debug/ops introspection for sizing
-    ``max_iterations`` and attributing iterative cost in benchmarks."""
+    ``max_iterations`` and attributing iterative cost in benchmarks.
+    The drain removes exactly the entries returned, so a record
+    appended by a concurrent call between snapshot and removal is
+    kept for the next drain, never lost."""
     out = [dict(e) for e in _CC_STATS_LOG]
     if clear:
-        _CC_STATS_LOG.clear()
+        del _CC_STATS_LOG[: len(out)]
     return out
 
 
-def _record_cc_stats(algorithm: str, iterations: int, max_iterations: int) -> None:
+def _record_cc_stats(
+    algorithm: str, iterations: int, max_iterations: int, converged: bool = True
+) -> None:
     _CC_STATS_LOG.append(
         {
             "algorithm": algorithm,
             "iterations": iterations,
             "max_iterations": max_iterations,
-            "converged": True,
+            "converged": converged,
         }
     )
+    if len(_CC_STATS_LOG) > _CC_STATS_MAX:
+        del _CC_STATS_LOG[: len(_CC_STATS_LOG) - _CC_STATS_MAX]
 
 
 def _cc_label_propagation(
@@ -626,6 +637,7 @@ def _cc_label_propagation(
         if changed == 0:
             _record_cc_stats("label", steps_done, max_iterations)
             return labels.select("id", F.col("label").alias("cluster_id"))
+    _record_cc_stats("label", max_iterations, max_iterations, converged=False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         f"iterations — pathological chain graph; use a larger limit "
@@ -711,6 +723,7 @@ def _cc_star(
                     F.coalesce(F.col("v"), F.col("id")).alias("cluster_id"),
                 )
             )
+    _record_cc_stats("star", max_iterations, max_iterations, converged=False)
     raise RuntimeError(
         f"connected_components(star) did not converge in "
         f"{max_iterations} rounds"

@@ -123,6 +123,7 @@ def install_poetry_project(project_dir: str, *args: str) -> None:
     import hashlib
     import re
     import subprocess
+    import sys
 
     def _snapshot(d: str) -> dict:
         out = {}
@@ -146,12 +147,13 @@ def install_poetry_project(project_dir: str, *args: str) -> None:
             text=True,
         )
     except subprocess.CalledProcessError as e:
-        # capture_output swallows poetry's streams; surface them in the
-        # raised error or a failed build reports nothing actionable
-        raise RuntimeError(
-            f"poetry build failed (exit {e.returncode}) in {project_dir}\n"
-            f"--- stdout ---\n{e.stdout}\n--- stderr ---\n{e.stderr}"
-        ) from e
+        # capture_output swallows poetry's streams; echo them before
+        # re-raising or a failed build reports nothing actionable.  The
+        # exception type stays CalledProcessError — same contract as
+        # install_pip_package, so one except clause covers both paths.
+        sys.stderr.write(e.stdout or "")
+        sys.stderr.write(e.stderr or "")
+        raise
     after = _snapshot(dist_dir)
     wheels = [
         os.path.join(dist_dir, f)

@@ -192,6 +192,22 @@ def test_connected_components_stats_log(spark):
     assert 1 <= star["iterations"] <= star["max_iterations"]
     assert cc_stats_log() == []  # drained
 
+    # a blown iteration budget is recorded too (converged=False), just
+    # before the RuntimeError raises
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            edges, max_iterations=1, check_every=1, warn_single_use=False
+        ).count()
+    (blown,) = cc_stats_log(clear=True)
+    assert blown == {
+        "algorithm": "label",
+        "iterations": 1,
+        "max_iterations": 1,
+        "converged": False,
+    }
+
 
 def test_connected_components_unpersist_handle(spark):
     from spark_extension_spark import connected_components

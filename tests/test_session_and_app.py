@@ -358,11 +358,15 @@ def test_install_poetry_project_detects_wheels_by_snapshot(tmp_path, monkeypatch
         S.install_poetry_project(str(project))
 
 
-def test_install_poetry_project_build_failure_shows_output(tmp_path, monkeypatch):
-    """A failed `poetry build` surfaces poetry's stdout/stderr in the
-    raised error (round-9 fix): capture_output=True swallows the
-    streams, so without re-raising them the user sees only an exit
-    code and no hint of the actual build error."""
+def test_install_poetry_project_build_failure_shows_output(
+    tmp_path, monkeypatch, capsys
+):
+    """A failed `poetry build` echoes poetry's captured stdout/stderr
+    before re-raising (round-9 fix): capture_output=True swallows the
+    streams, so without the echo the user sees only an exit code and
+    no hint of the actual build error.  The exception type stays
+    CalledProcessError — the same contract as install_pip_package, so
+    one except clause covers both install paths."""
     import subprocess
 
     import spark_extension_spark.session as S
@@ -376,8 +380,10 @@ def test_install_poetry_project_build_failure_shows_output(tmp_path, monkeypatch
         )
 
     monkeypatch.setattr(subprocess, "run", failing_build)
-    with pytest.raises(RuntimeError, match="no pyproject.toml"):
+    with pytest.raises(subprocess.CalledProcessError):
         S.install_poetry_project(str(project))
+    err = capsys.readouterr().err
+    assert "building..." in err and "no pyproject.toml" in err
 
 
 def test_install_pip_package_failure_propagates(spark, tmp_path):
