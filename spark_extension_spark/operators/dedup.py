@@ -1428,7 +1428,17 @@ def prefix_jaccard_pairs(
         F.col("__toks").alias("__tb"),
         F.col("__size").alias("size_b"),
     )
-    joined = cand.join(a, "id_a").join(b, "id_b")
+    # Spread the verification rows across the session's shuffle
+    # partition count before the intersect projection: candidates are
+    # BYTES-small (119k pairs ≈ 6 MB with arrays at sf0.1) but each row
+    # costs an O(|d|) array_intersect, and AQE's byte-driven coalescing
+    # is blind to per-row CPU — measured 14.8 s of exact verification
+    # bottled into 5 tasks.  An explicit-count repartition is exempt
+    # from AQE coalescing; the price is one extra exchange of the
+    # verification inputs, the smallest data in the pipeline (prefix
+    # filtering exists to keep candidates << corpus).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    joined = cand.join(a, "id_a").join(b, "id_b").repartition(n_part)
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
     jac = inter.cast("double") / (
         F.col("size_a") + F.col("size_b") - inter

@@ -108,9 +108,27 @@ def _string_pairs(
         .select("__ls", "__rs")
         .distinct()
     )
-    return cands.withColumn("distance", F.levenshtein("__ls", "__rs")).where(
+    verified = cands.withColumn("distance", F.levenshtein("__ls", "__rs")).where(
         F.col("distance") <= max_distance
     )
+    # Spread the verified pairs across the session's shuffle-partition
+    # count before the callers' id-expansion joins.  The pair frame is
+    # BYTES-tiny but each row fans out multiplicatively (|group(ls)| x
+    # |group(rs)| id pairs); AQE's partition coalescing is driven by
+    # shuffle-read bytes and is blind to join fan-out, so on heavily
+    # duplicated key columns it bottles the whole expansion into one
+    # task (measured: 5.2 s of a 6.5 s query in a single task at
+    # sf0.1).  An EXPLICIT-count round-robin repartition is exempt from
+    # AQE coalescing, so the expansion keeps full parallelism whether
+    # the member frames broadcast (small data) or shuffle (large).
+    # Granularity note: this spreads *string pairs*, so one
+    # pathological pair of two mega-duplicated strings still expands in
+    # one task; that regime needs an upstream exact-dedup pass anyway
+    # (module docstring's honest-blowup contract).
+    n_part = int(
+        verified.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return verified.repartition(n_part)
 
 
 def fuzzy_join_levenshtein(
