@@ -214,6 +214,29 @@ def test_fuzzy_join_is_equi_join_no_cartesian(spark):
     assert "SortMergeJoin" in plan.joins or "ShuffledHashJoin" in plan.joins or "BroadcastHashJoin" in plan.joins
 
 
+def test_fuzzy_expansion_is_spread_across_partitions(spark):
+    # AQE coalesces the bytes-tiny verified-pair exchange to ONE
+    # partition, and with both member frames broadcast the whole
+    # multiplicative id expansion then runs in a single task (round-9
+    # census: 5.2 s of a 6.5 s query).  The explicit-count repartition
+    # in _string_pairs is exempt from AQE coalescing; pin that the
+    # expansion output keeps the session's parallelism.
+    df = QUERIES["fuzzy_pairs_part"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    assert df.rdd.getNumPartitions() > 1
+    assert "RoundRobinPartitioning" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prefix_jaccard_verification_is_spread(spark):
+    # exact verification is per-row-CPU-heavy (array_intersect over
+    # full shingle sets) but bytes-light, AQE's blind spot (round-9
+    # census: 14.8 s bottled into 5 tasks at sf0.1).  Pin the
+    # explicit-count spread ahead of the intersect projection.
+    df = QUERIES["prefix_jaccard_documents"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+
+
 def test_quantize_is_projection_with_broadcast_bounds(spark):
     plan = summarize_plan(QUERIES["quantize_embeddings"](spark, SF))
     # per-dim bounds arrive via a 1-row broadcast; the embeddings scan
