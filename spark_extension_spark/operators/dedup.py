@@ -17,13 +17,18 @@ Scale design (100 TB documents):
 
 from __future__ import annotations
 
+import threading
 import warnings
 from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import LocalCheckpointCycler, UnpersistHandle
+from ..utils import (
+    LocalCheckpointCycler,
+    UnpersistHandle,
+    session_shuffle_partitions,
+)
 from .similarity import _cap_buckets
 from .text import fingerprint, normalize_text
 
@@ -548,37 +553,42 @@ def simhash(
 # diameter rounded up to the batch size.  Process-global; never
 # consulted by library code.  Bounded drop-oldest at _CC_STATS_MAX so
 # a long-lived driver that never drains it cannot accumulate unbounded
-# entries.
+# entries.  The lock serializes append+trim against snapshot+clear
+# (drivers legitimately run CC from several job threads); it is taken
+# once per CC *call*, never per row, so contention is nil.
 _CC_STATS_LOG: list = []
 _CC_STATS_MAX = 10_000
+_CC_STATS_LOCK = threading.Lock()
 
 
 def cc_stats_log(clear: bool = False) -> list:
     """Snapshot (optionally drain) the per-call connected-components
     iteration log — debug/ops introspection for sizing
     ``max_iterations`` and attributing iterative cost in benchmarks.
-    The drain removes exactly the entries returned, so a record
-    appended by a concurrent call between snapshot and removal is
-    kept for the next drain, never lost."""
-    out = [dict(e) for e in _CC_STATS_LOG]
-    if clear:
-        del _CC_STATS_LOG[: len(out)]
-    return out
+    Snapshot and drain happen under one lock, so a record appended by
+    a concurrent call is either returned now or kept for the next
+    drain — never lost."""
+    with _CC_STATS_LOCK:
+        out = [dict(e) for e in _CC_STATS_LOG]
+        if clear:
+            del _CC_STATS_LOG[:]
+        return out
 
 
 def _record_cc_stats(
     algorithm: str, iterations: int, max_iterations: int, converged: bool = True
 ) -> None:
-    _CC_STATS_LOG.append(
-        {
-            "algorithm": algorithm,
-            "iterations": iterations,
-            "max_iterations": max_iterations,
-            "converged": converged,
-        }
-    )
-    if len(_CC_STATS_LOG) > _CC_STATS_MAX:
-        del _CC_STATS_LOG[: len(_CC_STATS_LOG) - _CC_STATS_MAX]
+    with _CC_STATS_LOCK:
+        _CC_STATS_LOG.append(
+            {
+                "algorithm": algorithm,
+                "iterations": iterations,
+                "max_iterations": max_iterations,
+                "converged": converged,
+            }
+        )
+        if len(_CC_STATS_LOG) > _CC_STATS_MAX:
+            del _CC_STATS_LOG[: len(_CC_STATS_LOG) - _CC_STATS_MAX]
 
 
 def _cc_label_propagation(
@@ -1437,7 +1447,7 @@ def prefix_jaccard_pairs(
     # from AQE coalescing; the price is one extra exchange of the
     # verification inputs, the smallest data in the pipeline (prefix
     # filtering exists to keep candidates << corpus).
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_part = session_shuffle_partitions(df.sparkSession)
     joined = cand.join(a, "id_a").join(b, "id_b").repartition(n_part)
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
     jac = inter.cast("double") / (

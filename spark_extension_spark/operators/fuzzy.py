@@ -125,10 +125,9 @@ def _string_pairs(
     # pathological pair of two mega-duplicated strings still expands in
     # one task; that regime needs an upstream exact-dedup pass anyway
     # (module docstring's honest-blowup contract).
-    n_part = int(
-        verified.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    return verified.repartition(n_part)
+    from ..utils import session_shuffle_partitions
+
+    return verified.repartition(session_shuffle_partitions(verified.sparkSession))
 
 
 def fuzzy_join_levenshtein(

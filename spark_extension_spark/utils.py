@@ -24,6 +24,7 @@ __all__ = [
     "NoopUnpersistHandle",
     "LocalCheckpointCycler",
     "safe_union",
+    "session_shuffle_partitions",
 ]
 
 _PLAIN_NAME = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
@@ -71,6 +72,21 @@ def count_null(column) -> Column:
 
 def is_case_sensitive(spark: SparkSession) -> bool:
     return (spark.conf.get("spark.sql.caseSensitive") or "false").lower() == "true"
+
+
+def session_shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition count as an int, for operators
+    that pin an explicit-count ``repartition`` (exempt from AQE
+    coalescing — used where AQE's byte-driven sizing is blind to join
+    fan-out or per-row CPU).  Platforms can hold a non-integer value
+    here (e.g. ``"auto"`` under Databricks auto-optimized shuffle);
+    fall back to the cluster's default parallelism rather than crash
+    at plan-build time."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 def fold_name(name: str, case_sensitive: bool) -> str:

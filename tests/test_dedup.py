@@ -194,8 +194,6 @@ def test_connected_components_stats_log(spark):
 
     # a blown iteration budget is recorded too (converged=False), just
     # before the RuntimeError raises
-    import pytest
-
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
             edges, max_iterations=1, check_every=1, warn_single_use=False

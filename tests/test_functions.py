@@ -84,6 +84,32 @@ def test_distinct_prefix_for():
     assert distinct_prefix_for([]) == "_"
 
 
+def test_session_shuffle_partitions_fallback(spark):
+    from spark_extension_spark.utils import session_shuffle_partitions
+
+    # integer conf (the normal path)
+    assert session_shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    # platforms can hold a non-integer here (e.g. "auto" under
+    # Databricks auto-optimized shuffle): must fall back to the
+    # cluster default instead of crashing the operator at plan time.
+    # OSS Spark type-checks conf.set, so the vendor value is modeled
+    # with a stub session
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert session_shuffle_partitions(_Spark()) == 7
+
+
 def test_safe_union_dotted_and_mixed_case_columns(spark):
     from spark_extension_spark.utils import safe_union
 
