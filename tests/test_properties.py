@@ -3,6 +3,7 @@ example-based strategy: algebraic laws that must hold for arbitrary
 data, checked on small generated frames."""
 
 import math
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -21,8 +22,10 @@ ROWS = st.lists(
     max_size=25,
 )
 
+# 12 examples keeps the suite fast; export HYPOTHESIS_MAX_EXAMPLES for
+# deeper one-off hunts (e.g. 100+ on a round-certification pass)
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("HYPOTHESIS_MAX_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
