@@ -42,8 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # restructures whose latest driver check predates the restructure
 # (r5-vintage evidence on r8-shaped plans); position 11 is
 # fuzzy_pairs_part, whose plan changes THIS round (lossless length
-# filter in the bucket join); 12-42 the remaining 31 round-5-vintage
-# gates, oldest evidence first; 43-50 the eight oldest round-6-vintage
+# filter in the bucket join + explicit-count expansion spread);
+# positions 12-13 are the two remaining r8-restructured gates whose
+# latest driver check (r7) predates the restructure
+# (near_dedup_against: verify-inside-bucket-join; ngram_containment:
+# window-carried sizes/df) — every changed plan in the repo is now
+# inside the 50-slot window; 14-44 the remaining 31 round-5-vintage
+# gates, oldest evidence first; 45-50 six of the round-6-vintage
 # gates.  Positions 51+ order the rest r06 -> r07 -> r08 so the next
 # rotation continues the freshness sweep.
 _PRIORITY = [
@@ -58,8 +63,11 @@ _PRIORITY = [
     "mad_outliers_events",
     "ahash_near_dup_documents",
     "label_propagation_lineitem",
-    # plan changes THIS round (round-9 fuzzy length filter)
+    # plan changes THIS round (round-9 fuzzy length filter + spread)
     "fuzzy_pairs_part",
+    # r8-restructured plans whose latest driver check is r7 (stale)
+    "near_dedup_against_documents",
+    "ngram_containment_documents",
     # remaining round-5-vintage gates, oldest evidence first
     "asof_join_forward_events",
     "asof_join_nearest_events",
@@ -92,16 +100,16 @@ _PRIORITY = [
     "transition_matrix_events",
     "ttest_events",
     "zscore_events",
-    # oldest round-6-vintage gates (8 of 13 fit the window)
+    # round-6-vintage gates (6 of 13 fit the window)
     "check_constraints_orders",
     "dup_source_matrix_documents",
     "hilbert_events",
     "interleave_mix_documents",
     "interval_join_events",
     "length_batches_documents",
+    # --- positions 51+: rest of r06, then r07, then the r08 window
     "multimodal_frames_documents",
     "multimodal_resize_documents",
-    # --- positions 51+: rest of r06, then r07, then the r08 window
     "pivot_events",
     "profile_orders",
     "repeat_upsample_documents",
@@ -134,8 +142,6 @@ _PRIORITY = [
     "kmv_distinct_events",
     "kmv_overlap_orders_customer",
     "mix_report_documents",
-    "near_dedup_against_documents",
-    "ngram_containment_documents",
     "paragraph_dedup_documents",
     "project_embeddings",
     "psi_report_events",
