@@ -1438,17 +1438,27 @@ def prefix_jaccard_pairs(
         F.col("__toks").alias("__tb"),
         F.col("__size").alias("size_b"),
     )
-    # Spread the verification rows across the session's shuffle
-    # partition count before the intersect projection: candidates are
-    # BYTES-small (119k pairs ≈ 6 MB with arrays at sf0.1) but each row
-    # costs an O(|d|) array_intersect, and AQE's byte-driven coalescing
-    # is blind to per-row CPU — measured 14.8 s of exact verification
-    # bottled into 5 tasks.  An explicit-count repartition is exempt
-    # from AQE coalescing; the price is one extra exchange of the
-    # verification inputs, the smallest data in the pipeline (prefix
-    # filtering exists to keep candidates << corpus).
+    # Spread the CANDIDATE PAIR frame across the session's shuffle
+    # partition count before the set joins: candidates are BYTES-small
+    # (119k pairs ≈ 6 MB at sf0.1) but each verification row costs an
+    # O(|d|) array_intersect, and AQE's byte-driven coalescing is blind
+    # to per-row CPU — measured 14.8 s of exact verification bottled
+    # into 5 tasks.  The spread must sit BELOW the set joins: Catalyst
+    # pushes the jaccard threshold filter (which contains the
+    # intersect) down into the topmost join's condition, so a
+    # repartition placed on the JOINED output spreads only the few
+    # post-filter survivors while the intersect still evaluates in the
+    # AQE-coalesced candidate stage (the round-9 review caught exactly
+    # that defeated form).  With the candidate frame repartitioned and
+    # the set sides broadcast, the intersect-bearing join executes in
+    # the spread stage; in the shuffle-join regime the exchange on the
+    # pair ids is bytes-proportional and AQE sizes it correctly.  An
+    # explicit-count repartition is exempt from AQE coalescing; the
+    # price is one extra exchange of bare id pairs, the smallest data
+    # in the pipeline (prefix filtering exists to keep candidates <<
+    # corpus).
     n_part = session_shuffle_partitions(df.sparkSession)
-    joined = cand.join(a, "id_a").join(b, "id_b").repartition(n_part)
+    joined = cand.repartition(n_part).join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
     jac = inter.cast("double") / (
         F.col("size_a") + F.col("size_b") - inter

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import session_shuffle_partitions
+
 __all__ = [
     "deletion_variants",
     "fuzzy_join_levenshtein",
@@ -125,8 +127,6 @@ def _string_pairs(
     # pathological pair of two mega-duplicated strings still expands in
     # one task; that regime needs an upstream exact-dedup pass anyway
     # (module docstring's honest-blowup contract).
-    from ..utils import session_shuffle_partitions
-
     return verified.repartition(session_shuffle_partitions(verified.sparkSession))
 
 

@@ -86,7 +86,18 @@ def session_shuffle_partitions(spark: SparkSession) -> int:
     try:
         return int(raw)
     except (TypeError, ValueError):
+        pass
+    try:
         return spark.sparkContext.defaultParallelism
+    except Exception:
+        # Spark Connect sessions raise on any sparkContext access —
+        # the same managed platforms where the non-integer conf values
+        # occur; fall through to the conf-only default
+        pass
+    try:
+        return int(spark.conf.get("spark.default.parallelism", "200"))
+    except (TypeError, ValueError):
+        return 200
 
 
 def fold_name(name: str, case_sensitive: bool) -> str:

@@ -230,11 +230,29 @@ def test_fuzzy_expansion_is_spread_across_partitions(spark):
 def test_prefix_jaccard_verification_is_spread(spark):
     # exact verification is per-row-CPU-heavy (array_intersect over
     # full shingle sets) but bytes-light, AQE's blind spot (round-9
-    # census: 14.8 s bottled into 5 tasks at sf0.1).  Pin the
-    # explicit-count spread ahead of the intersect projection.
+    # census: 14.8 s bottled into 5 tasks at sf0.1).  Pin not just the
+    # presence of the explicit-count spread but its POSITION: Catalyst
+    # pushes the jaccard filter (containing the intersect) into the
+    # topmost join's condition, so the round-robin exchange must sit
+    # BELOW that join — a repartition of the joined output would leave
+    # the intersect evaluating in the AQE-coalesced candidate stage
+    # and spread only the post-filter survivors (the defeated form the
+    # round-9 review caught).
     df = QUERIES["prefix_jaccard_documents"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "RoundRobinPartitioning" in plan
+    lines = plan.split("\n")
+    verify_join = [i for i, ln in enumerate(lines)
+                   if "Join" in ln and "array_intersect" in ln]
+    spread = [i for i, ln in enumerate(lines)
+              if "RoundRobinPartitioning" in ln]
+    assert verify_join, "intersect-bearing join missing from plan"
+    assert spread, "explicit round-robin spread missing from plan"
+    # parents print above children: the spread exchange must be BELOW
+    # (greater line index than) the join that evaluates the intersect
+    assert min(spread) > max(verify_join), (
+        "round-robin spread sits above the intersect join — the "
+        "verification CPU would run in the AQE-coalesced stage"
+    )
 
 
 def test_quantize_is_projection_with_broadcast_bounds(spark):
