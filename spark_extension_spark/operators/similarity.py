@@ -157,7 +157,9 @@ def brute_force_topk(
     enter the global top-k.  Only k × #queries rows per batch survive
     to the rank window — no shuffle of vectors, ever.  Corpus rows with
     null or zero-norm vectors score null in the column formulation and
-    are equivalently dropped here.
+    are equivalently dropped here; null and zero-norm QUERY vectors are
+    dropped the same way (cosine is undefined for them — they get no
+    result rows rather than a fabricated all-zeros ranking).
     """
     import numpy as np
 
@@ -183,7 +185,15 @@ def brute_force_topk(
     qids = np.asarray([r[0] for r in qrows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorms = np.linalg.norm(Q, axis=1)
-    qnorms[qnorms == 0] = 1.0
+    # zero-norm queries can never score (cosine undefined) — drop them
+    # like null queries, instead of scoring the whole corpus at 0.0 and
+    # fabricating a "top-k" of the k lowest-id rows
+    nz = qnorms > 0
+    if not nz.all():
+        qids, Q, qnorms = qids[nz], Q[nz], qnorms[nz]
+    if len(qids) == 0:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).where(F.lit(False))
     Qu = (Q / qnorms[:, None]).T  # (dim, q)
     kk, id_name, vec_name, qid_name = k, id_col, vec_col, query_id_col
 
@@ -225,6 +235,19 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 # sign-random-projection LSH
 # ---------------------------------------------------------------------------
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first non-null vector — with a
+    clear error for an empty/all-null column instead of the opaque
+    ``TypeError: 'NoneType'`` that ``head()[0]`` raises."""
+    row = df.select(vec_col).where(F.col(vec_col).isNotNull()).head()
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-null {vec_col!r} rows "
+            f"(empty input?); pass dim= explicitly"
+        )
+    return len(row[0])
 
 
 def rp_planes(num_planes: int, dim: int, seed: int = 42) -> List[List[int]]:
@@ -393,10 +416,15 @@ def rp_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates from (multi-probe) bucket collisions,
     exact cosine on candidates only (Arrow/numpy kernel)."""
-    dim = dim or len(corpus.select(vec_col).head()[0])
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
     planes = rp_planes(num_planes, dim, seed)
 
-    c = _with_buckets(corpus, vec_col, planes, probes=0)
+    # project BEFORE the Arrow bucket kernel: mapInPandas blocks column
+    # pruning, so an unprojected corpus would serialize every payload
+    # column through Python per batch just to compute __bucket (and a
+    # corpus that already carries a query_id-named column would make
+    # the post-join select ambiguous)
+    c = _with_buckets(corpus.select(id_col, vec_col), vec_col, planes, probes=0)
     q = _with_buckets(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
@@ -436,9 +464,10 @@ def embedding_near_dup_pairs(
     ``with_drop_stats=True`` returns ``(pairs, stats)`` where ``stats``
     is the one-row :func:`cap_drop_stats` frame accounting for the
     recall the cap costs — check it whenever a cap is in play."""
-    dim = dim or len(df.select(vec_col).head()[0])
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
     planes = rp_planes(num_planes, dim, seed)
-    raw = _with_buckets(df, vec_col, planes, probes=0)
+    # project before the Arrow kernel — see rp_lsh_topk
+    raw = _with_buckets(df.select(id_col, vec_col), vec_col, planes, probes=0)
     bucketed = _cap_buckets(raw, "__bucket", max_bucket_size)
 
     left = bucketed.select(
@@ -484,7 +513,7 @@ def project_embeddings(
 
     if out_dim <= 0:
         raise ValueError(f"out_dim must be positive, got {out_dim}")
-    dim = dim or len(df.select(vec_col).head()[0])
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
     planes = np.asarray(rp_planes(out_dim, dim, seed), dtype=np.float64).T  # (dim, out)
     scale = 1.0 / float(np.sqrt(out_dim))
     vec_name, out_name = vec_col, out_col or vec_col
@@ -505,12 +534,21 @@ def project_embeddings(
                 out[out_name] = pd.Series(dtype="object")
                 yield out
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_name]])
-            acc = np.zeros((len(pdf), planes.shape[1]), dtype=np.float64)
-            for d in range(planes.shape[0]):  # fixed-order fold over input dims
-                acc += V[:, d, None] * planes[d]
-            acc *= scale
-            out[out_name] = list(acc)
+            # null input vectors project to null (row-preserving, like
+            # the quantize transform) instead of crashing np.stack
+            ok = pdf[vec_name].notna().to_numpy()
+            res = [None] * len(pdf)
+            if ok.any():
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_name][ok]]
+                )
+                acc = np.zeros((int(ok.sum()), planes.shape[1]), dtype=np.float64)
+                for d in range(planes.shape[0]):  # fixed-order fold over input dims
+                    acc += V[:, d, None] * planes[d]
+                acc *= scale
+                for pos, row in zip(np.flatnonzero(ok), acc):
+                    res[int(pos)] = row
+            out[out_name] = pd.Series(res, index=out.index, dtype="object")
             yield out
 
     return df.mapInPandas(kernel, out_schema)
@@ -603,6 +641,11 @@ def ivf_assignments(
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or cents.shape[0] == 0:
+        raise ValueError(
+            f"centroids must be a non-empty list of equal-length vectors, "
+            f"got shape {cents.shape}"
+        )
     norms = np.linalg.norm(cents, axis=1)
     norms[norms == 0] = 1.0
     cents_unit = (cents / norms[:, None]).T  # (dim, k)
@@ -706,8 +749,15 @@ def ivf_topk(
     centroid (one pass, no shuffle of vectors beyond the final join);
     each query probes its ``n_probes`` nearest cells and scores only the
     vectors inside them.  Candidate fraction ≈ n_probes/n_centroids."""
-    cents = centroids or ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    c = ivf_assignments(corpus, cents, vec_col, n_probes=1)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(corpus, n_centroids, id_col, vec_col))
+    if not cents:
+        raise ValueError(
+            "no centroids: corpus has no non-null vectors (empty input?) "
+            "and none were passed via centroids="
+        )
+    # project before the Arrow assignment kernel — see rp_lsh_topk
+    c = ivf_assignments(corpus.select(id_col, vec_col), cents, vec_col, n_probes=1)
     q = ivf_assignments(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
@@ -771,7 +821,13 @@ def semantic_near_dup_pairs(
     :func:`fit_centroids` and passing them in."""
     if centroids is None and n_cells is None:
         n_cells = _derive_n_cells(df.count(), target_cell_size)
-    cents = centroids or ivf_centroids(df, n_cells, id_col, vec_col)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(df, n_cells, id_col, vec_col))
+    if not cents:
+        raise ValueError(
+            "no centroids: input has no non-null vectors (empty input?) "
+            "and none were passed via centroids="
+        )
     raw = ivf_assignments(df.select(id_col, vec_col), cents, vec_col, n_probes=1)
     assigned = _cap_buckets(raw, "__cell", max_cell_size)
     left = assigned.select(
@@ -950,7 +1006,12 @@ def embedding_stats(
     Per-vector squared norms fold in DECIMAL(38,15) over the exploded
     components (order-independent, engine-reproducible — the same
     discipline as :func:`group_centroids`); the corpus-level mean is a
-    decimal sum of the resulting doubles.  Scale shape: one explode +
+    decimal sum of the resulting doubles.  Vectors containing NaN/Inf
+    (or components ≥ 1e11, whose square would overflow the decimal
+    fold) are counted in ``n_nonfinite`` / excluded from the norm
+    stats rather than poisoning them with partial sums — and rather
+    than throwing under ANSI mode, which the unguarded decimal cast
+    does on components ≥ 1e11.  Scale shape: one explode +
     one per-vector aggregate + one 1-row aggregate — a single scan,
     nothing wider than (id, component) ever shuffles."""
     comp = df.select(
@@ -959,31 +1020,49 @@ def embedding_stats(
         "__id",
         F.col("__x").cast("double").alias("__x"),
     )
+    # the squared-component fold must never feed NaN/Inf (or a finite
+    # component whose square overflows 23 integer digits) into the
+    # DECIMAL cast.  Measured on this Spark build: NaN/Inf casts
+    # silently NULL the term in BOTH ANSI modes, so a [NaN, 3, 4]
+    # vector would report norm 5.0 into mean/min/max_norm; a finite
+    # component >= ~1e11 THROWS NUMERIC_VALUE_OUT_OF_RANGE under ANSI
+    # (the Spark 4 default) — killing the very health check whose job
+    # is to count the poison.  Guard the terms and NULL the whole norm
+    # for any vector with a guarded component.
+    finite = ~(F.isnan("__x") | (F.abs("__x") == float("inf")))
+    small = F.abs("__x") < F.lit(1e11)
     per_vec = comp.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__d"),
-        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,15)"))
+        F.sum(
+            F.when(finite & small, (F.col("__x") * F.col("__x")).cast("decimal(38,15)"))
+        )
         .cast("double")
         .alias("__ss"),
-        F.max(
-            (F.isnan("__x") | (F.abs("__x") == float("inf"))).cast("int")
-        ).alias("__bad"),
+        F.max((~finite).cast("int")).alias("__bad"),
+        F.max((finite & ~small).cast("int")).alias("__huge"),
     )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).isNull().cast("int").alias("__isnull"),
     )
     joined = base.join(per_vec, "__id", "left")
-    norm = F.sqrt(F.col("__ss"))
+    # norms are reported only for vectors whose every component is
+    # finite and < 1e11 in magnitude; poisoned vectors show up in
+    # n_nonfinite instead of skewing mean/min/max_norm with NaN
+    clean = (F.coalesce(F.col("__bad"), F.lit(0)) == 0) & (
+        F.coalesce(F.col("__huge"), F.lit(0)) == 0
+    )
+    norm = F.when(clean, F.sqrt(F.col("__ss")))
     return joined.agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("__isnull").alias("n_null"),
         F.min("__d").alias("n_dims_min"),
         F.max("__d").alias("n_dims_max"),
-        F.sum((F.col("__ss") == 0.0).cast("int")).alias("n_zero"),
+        F.sum((clean & (F.col("__ss") == 0.0)).cast("int")).alias("n_zero"),
         F.sum(F.coalesce(F.col("__bad"), F.lit(0))).alias("n_nonfinite"),
         (
             F.sum(norm.cast("decimal(38,15)")).cast("double")
-            / F.sum((F.col("__ss").isNotNull()).cast("int")).cast("double")
+            / F.sum(norm.isNotNull().cast("int")).cast("double")
         ).alias("mean_norm"),
         F.min(norm).alias("min_norm"),
         F.max(norm).alias("max_norm"),

@@ -251,6 +251,14 @@ def streaming_running_stats(
         StructType,
     )
 
+    if key_col in ("n", "total", "vmin", "vmax"):
+        # the output schema would gain a duplicate field while the
+        # yielded pandas dict collapses the colliding key — every
+        # micro-batch would then fail deep in Arrow conversion
+        raise ValueError(
+            f"key_col {key_col!r} collides with a stats output column "
+            f"('n', 'total', 'vmin', 'vmax'); rename the key column first"
+        )
     key_field = stream.schema[key_col]
     out_schema = StructType(
         [
@@ -470,6 +478,14 @@ def streaming_mix_monitor(
 
     s = F.col(strata_col)
     names = list(targets)
+    # two keys that stringify identically (e.g. int 1 and str '1') would
+    # both emit n_1/share_1 — a duplicate-name schema every sink rejects
+    # and every downstream reference finds ambiguous; reject up front
+    if len({f"{n}" for n in names}) != len(names):
+        raise ValueError(
+            "target strata stringify to colliding output column names: "
+            f"{sorted(str(n) for n in names)}"
+        )
     # aggregate under index-based internal aliases: stratum names are
     # data values and may contain dots or anything else that breaks a
     # column reference — only the final select exposes n_{name}
@@ -536,6 +552,16 @@ def streaming_asof_enrich(
     """
     from ..operators.asof import asof_join
     from ..utils import SilentUnpersistHandle
+
+    if on_batch is None:
+        # fail at call time with a clear message — otherwise the query
+        # launches and every micro-batch dies with a NoneType TypeError
+        # deep inside the foreachBatch worker
+        raise TypeError(
+            "streaming_asof_enrich() requires on_batch: a callable "
+            "(batch_df, batch_id) -> None that consumes each enriched "
+            "micro-batch"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # the keyless asof path persists its range-partitioned union;

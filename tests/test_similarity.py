@@ -447,3 +447,115 @@ def test_ivf_ignores_null_embeddings(spark):
     assert all(c is not None for c in cents)
     top = ivf_topk(corpus, queries, k=2, centroids=cents).collect()
     assert [r["vec_id"] for r in top][:1] == [2]
+
+
+def test_embedding_stats_nonfinite_and_huge_guarded(spark):
+    # NaN/Inf components silently NULL their decimal term (both ANSI
+    # modes) and a finite component >= ~1e11 THROWS under ANSI — the
+    # guard must keep the health check alive AND keep poisoned vectors
+    # out of the norm stats instead of reporting partial norms
+    from spark_extension_spark.operators.similarity import embedding_stats
+
+    rows = [
+        (1, [3.0, 4.0]),                  # norm 5
+        (2, [float("nan"), 3.0, 4.0]),    # would report norm 5.0 unguarded
+        (3, [float("inf"), 1.0]),         # nonfinite
+        (4, [1e12, 1.0]),                 # square overflows decimal(38,15)
+        (5, [0.0, 0.0]),                  # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s = embedding_stats(df).collect()[0]
+    assert s["n_vecs"] == 5
+    assert s["n_nonfinite"] == 2          # NaN + Inf vectors
+    assert s["n_zero"] == 1
+    # only the clean vectors (1 and 5) contribute norms
+    assert s["min_norm"] == 0.0
+    assert s["max_norm"] == 5.0
+    assert s["mean_norm"] == pytest.approx(2.5)
+
+
+def test_brute_force_topk_drops_zero_norm_queries(spark):
+    from spark_extension_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0]), (12, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = brute_force_topk(corpus, queries, k=2).collect()
+    # zero-norm and null queries produce NO rows — never a fabricated
+    # all-cosine-0.0 "top-k" of the lowest-id corpus rows
+    assert {r["query_id"] for r in rows} == {10}
+    assert len(rows) == 2
+
+    all_bad = spark.createDataFrame(
+        [(11, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert brute_force_topk(corpus, all_bad, k=2).count() == 0
+
+
+def test_project_embeddings_null_vectors_row_preserving(spark):
+    from spark_extension_spark.operators.similarity import project_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["embedding"] for r in project_embeddings(df, 2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] is None
+    assert out[1] is not None and len(out[1]) == 2
+    # non-null rows must project identically with and without the null
+    clean = {
+        r["vec_id"]: r["embedding"]
+        for r in project_embeddings(df.where(F.col("embedding").isNotNull()), 2).collect()
+    }
+    assert out[1] == clean[1] and out[3] == clean[3]
+
+
+def test_dim_inference_clear_errors(spark):
+    from spark_extension_spark.operators.similarity import (
+        ivf_topk,
+        project_embeddings,
+        rp_lsh_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    all_null = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    for df in (empty, all_null):
+        with pytest.raises(ValueError, match="cannot infer embedding dim"):
+            project_embeddings(df, 2)
+        with pytest.raises(ValueError, match="cannot infer embedding dim"):
+            rp_lsh_topk(df, df)
+    # IVF: empty corpus -> clear no-centroids error, not a numpy AxisError
+    with pytest.raises(ValueError, match="no centroids"):
+        ivf_topk(empty, empty)
+    # an explicitly-passed empty centroid list must also error clearly,
+    # never silently recompute from the corpus
+    some = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no centroids"):
+        ivf_topk(some, some, centroids=[])
+
+
+def test_lsh_and_ivf_tolerate_payload_and_query_id_columns(spark):
+    # corpus payload columns must not break the post-join select (and
+    # are pruned before the Arrow bucket kernel)
+    from spark_extension_spark.operators.similarity import ivf_topk, rp_lsh_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.1], "payload", 99), (2, [0.1, 1.0], "p2", 98),
+         (3, [1.0, 0.2], "p3", 97)],
+        "vec_id long, embedding array<double>, text string, query_id long",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    lsh = rp_lsh_topk(corpus, queries, k=2, num_planes=4, probes=4)
+    assert lsh.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert lsh.count() >= 1
+    ivf = ivf_topk(corpus, queries, k=2, n_centroids=2, n_probes=2)
+    assert ivf.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert ivf.count() >= 1

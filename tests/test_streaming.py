@@ -538,3 +538,37 @@ def test_streaming_asof_enrich_releases_batch_caches(spark, tmp_path):
     q.awaitTermination(120)
     after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
     assert after <= before
+
+
+def test_streaming_running_stats_rejects_colliding_key_col(spark):
+    from spark_extension_spark.streaming import streaming_running_stats
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value % 3 as total", "cast(value as double) as v")
+    )
+    with pytest.raises(ValueError, match="collides with a stats output column"):
+        streaming_running_stats(stream, key_col="total", value_col="v")
+
+
+def test_streaming_mix_monitor_rejects_stringify_collisions(spark):
+    from spark_extension_spark.streaming import streaming_mix_monitor
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("timestamp as ts", "cast(value % 2 as string) as source")
+    )
+    with pytest.raises(ValueError, match="colliding output column names"):
+        streaming_mix_monitor(stream, targets={1: 0.5, "1": 0.5})
+
+
+def test_streaming_asof_enrich_requires_on_batch(spark):
+    from spark_extension_spark.streaming import streaming_asof_enrich
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("timestamp as ts", "value as v")
+    )
+    dim = spark.createDataFrame([(0, 1.0)], "ts long, price double")
+    with pytest.raises(TypeError, match="requires on_batch"):
+        streaming_asof_enrich(stream, dim, "ts")
