@@ -199,7 +199,13 @@ def hll_distinct(
         F.col("__scaled_sum").cast("double")
         + (F.lit(m) - F.col("__nregs")).cast("double") * F.lit(scale)
     ) / F.lit(scale)
-    est = F.lit(alpha * m * m) / denom
+    # empty input (reachable only in the global by=None form): zero
+    # registers means zero distinct values — report 0.0, not the NULL
+    # that SUM-over-no-rows would propagate, and not the raw
+    # estimator's nonsense alpha*m floor
+    est = F.when(F.col("__nregs") == 0, F.lit(0.0)).otherwise(
+        F.lit(alpha * m * m) / denom
+    )
     return summed.select(
         *by,
         F.round(est, 4).alias("n_distinct_est"),
@@ -308,6 +314,12 @@ def bloom_prune(
             F.array(*[(_hash64(dk, f"bloom{i}") % num_bits).cast("int") for i in range(num_hashes)])
         ).alias("pos")
     ).distinct()
+    # materialize the occupied-position set ONCE (eager localCheckpoint,
+    # a dim-sized job at build time): the per-hash broadcasts below are
+    # separate exchanges that canonicalize differently (per-join aliases),
+    # so without this the dim scan + explode + distinct would re-execute
+    # once per hash function
+    positions = positions.localCheckpoint(eager=True)
     out = fact
     fk = _col(fact_key)
     for i in range(num_hashes):
@@ -389,17 +401,27 @@ def kmv_overlap(
         )
 
     in_union = F.col("__rn_u") <= k
+    # coalesce the sums: over EMPTY inputs (both sides empty or
+    # all-NULL) SUM yields NULL and every downstream estimate would
+    # come back NULL instead of 0
     stats = merged.agg(
-        F.sum("__in_a").alias("sz_a"),
+        F.coalesce(F.sum("__in_a"), F.lit(0)).alias("sz_a"),
         F.max(F.when(F.col("__rn_a") == k, F.col("__h"))).alias("kth_a"),
-        F.sum("__in_b").alias("sz_b"),
+        F.coalesce(F.sum("__in_b"), F.lit(0)).alias("sz_b"),
         F.max(F.when(F.col("__rn_b") == k, F.col("__h"))).alias("kth_b"),
-        F.sum(F.when(in_union, 1).otherwise(0)).alias("usz"),
+        F.coalesce(F.sum(F.when(in_union, 1).otherwise(0)), F.lit(0)).alias("usz"),
         F.max(F.when(F.col("__rn_u") == k, F.col("__h"))).alias("ukth"),
-        F.sum(F.when(in_union, F.col("__in_a") * F.col("__in_b")).otherwise(0)).alias("both"),
+        F.coalesce(
+            F.sum(F.when(in_union, F.col("__in_a") * F.col("__in_b")).otherwise(0)),
+            F.lit(0),
+        ).alias("both"),
     )
     est_union = est(F.col("usz"), F.col("ukth"))
-    jaccard = F.col("both").cast("double") / F.col("usz").cast("double")
+    # empty union: no overlap to speak of — 0.0 by convention, not 0/0
+    jaccard = F.when(
+        F.col("usz") > 0,
+        F.col("both").cast("double") / F.col("usz").cast("double"),
+    ).otherwise(F.lit(0.0))
     return stats.select(
         F.round(est(F.col("sz_a"), F.col("kth_a")), 4).alias("est_distinct_left"),
         F.round(est(F.col("sz_b"), F.col("kth_b")), 4).alias("est_distinct_right"),

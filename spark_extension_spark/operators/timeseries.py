@@ -37,7 +37,10 @@ def _epoch_axis(df: DataFrame, ts_col: str, unit_seconds: int):
     """(epoch axis column, units-per-``unit_seconds``) for a timestamp,
     TIMESTAMP_NTZ, or raw-numeric time column.  NTZ diffs against the
     NTZ epoch literal — a plain cast would shift by the session
-    timezone."""
+    timezone.  Fractional numeric axes FLOOR to the integer axis: a
+    bare ``cast('long')`` truncates toward zero, which would round
+    negative fractional epochs UP — the same pre-1970 bucket bug the
+    floored-modulo discipline below exists to avoid."""
     dtype = df.schema[ts_col].dataType
     if isinstance(dtype, T.TimestampType):
         return F.unix_micros(F.col(ts_col)), int(unit_seconds) * 1_000_000
@@ -46,6 +49,8 @@ def _epoch_axis(df: DataFrame, ts_col: str, unit_seconds: int):
             f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
         )
         return axis, int(unit_seconds) * 1_000_000
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.floor(F.col(ts_col)).cast("long"), int(unit_seconds)
     return F.col(ts_col).cast("long"), int(unit_seconds)
 
 
@@ -130,12 +135,24 @@ def sessionize(
     duplicates — required for deterministic session ids (ties within
     ``gap`` never split a session, but the emitted running ordinal is
     order-sensitive).
+
+    Rows with a NULL ``ts_col`` are row-preserved with a NULL
+    ``session_id`` (no time, no session) and never shift the 1-based
+    numbering of real sessions; :func:`session_summary` surfaces them
+    as a single ``session_id IS NULL`` group per key.
     """
     axis, gap_units = _epoch_axis(df, ts_col, gap)
     order = [axis.asc(), *[F.col(c).asc() for c in tiebreak]]
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     prev = F.lag(axis).over(w)
-    is_new = (prev.isNull() | ((axis - prev) > F.lit(gap_units))).cast("long")
+    # NULL-timestamp rows cannot belong to a time-gap session: they get
+    # a NULL session_id and contribute no session starts (without the
+    # guard each NULL row — ordered first — would start a phantom
+    # session and shift every real session's 1-based id)
+    is_new = F.when(
+        axis.isNotNull(),
+        (prev.isNull() | ((axis - prev) > F.lit(gap_units))).cast("long"),
+    )
     run = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -214,7 +231,9 @@ def range_join_bands(
     """Attach the band whose [low, high) interval contains the value —
     the classic dimension range join.  The band table broadcasts, so the
     non-equi condition never becomes a shuffled cross product."""
-    cond = (F.col(value_col) >= bands[low_col]) & (F.col(value_col) < bands[high_col])
+    # qualify the fact side: an unqualified F.col(value_col) is
+    # ambiguous whenever the band table also carries a same-named column
+    cond = (facts[value_col] >= bands[low_col]) & (facts[value_col] < bands[high_col])
     return facts.join(F.broadcast(bands), cond, "left")
 
 
@@ -242,14 +261,35 @@ def interval_join(
     containing ``greatest(left_start, right_start)`` — the standard
     first-overlapping-cell dedup, a pure filter.
 
-    ``grid`` is in the units of the interval columns (must be numeric —
-    convert timestamps with ``unix_micros`` first) and should be on the
-    order of typical interval length: too fine explodes many cells per
-    interval, too coarse packs unrelated intervals into one cell.
-    Start/end columns of the two sides must not collide by name;
-    ``by`` key columns must exist on both sides with the same name.
-    Empty or inverted intervals (``end <= start``) never match.
+    ``grid`` is in the units of the interval columns (must be an
+    INTEGER type — convert timestamps with ``unix_micros`` and
+    fractional axes by scaling to integer units first) and should be
+    on the order of typical interval length: too fine explodes many
+    cells per interval, too coarse packs unrelated intervals into one
+    cell.  Fractional interval columns are rejected rather than
+    silently truncated: the cell assignment would truncate while the
+    overlap predicate compared exact values, so a pair like
+    [1.5, 2.3) × [2.2, 3.0) would never meet in the equi-join and
+    vanish from the output.  Start/end columns of the two sides must
+    not collide by name; ``by`` key columns must exist on both sides
+    with the same name.  Empty or inverted intervals (``end <=
+    start``) never match.
     """
+    for side, frame, cols in (
+        ("left", left, (left_start, left_end)),
+        ("right", right, (right_start, right_end)),
+    ):
+        for c in cols:
+            dtype = frame.schema[c].dataType
+            if not isinstance(
+                dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                raise ValueError(
+                    f"interval_join requires integer interval columns; "
+                    f"{side} column {c!r} is {dtype.simpleString()} — scale "
+                    f"to integer units first (e.g. unix_micros for "
+                    f"timestamps)"
+                )
     grid_l = F.lit(int(grid)).cast("long")
 
     def cells(df: DataFrame, start: str, end: str) -> DataFrame:
@@ -356,7 +396,12 @@ def funnel(
     event strictly after their step-(k−1) time (first-touch semantics:
     each step's timestamp is the user's earliest qualifying event).
     ``within`` optionally bounds the whole funnel to a window after
-    the step-1 time, in the time column's units.
+    the step-1 time — in SECONDS for timestamp/NTZ columns and in the
+    column's own unit for raw-numeric axes, the same convention as
+    :func:`sessionize`'s ``gap`` and :func:`time_bucket_rollup`'s
+    width.  (Previously it was applied in raw internal-axis units —
+    microseconds for timestamps — so ``within=86400`` silently bounded
+    the funnel to 86.4 ms instead of a day.)
 
     Returns ``(step, event_type, n_users, frac_of_first,
     frac_of_prev)`` — step is 1-based, step 1's fractions are 1.0.
@@ -381,7 +426,7 @@ def funnel(
     if not steps:
         raise ValueError("funnel needs at least one step")
     u = F.col(user_col)
-    axis, _ = _epoch_axis(df, ts_col, 1)
+    axis, per_unit = _epoch_axis(df, ts_col, 1)
     e = df.where(u.isNotNull() & F.col(ts_col).isNotNull()).select(
         u.alias("__u"), F.col(event_col).alias("__e"), axis.alias("__t")
     )
@@ -392,7 +437,11 @@ def funnel(
     for i, step in enumerate(steps[1:], start=1):
         cond = (F.col("__e") == step) & (F.col("__t") > F.col(f"__t{i-1}"))
         if within is not None:
-            cond = cond & (F.col("__t") <= F.col("__t0") + F.lit(int(within)))
+            # scale from seconds to the internal axis unit (micros for
+            # timestamp columns, native units for numeric axes)
+            cond = cond & (
+                F.col("__t") <= F.col("__t0") + F.lit(int(within) * per_unit)
+            )
         e = e.withColumn(
             f"__t{i}", F.min(F.when(cond, F.col("__t"))).over(w)
         )
@@ -499,7 +548,22 @@ def resample_interpolate(
         *[F.col(c) for c in by],
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__idx"),
     )
-    joined = spine.join(obs, [*by, "__idx"], "left")
+    # NULL-safe on the group keys: a NULL ``by`` key survives both
+    # groupBys (grouping is NULL-safe) but a plain USING join would
+    # never match the group's own observations back onto its spine —
+    # every bucket of a NULL-keyed group would come back value=NULL,
+    # interpolated=true, even where real observations exist
+    obs_r = obs.select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col("__idx").alias("__r_idx"),
+        "__obs",
+    )
+    join_cond = F.col("__idx") == F.col("__r_idx")
+    for c in by:
+        join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    joined = spine.join(obs_r, join_cond, "left").drop(
+        "__r_idx", *[f"__r_{c}" for c in by]
+    )
     w_prev = (
         Window.partitionBy(*[F.col(c) for c in by])
         .orderBy(F.col("__idx"))
@@ -556,13 +620,17 @@ def transition_matrix(
     normalizing per-``from`` totals re-aggregate from the pair frame
     (|event types|² rows, never the data) and broadcast back.  A
     user's last event has no successor and contributes nothing.  NULL
-    user/time rows are excluded.
+    user/time/event rows are excluded up front (previously a NULL
+    *event* row was counted into the pair and total aggregates and
+    then silently dropped at the null-unsafe normalizing join).
 
     Returns ``(from_event, to_event, n, prob)``.
     """
     u = F.col(user_col)
     axis, _ = _epoch_axis(df, ts_col, 1)
-    d = df.where(u.isNotNull() & F.col(ts_col).isNotNull()).select(
+    d = df.where(
+        u.isNotNull() & F.col(ts_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
         u.alias("__u"),
         axis.alias("__t"),
         F.col(event_col).alias("from_event"),

@@ -171,13 +171,19 @@ def test_top_per_group_quota_joins_are_broadcast(spark):
 
 
 def test_bloom_prune_fact_side_no_exchange(spark):
-    plan = summarize_plan(QUERIES["bloom_prune_orders"](spark, SF))
+    df = QUERIES["bloom_prune_orders"](spark, SF)
+    plan = summarize_plan(df)
     # every probe is a broadcast hash semi-join (O(1) lookup per row);
-    # the fact table itself must never shuffle — the only exchanges are
-    # the tiny dim-side position-set distincts
+    # the fact table itself must never shuffle
     assert set(plan.joins) == {"BroadcastHashJoin"}
     assert plan.exchanges <= 3
     assert not plan.has_cartesian
+    # the occupied-position set is materialized ONCE (eager local
+    # checkpoint) — the per-hash broadcasts read the checkpointed RDD
+    # instead of re-running the dim scan + explode + distinct per hash
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in text
+    assert "HashAggregate" not in text
 
 
 def test_rolling_single_exchange(spark):

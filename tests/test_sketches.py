@@ -181,3 +181,21 @@ class TestKMVOverlap:
         b = spark.createDataFrame([(9,), (10,)], ["k"])
         r = kmv_overlap(a, b, "k", "k").collect()[0]
         assert r["jaccard_est"] == 0.0 and r["est_intersection"] == 0.0
+
+
+def test_hll_and_kmv_empty_inputs_zero_not_null(spark):
+    from spark_extension_spark.operators.sketches import (
+        hll_distinct,
+        kmv_overlap,
+    )
+
+    empty = spark.createDataFrame([], "v string")
+    h = hll_distinct(empty, "v").collect()[0]
+    assert h["n_distinct_est"] == 0.0 and h["n_registers"] == 0
+    all_null = spark.createDataFrame([(None,)], "v string")
+    assert hll_distinct(all_null, "v").collect()[0]["n_distinct_est"] == 0.0
+    ov = kmv_overlap(empty, empty, "v").collect()[0]
+    assert ov["est_distinct_left"] == 0.0
+    assert ov["est_union"] == 0.0
+    assert ov["jaccard_est"] == 0.0
+    assert ov["est_intersection"] == 0.0

@@ -460,3 +460,100 @@ def test_negative_epoch_floored_bucketing(spark):
     # single user cohorted in period -1, active again 1 period later
     offsets = {(r["cohort"], r["period_offset"]) for r in coh}
     assert offsets == {(-1, 0), (-1, 1)}
+
+
+def test_funnel_within_is_seconds_for_timestamps(spark):
+    from spark_extension_spark.operators.timeseries import funnel
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "view", ts),
+        (1, "click", ts + datetime.timedelta(hours=1)),     # inside 1 day
+        (2, "view", ts),
+        (2, "click", ts + datetime.timedelta(days=2)),      # outside 1 day
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["event_type"]: r["n_users"]
+           for r in funnel(df, ["view", "click"], "user_id", "ts", within=86400).collect()}
+    # within=86400 must mean ONE DAY (seconds), not 86.4 ms of raw
+    # internal microseconds — user 1 converts, user 2 does not
+    assert out == {"view": 2, "click": 1}
+
+
+def test_sessionize_null_ts_rows_get_null_session(spark):
+    from spark_extension_spark.operators.timeseries import (
+        session_summary,
+        sessionize,
+    )
+
+    rows = [(1, None), (1, None), (1, 100), (1, 110), (1, 500)]
+    df = spark.createDataFrame(rows, "u long, t long")
+    out = sessionize(df, "t", gap=50, by=["u"]).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["t"], []).append(r["session_id"])
+    # NULL-ts rows: NULL session; real sessions stay 1-based
+    assert by_t[None] == [None, None]
+    assert by_t[100] == [1] and by_t[110] == [1] and by_t[500] == [2]
+    summ = session_summary(df, "t", gap=50, by=["u"]).collect()
+    real = {r["session_id"]: r["n_events"] for r in summ if r["session_id"] is not None}
+    assert real == {1: 2, 2: 1}
+
+
+def test_interval_join_rejects_fractional_columns(spark):
+    from spark_extension_spark.operators.timeseries import interval_join
+
+    li = spark.createDataFrame([(1.5, 2.3)], "s double, e double")
+    ri = spark.createDataFrame([(2, 3)], "s2 long, e2 long")
+    with pytest.raises(ValueError, match="integer interval columns"):
+        interval_join(li, ri, "s", "e", "s2", "e2", grid=1)
+    with pytest.raises(ValueError, match="integer interval columns"):
+        interval_join(ri, li, "s2", "e2", "s", "e", grid=1)
+
+
+def test_range_join_bands_same_named_column(spark):
+    from spark_extension_spark.operators.timeseries import range_join_bands
+
+    facts = spark.createDataFrame([(1, 5.0)], "id long, value double")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low-band", 99.0)], "low double, high double, name string, value double"
+    )
+    out = range_join_bands(facts, bands, "value")
+    assert out.count() == 1  # previously AMBIGUOUS_REFERENCE
+
+
+def test_resample_interpolate_null_group_key(spark):
+    from spark_extension_spark.operators.timeseries import resample_interpolate
+
+    rows = [(None, 0, 1.0), (None, 20, 3.0), ("a", 0, 5.0), ("a", 10, 6.0)]
+    df = spark.createDataFrame(rows, "source string, t long, v double")
+    out = resample_interpolate(df, "t", "v", step=10, by=["source"]).collect()
+    null_grp = {r["bucket_ts"]: (r["value"], r["interpolated"])
+                for r in out if r["source"] is None}
+    # the NULL-keyed group must keep its real observations (previously
+    # every bucket came back value=NULL, interpolated=true)
+    assert null_grp[0] == (1.0, False)
+    assert null_grp[20] == (3.0, False)
+    assert null_grp[10] == (2.0, True)  # linear midpoint
+
+
+def test_transition_matrix_null_events_excluded(spark):
+    from spark_extension_spark.operators.timeseries import transition_matrix
+
+    rows = [(1, 0, "A"), (1, 1, None), (1, 2, "B")]
+    df = spark.createDataFrame(rows, "u long, t long, event_type string")
+    out = {(r["from_event"], r["to_event"]): r["n"]
+           for r in transition_matrix(df, "u", "t").collect()}
+    # NULL event rows are excluded up front: the sequence bridges to
+    # (A, B); nothing is counted-then-dropped at the normalizing join
+    assert out == {("A", "B"): 1}
+
+
+def test_time_bucket_rollup_fractional_negative_epoch(spark):
+    from spark_extension_spark.operators.timeseries import time_bucket_rollup
+
+    df = spark.createDataFrame([(-0.5, 1.0), (5.0, 2.0)], "t double, v double")
+    out = {r["bucket"]: r["n"] for r in time_bucket_rollup(
+        df, "t", 10, {"n": F.count(F.lit(1))}).collect()}
+    # floor discipline: -0.5 floors into bucket -10, never bucket 0
+    assert out == {-10: 1, 0: 1}
