@@ -24,6 +24,7 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from ..utils import UnpersistHandle, backticks, distinct_prefix_for
@@ -54,8 +55,16 @@ def with_running_total(
     With ``by`` keys this is an ordinary per-key window (one hash
     shuffle, fully parallel).  Without keys it is the *global* prefix
     sum, computed scalably with the partition-offsets technique instead
-    of a single-partition window."""
-    value = _cols([value_col])[0].cast("long")
+    of a single-partition window.
+
+    Integral inputs total in exact int64; fractional/decimal inputs
+    keep their own type (a blanket ``cast('long')`` here would
+    silently truncate every fractional value — [0.7, −0.3, 0.9] would
+    "total" to [0, 0, 0])."""
+    value = _cols([value_col])[0]
+    vtype = df.select(value).schema[0].dataType
+    if not isinstance(vtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        value = value.cast("long")
     order_cols = _cols(order)
     if by:
         w = (
@@ -231,11 +240,14 @@ def padding_report(
     )
     padded = F.col("max_len") * F.col("n_seqs") - F.col("sum_len")
     total = (F.col("max_len") * F.col("n_seqs")).cast("double")
+    # a batch of all zero-length sequences has total 0: its padding
+    # fraction is 0.0 (nothing padded), not the NULL a 0/0 would give
+    pad_frac = F.when(total > 0, padded.cast("double") / total).otherwise(F.lit(0.0))
     return agg.select(
         batch_col,
         "n_seqs",
         "max_len",
         "sum_len",
         padded.alias("padded_tokens"),
-        (padded.cast("double") / total).alias("pad_frac"),
+        pad_frac.alias("pad_frac"),
     )

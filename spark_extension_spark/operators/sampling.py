@@ -37,6 +37,7 @@ __all__ = [
     "cap_per_group_sql",
     "take_token_budget",
     "take_token_budget_sql",
+    "resample_to_mix_sql",
     "top_per_group",
     "weighted_sample",
     "top_per_group_sql",
@@ -50,6 +51,13 @@ __all__ = [
 _TWO_32 = float(2**32)
 
 
+def _sql_str(v) -> str:
+    """Render a value as a single-quoted SQL literal, doubling embedded
+    quotes — interpolated stratum/split names must never produce
+    malformed oracle SQL."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _col(c: Union[str, Column]) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -57,8 +65,18 @@ def _col(c: Union[str, Column]) -> Column:
 def hash_uniform(id_col: Union[str, Column], seed: int = 42) -> Column:
     """Uniform double in [0, 1) derived from md5 of (seed, id) — the
     first 8 hex chars as an int64 over 2^32.  Deterministic across runs,
-    partitionings, and engines."""
-    key = F.concat(F.lit(f"{int(seed)}:"), _col(id_col).cast("string"))
+    partitionings, and engines.
+
+    NULL ids draw as the empty-string key (all NULL ids share one
+    draw).  This is exactly what the SQL twin's ``CONCAT`` already did
+    (DuckDB CONCAT skips NULLs); Spark's NULL-propagating ``concat``
+    previously returned a NULL draw instead, which silently dropped
+    NULL-id rows from samples, dumped them all into the last split,
+    and ranked them first (NULLS FIRST) in every quota ordering."""
+    key = F.concat(
+        F.lit(f"{int(seed)}:"),
+        F.coalesce(_col(id_col).cast("string"), F.lit("")),
+    )
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     return bucket / F.lit(_TWO_32)
 
@@ -102,8 +120,10 @@ def stratified_sample(
             raise ValueError(f"fraction for {value!r} must be in [0, 1], got {fraction}")
     strata = _col(strata_col)
     rate: Column = F.lit(float(default))
+    # eqNullSafe so a None key in `fractions` matches NULL strata (a
+    # plain == can never match NULL and the entry would be dead)
     for value, fraction in fractions.items():
-        rate = F.when(strata == F.lit(value), F.lit(float(fraction))).otherwise(rate)
+        rate = F.when(strata.eqNullSafe(F.lit(value)), F.lit(float(fraction))).otherwise(rate)
     return df.where(hash_uniform(id_col, seed) < rate)
 
 
@@ -144,16 +164,26 @@ def assign_splits(
 def assign_splits_sql(
     id_expr: str, weights: Dict[str, float], seed: int = 42
 ) -> str:
-    """DuckDB CASE expression in lock-step with :func:`assign_splits`."""
+    """DuckDB CASE expression in lock-step with :func:`assign_splits` —
+    including its validation: the same inputs the Spark twin refuses
+    (empty weights, a negative weight, non-positive total) must never
+    silently generate a corrupt oracle CASE."""
+    if not weights:
+        raise ValueError("weights must not be empty")
+    for name, w in weights.items():
+        if float(w) < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
     total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
     u = hash_uniform_sql(id_expr, seed)
     names = list(weights)
     branches = []
     cumulative = 0.0
     for name in names[:-1]:
         cumulative += float(weights[name]) / total
-        branches.append(f"WHEN {u} < {cumulative!r} THEN '{name}'")
-    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+        branches.append(f"WHEN {u} < {cumulative!r} THEN {_sql_str(name)}")
+    return "CASE " + " ".join(branches) + f" ELSE {_sql_str(names[-1])} END"
 
 
 def resample_to_mix(
@@ -189,9 +219,15 @@ def resample_to_mix(
     counts = df.groupBy(strata.alias("__stratum")).agg(
         F.count(F.lit(1)).alias("__c")
     )
+    # eqNullSafe: a None key must match the NULL stratum (the join
+    # below is already null-safe for exactly this case); a plain ==
+    # left the None entry dead while its share still inflated `total`,
+    # silently shrinking every other stratum's target
     t: Column = F.lit(None).cast("double")
     for value, share in target_shares.items():
-        t = F.when(F.col("__stratum") == F.lit(value), F.lit(float(share) / total)).otherwise(t)
+        t = F.when(
+            F.col("__stratum").eqNullSafe(F.lit(value)), F.lit(float(share) / total)
+        ).otherwise(t)
     with_t = counts.select("__stratum", "__c", t.alias("__t")).where(
         F.col("__t").isNotNull()
     )
@@ -396,7 +432,11 @@ def resample_to_mix_sql(
     # explicit DOUBLE casts keep DuckDB from parsing the shares as
     # DECIMAL literals
     branches = " ".join(
-        f"WHEN stratum = '{v}' THEN CAST({float(s) / total!r} AS DOUBLE)"
+        (
+            f"WHEN stratum IS NULL THEN CAST({float(s) / total!r} AS DOUBLE)"
+            if v is None
+            else f"WHEN stratum = {_sql_str(v)} THEN CAST({float(s) / total!r} AS DOUBLE)"
+        )
         for v, s in target_shares.items()
     )
     u = hash_uniform_sql(id_expr, seed)
@@ -413,7 +453,7 @@ rates AS (
   SELECT stratum, (t * n) / CAST(c AS DOUBLE) AS rate FROM with_t CROSS JOIN mn
 )
 SELECT {columns} FROM {table} d
-JOIN rates r ON d.{strata_expr} IS NOT DISTINCT FROM r.stratum
+JOIN rates r ON {strata_expr} IS NOT DISTINCT FROM r.stratum
 WHERE {u} < r.rate
 """
 
@@ -452,9 +492,11 @@ def weighted_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = _col(weight_col)
-    key = F.concat(F.lit(f"{int(seed)}:"), _col(id_col).cast("string"))
-    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    u = (bucket + F.lit(1).cast("long")) / F.lit(_TWO_32)  # (0, 1]
+    # (bucket + 1) / 2^32 == hash_uniform + 2^-32 exactly (both terms
+    # are dyadic multiples of 2^-32, so the sum is exact) — reuse the
+    # shared draw instead of duplicating the md5 pipeline, inheriting
+    # its NULL-id handling
+    u = hash_uniform(id_col, seed) + F.lit(1.0 / _TWO_32)  # (0, 1]
     priority = -F.log(u) / w.cast("double")
     win = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
         F.col("__priority").asc(), _col(id_col).asc()
@@ -525,7 +567,7 @@ def interleave_by_mix_sql(
     total = float(sum(weights.values()))
     u = hash_uniform_sql(id_expr, seed)
     branches = " ".join(
-        f"WHEN {source_expr} = '{name}' THEN {total / float(w)!r}"
+        f"WHEN {source_expr} = {_sql_str(name)} THEN {total / float(w)!r}"
         for name, w in weights.items()
     )
     return f"""
@@ -576,7 +618,8 @@ def repeat_upsample(
         for value, item in rate.items():
             if float(item) < 0:
                 raise ValueError(f"rates must be >= 0, got {item!r} for {value!r}")
-            r = F.when(strata == F.lit(value), F.lit(float(item))).otherwise(r)
+            # eqNullSafe so a None key matches NULL strata (== never can)
+            r = F.when(strata.eqNullSafe(F.lit(value)), F.lit(float(item))).otherwise(r)
     else:
         if float(rate) < 0:
             raise ValueError(f"rate must be >= 0, got {rate!r}")
@@ -647,8 +690,8 @@ def temperature_mix_sql(
     strata_expr: str,
     alpha: float,
     id_expr: str,
-    columns: str = "d.*",
     seed: int = 42,
+    columns: str = "d.*",
 ) -> str:
     """DuckDB query computing exactly :func:`temperature_mix` — kept in
     lock-step for the oracle gates."""

@@ -437,3 +437,86 @@ def test_assign_splits_rejects_negative_weight(spark):
     df = spark.createDataFrame([(1,)], ["id"])
     with pytest.raises(ValueError, match="must be >= 0"):
         assign_splits(df, {"train": -0.2, "val": 0.6, "test": 0.6}, "id")
+
+
+def test_hash_uniform_null_id_matches_sql_twin(spark):
+    import duckdb
+
+    from spark_extension_spark.operators.sampling import (
+        hash_uniform,
+        hash_uniform_sql,
+    )
+
+    df = spark.createDataFrame([(None,), ("x",)], "id string")
+    got = {r["id"]: r["u"] for r in df.select("id", hash_uniform("id").alias("u")).collect()}
+    want_null = duckdb.sql(f"SELECT {hash_uniform_sql('NULL')} AS u").fetchone()[0]
+    # NULL ids draw as the empty-string key — exactly the SQL twin's
+    # CONCAT-skips-NULL behavior (previously Spark returned a NULL draw:
+    # dropped from samples, dumped into the last split, NULLS FIRST in
+    # every quota ordering)
+    assert got[None] == want_null
+    assert got[None] is not None and 0.0 <= got[None] < 1.0
+
+
+def test_none_strata_keys_are_live(spark):
+    from spark_extension_spark.operators.sampling import (
+        resample_to_mix,
+        stratified_sample,
+    )
+
+    rows = [(i, None if i % 2 else "en") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(df, "lang", {None: 1.0, "en": 0.0}, "doc_id")
+    # the None entry must match the NULL stratum (== never can)
+    assert kept.where(F.col("lang").isNull()).count() == 50
+    assert kept.where(F.col("lang") == "en").count() == 0
+    mixed = resample_to_mix(df, "lang", {None: 0.5, "en": 0.5}, "doc_id")
+    # both strata survive; previously the None share inflated the
+    # normalization while matching nothing, so NULL rows vanished
+    assert mixed.where(F.col("lang").isNull()).count() > 0
+    assert mixed.where(F.col("lang") == "en").count() > 0
+
+
+def test_sql_helpers_validate_and_escape(spark):
+    from spark_extension_spark.operators.sampling import (
+        assign_splits_sql,
+        resample_to_mix_sql,
+    )
+
+    with pytest.raises(ValueError, match="must not be empty"):
+        assign_splits_sql("doc_id", {})
+    with pytest.raises(ValueError, match=">= 0"):
+        assign_splits_sql("doc_id", {"train": -1, "test": 2})
+    sql = assign_splits_sql("doc_id", {"it's": 1.0, "b": 1.0})
+    assert "'it''s'" in sql
+    # expression arguments must render unqualified in the final join
+    # (previously d.{strata_expr} produced 'd.lower(lang)')
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES (1, 'EN'), (2, 'de')) t(doc_id, lang)")
+    q = resample_to_mix_sql("documents", "lower(lang)", {"en": 0.5, "de": 0.5}, "doc_id",
+                            columns="d.doc_id")
+    con.execute(q)  # must parse and run
+
+
+def test_with_running_total_fractional_values(spark):
+    from spark_extension_spark.operators.packing import with_running_total
+
+    df = spark.createDataFrame(
+        [(1, 0.7), (2, -0.3), (3, 0.9)], "id long, delta double"
+    )
+    out = {r["id"]: r["running_total"]
+           for r in with_running_total(df, "delta", order=["id"], by=[]).collect()}
+    # fractional inputs must not silently truncate to long
+    assert out[1] == pytest.approx(0.7)
+    assert out[2] == pytest.approx(0.4)
+    assert out[3] == pytest.approx(1.3)
+
+
+def test_padding_report_zero_length_batch(spark):
+    from spark_extension_spark.operators.packing import padding_report
+
+    df = spark.createDataFrame([("b1", 0), ("b1", 0)], "batch string, length long")
+    row = padding_report(df, "length", batch_col="batch").collect()[0]
+    assert row["pad_frac"] == 0.0  # not NULL from 0/0
