@@ -134,7 +134,16 @@ def bm25_score(
     """
     if not terms:
         raise ValueError("bm25_score requires at least one query term")
-    term_list = [t.lower() for t in terms]
+    # extract the same [a-z0-9]+ token runs the corpus tokenizer emits:
+    # a raw "u.s." or "new-york" can never equal a token and previously
+    # matched nothing, silently scoring zero documents
+    import re as _re
+
+    term_list = sorted({m for t in terms for m in _re.findall(r"[a-z0-9]+", t.lower())})
+    if not term_list:
+        raise ValueError(
+            f"no [a-z0-9]+ tokens extractable from query terms {terms!r}"
+        )
 
     toks = _tokens(df, id_col, text_col)
     matched = toks.where(F.col("token").isin(term_list))
@@ -259,6 +268,17 @@ def doc_logprob(
     resolution)."""
     if lm is None:
         lm = unigram_lm(df, id_col, text_col)
+    if unk_logp is not None and abs(float(unk_logp)) >= 1e8:
+        # the DECIMAL(18,10) snap grid holds |logp| < 1e8; a larger
+        # sentinel would overflow the cast (ANSI throws mid-job;
+        # non-ANSI silently NULLs the term with __n_oov still 0, so an
+        # OOV-heavy junk document would score HIGH — the exact failure
+        # the __n_oov contract exists to catch).  Real log-probs are
+        # tiny; fail loud at call time instead.
+        raise ValueError(
+            f"unk_logp magnitude must be < 1e8 (decimal snap grid), "
+            f"got {unk_logp!r}"
+        )
     tf = term_frequencies(df, id_col, text_col)
     logp = F.col("logp") if unk_logp is None else F.coalesce(F.col("logp"), F.lit(float(unk_logp)))
     # logp snapped to an exact DECIMAL(18,10) grid (round to 10
@@ -349,6 +369,12 @@ def sparse_cosine_pairs(
             "__norm"
         )
     )
+    # a document whose every token has idf 0 (tokens present in ALL
+    # docs) has norm 0: cosine is undefined for it — drop it here
+    # rather than dividing by zero (ANSI throws; non-ANSI yields NaN,
+    # which Spark orders ABOVE every double so NaN >= min_sim would
+    # emit bogus pairs)
+    norms = norms.where(F.col("__norm") > 0)
     a = w.select(F.col("__id").alias("id_a"), "token", F.col("__w").alias("__wa"))
     b = w.select(F.col("__id").alias("id_b"), "token", F.col("__w").alias("__wb"))
     dots = (
@@ -435,11 +461,13 @@ def zipf_report(
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
     vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
     vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    # degenerate fits (single token type -> vx=0; all frequencies equal
+    # -> vy=0) report NULL instead of dividing by zero (ANSI throws)
     return agg.select(
         "n_types",
         "n_tokens",
-        (-(cov / vx)).alias("alpha"),
-        ((cov * cov) / (vx * vy)).alias("r2"),
+        F.when(vx > 0, -(cov / vx)).alias("alpha"),
+        F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy)).alias("r2"),
     )
 
 
@@ -456,8 +484,13 @@ def pmi_pairs(
     """Collocation mining: pointwise mutual information for ordered
     token pairs co-occurring within ``window`` positions —
     ``pmi = ln( (c_xy / N_pairs) / ((c_x / N_tok) * (c_y / N_tok)) )``
-    plus the normalized variant ``npmi = pmi / -ln(c_xy / N_pairs)``
-    in [-1, 1].  High-PMI pairs are multi-word expressions ("new york",
+    plus the normalized variant ``npmi = pmi / -ln(c_xy / N_pairs)``.
+    Note npmi here normalizes window-pair probability against UNIGRAM
+    marginals (the standard corpus formulation); because N_pairs and
+    N_tok are different denominators the textbook [-1, 1] bound is
+    approximate — perfectly collocated tokens in a tiny corpus can
+    exceed 1.  A corpus with a single pair type (p_xy = 1) reports
+    NULL npmi (the -ln(p_xy) normalizer is zero).  High-PMI pairs are multi-word expressions ("new york",
     "machine learning"); a corpus whose top collocations are template
     fragments is boilerplate — a quality signal n-gram counts alone
     don't give.
@@ -540,7 +573,7 @@ def pmi_pairs(
         "c_x",
         "c_y",
         pmi.alias("pmi"),
-        (pmi / -F.log(p_xy)).alias("npmi"),
+        F.when(p_xy < 1, pmi / -F.log(p_xy)).alias("npmi"),
     )
 
 

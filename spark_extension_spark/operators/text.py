@@ -31,6 +31,11 @@ __all__ = [
     "chunk_documents",
     "vocab_coverage",
     "char_entropy",
+    "repetition_metrics",
+    "scrub_pii",
+    "scrub_pii_sql",
+    "with_scrubbed_pii",
+    "language_id_sql",
 ]
 
 
@@ -79,7 +84,10 @@ def quality_metrics(text) -> Dict[str, Column]:
     digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
     upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
-    spaces = F.length(F.regexp_replace(t, r"[^ \t\n]", ""))
+    # explicit whitespace class, identical in Java regex and RE2 (\s
+    # differs between them on \x0b): without \r a CRLF document counts
+    # carriage returns as token characters and inflates mean_token_len
+    spaces = F.length(F.regexp_replace(t, "[^ \t\n\r\f\x0b]", ""))
     return {
         "n_chars": n_chars,
         "n_tokens": tokens,
@@ -134,7 +142,7 @@ def chunk_documents(
     # at s - stride — 100%-duplicated training text.  greatest(0, ...)
     # keeps one chunk for documents shorter than the overlap (and
     # guards sequence(0, -1), which would generate DESCENDING).
-    starts = F.when(t == "", F.array().cast("array<int>")).otherwise(
+    starts = F.when(t.isNull() | (t == ""), F.array().cast("array<int>")).otherwise(
         F.sequence(
             F.lit(0),
             F.greatest(F.lit(0), n - F.lit(overlap) - 1),
@@ -341,7 +349,11 @@ def language_id_sql(text_expr: str, min_hits: int = 1) -> str:
 _PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"\+?\d[\d -]{7,}\d",
+    # international (+CC ...) or separator-grouped domestic (3-3/4-4)
+    # forms only: the old \+?\d[\d -]{7,}\d swallowed any >=9-char
+    # digit/space/dash run — dates ("2026-08-16 14"), id numbers
+    # ("4021 7788") — destroying non-PII text
+    "phone": r"(\+\d[\d -]{7,}\d|\b\d{3}[- ]\d{3,4}[- ]\d{4}\b)",
 }
 # scrub order matters: emails first (they contain digits/dots), then IPs,
 # then phones — counts are taken on the progressively-scrubbed text so a
@@ -426,8 +438,6 @@ def heavy_hitters(
     domain (ids, urls): there, cap the domain first or sketch.
 
     Ties rank deterministically by token."""
-    from pyspark.sql import Window
-
     toks = F.regexp_extract_all(normalize_text(text), F.lit("[a-z0-9]+"), F.lit(0))
     keys = [by] if by else []
     counts = (

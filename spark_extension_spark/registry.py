@@ -2106,7 +2106,7 @@ WITH m AS (
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
          len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          len(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-         len(regexp_replace(text, '[^ \t\n]', '', 'g')) AS spaces
+         len(regexp_replace(text, '[^ \t\n\r\f\x0b]', '', 'g')) AS spaces
   FROM documents
 ),
 r AS (

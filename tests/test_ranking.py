@@ -436,3 +436,62 @@ def test_vocab_curve_unpersist_handle_releases_caches(spark):
     h()
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert after <= before
+
+
+def test_sparse_cosine_zero_norm_docs_dropped(spark):
+    from spark_extension_spark.operators.ranking import sparse_cosine_pairs
+
+    # 'the' appears in every doc -> idf 0 -> docs 1 and 2 have norm 0
+    df = spark.createDataFrame(
+        [(1, "the"), (2, "the"), (3, "the zebra quagga")],
+        "doc_id long, text string",
+    )
+    rows = sparse_cosine_pairs(df, min_df=1, min_sim=0.1).collect()
+    # no crash (ANSI divide-by-zero) and no bogus NaN pairs
+    assert rows == []
+
+
+def test_zipf_degenerate_fit_null_not_crash(spark):
+    from spark_extension_spark.operators.ranking import zipf_report
+
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    row = zipf_report(df).collect()[0]  # all frequencies equal -> vy = 0
+    assert row["n_types"] == 4
+    assert row["alpha"] == 0.0  # flat fit (vy=0 hits only r2's divisor)
+    assert row["r2"] is None
+    single = spark.createDataFrame([(1, "solo solo solo")], "doc_id long, text string")
+    row1 = zipf_report(single).collect()[0]
+    assert row1["n_types"] == 1
+    assert row1["alpha"] is None and row1["r2"] is None  # vx = 0
+
+
+def test_doc_logprob_rejects_oversized_unk_logp(spark):
+    from spark_extension_spark.operators.ranking import doc_logprob, unigram_lm
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    lm = unigram_lm(df)
+    with pytest.raises(ValueError, match="unk_logp magnitude"):
+        doc_logprob(df, lm=lm, unk_logp=-1e12)
+
+
+def test_pmi_single_pair_type_null_npmi(spark):
+    from spark_extension_spark.operators.ranking import pmi_pairs
+
+    df = spark.createDataFrame([(1, "foo bar")], "doc_id long, text string")
+    rows = pmi_pairs(df, window=1, min_count=1).collect()
+    # the corpus has exactly one pair type: p_xy == 1, -ln(p_xy) is
+    # zero — npmi NULL, no crash / no -inf
+    assert len(rows) == 1 and rows[0]["npmi"] is None
+
+
+def test_bm25_score_normalizes_query_terms(spark):
+    from spark_extension_spark.operators.ranking import bm25_score
+
+    df = spark.createDataFrame(
+        [(1, "the u s army"), (2, "other text here")], "doc_id long, text string"
+    )
+    rows = bm25_score(df, ["u.s."]).collect()
+    # 'u.s.' tokenizes to ['u', 's'] and must match doc 1
+    assert [r["doc_id"] for r in rows] == [1]
+    with pytest.raises(ValueError, match="no \\[a-z0-9\\]"):
+        bm25_score(df, ["..."])

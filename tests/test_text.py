@@ -626,3 +626,43 @@ def test_chunk_documents_no_fully_contained_trailing_chunk(spark):
     # a document shorter than the overlap still yields its one chunk
     tiny = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     assert chunk_documents(tiny, chunk_tokens=5, overlap=2).count() == 1
+
+
+def test_scrub_pii_phone_precision(spark):
+    from spark_extension_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "meeting on 2026-08-16 14:30 room 4021 7788"),   # no PII
+        (2, "call +1 555 010 4242 or 555-123-4567 now"),     # two phones
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = scrub_pii("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", cols["n_phone"].alias("n"), cols["text_scrubbed"].alias("s")
+    ).collect()}
+    # dates, times, and id-number runs are NOT phones
+    assert out[1]["n"] == 0
+    assert out[1]["s"] == "meeting on 2026-08-16 14:30 room 4021 7788"
+    assert out[2]["n"] == 2
+    assert "<PHONE>" in out[2]["s"] and "555" not in out[2]["s"]
+
+
+def test_quality_metrics_crlf_token_len(spark):
+    from spark_extension_spark.operators.text import quality_metrics
+
+    df = spark.createDataFrame([("a\r\nb",)], "text string")
+    m = quality_metrics("text")
+    row = df.select(m["mean_token_len"].alias("mtl"), m["n_tokens"].alias("n")).collect()[0]
+    # \r is whitespace, not token characters: two 1-char tokens
+    assert row["n"] == 2
+    assert row["mtl"] == pytest.approx(1.0)
+
+
+def test_chunk_documents_null_text_no_chunks(spark):
+    from spark_extension_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_tokens=2).collect()
+    assert all(r["doc_id"] == 1 for r in rows)  # null/empty -> no chunks
