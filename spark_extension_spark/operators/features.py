@@ -133,11 +133,21 @@ def winsorize(
         .groupBy(*[F.col(c) for c in by])
         .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     )
-    joined = (
-        df.join(F.broadcast(bounds), list(by), "left")
-        if by
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    if by:
+        # NULL-safe on the group keys (mad_outliers' pattern): a plain
+        # USING join never matches a NULL key back to its own bounds,
+        # leaving every NULL-keyed row silently UNCLIPPED
+        b2 = bounds.select(
+            *[F.col(c).alias(f"__k_{c}") for c in by], "__lo", "__hi"
+        )
+        cond = functools.reduce(
+            lambda a, c: a & F.col(c).eqNullSafe(F.col(f"__k_{c}")), by, F.lit(True)
+        )
+        joined = df.join(F.broadcast(b2), cond, "left").drop(
+            *[f"__k_{c}" for c in by]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     # greatest/least SKIP NULLs, so an unguarded clip would turn a NULL
     # value into the lower bound — clipping must never invent a value
     clipped = F.when(
@@ -243,9 +253,23 @@ def approx_group_quantiles(
     ranges = df.where(v.isNotNull()).groupBy(*keys).agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
-    with_range = df.where(v.isNotNull()).join(ranges, list(by)) if by else (
-        df.where(v.isNotNull()).crossJoin(F.broadcast(ranges))
-    )
+    if by:
+        # NULL-safe + broadcast: a plain USING join dropped NULL-keyed
+        # groups entirely (group_quantiles keeps them), and the
+        # unbroadcast join shuffled the fact table on `by`
+        r2 = ranges.select(
+            *[F.col(c).alias(f"__k_{c}") for c in by], "__lo", "__hi"
+        )
+        rcond = functools.reduce(
+            lambda a, c: a & F.col(c).eqNullSafe(F.col(f"__k_{c}")), by, F.lit(True)
+        )
+        with_range = (
+            df.where(v.isNotNull())
+            .join(F.broadcast(r2), rcond)
+            .drop(*[f"__k_{c}" for c in by])
+        )
+    else:
+        with_range = df.where(v.isNotNull()).crossJoin(F.broadcast(ranges))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
     cell = F.least(
         F.lit(bins - 1),
@@ -372,10 +396,20 @@ def rank_normalize(
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     wn = Window.partitionBy(*[F.col(c) for c in by])
     rn = F.row_number().over(w)
-    n = F.count(F.lit(1)).over(wn)
-    pct = F.when(
-        n > 1, (rn - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double")
-    ).otherwise(F.lit(0.0))
+    # NULL values must not rank: they sort FIRST under asc, so an
+    # unfiltered rank made a NULL score the "best" pct_rank 0.0 AND
+    # shifted every real row's rank.  NULLs sort first, so a non-null
+    # row's rank among non-nulls is rn minus the group's null count;
+    # NULL rows themselves emit NULL.
+    n_all = F.count(F.lit(1)).over(wn)
+    n_val = F.count(v).over(wn)  # count skips NULLs
+    rn_adj = rn - (n_all - n_val)
+    pct = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(
+            n_val > 1,
+            (rn_adj - F.lit(1)).cast("double") / (n_val - F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
     return df.withColumn(out, pct)
 
 
@@ -414,7 +448,9 @@ def group_ols(
     dec = f"decimal(38,{int(scale)})"
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
-    both = x.isNotNull() & y.isNotNull()
+    # NaN must not pass: it inflates n while its DECIMAL cast silently
+    # NULLs out of the sums (the fit_logistic guard, same reason)
+    both = x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
 
     def dsum(expr: Column, name: str) -> Column:
         return F.sum(F.when(both, expr.cast(dec))).alias(name)
@@ -488,11 +524,22 @@ def discretize(
         rng = df.groupBy(*keys).agg(
             F.min(v).alias("__lo"), F.max(v).alias("__hi")
         )
-        joined = (
-            df.join(F.broadcast(rng), list(by))
-            if by
-            else df.crossJoin(F.broadcast(rng))
-        )
+        if by:
+            # NULL-safe: a plain USING join silently DROPPED every row
+            # whose group key is NULL (method='freq' keeps them)
+            r2 = rng.select(
+                *[F.col(c).alias(f"__k_{c}") for c in by], "__lo", "__hi"
+            )
+            cond = functools.reduce(
+                lambda a, c: a & F.col(c).eqNullSafe(F.col(f"__k_{c}")),
+                by,
+                F.lit(True),
+            )
+            joined = df.join(F.broadcast(r2), cond).drop(
+                *[f"__k_{c}" for c in by]
+            )
+        else:
+            joined = df.crossJoin(F.broadcast(rng))
         width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
         raw = F.floor((v - F.col("__lo")) / width)
         bucket = (
@@ -544,13 +591,19 @@ def target_encode(
     """
     dec = f"decimal(38,{int(scale)})"
     y = F.col(target_col).cast("double")
+    # ~isnan: NaN inflated the counts while its decimal cast NULLed out
+    # of the sums (see group_ols)
+    y_ok = y.isNotNull() & ~F.isnan(y)
     per_cat = df.groupBy(F.col(cat_col)).agg(
-        F.sum(F.when(y.isNotNull(), 1).otherwise(0)).cast("long").alias("__nc"),
-        F.sum(y.cast(dec)).alias("__syc"),
+        F.sum(F.when(y_ok, 1).otherwise(0)).cast("long").alias("__nc"),
+        F.sum(F.when(y_ok, y.cast(dec))).alias("__syc"),
     )
-    glob = df.agg(
-        F.sum(F.when(y.isNotNull(), 1).otherwise(0)).cast("long").alias("__ng"),
-        F.sum(y.cast(dec)).alias("__syg"),
+    # decimal addition is exact, so re-aggregating the category frame
+    # gives bit-identical global totals without a second scan of the
+    # input (the docstring's "no second scan" is now literally true)
+    glob = per_cat.agg(
+        F.sum("__nc").cast("long").alias("__ng"),
+        F.sum("__syc").alias("__syg"),
     )
     m = F.lit(float(smoothing))
     joined = (
@@ -560,19 +613,18 @@ def target_encode(
     prior = F.when(
         F.col("__ng") > 0, F.col("__syg").cast("double") / F.col("__ng").cast("double")
     )
+    # a category whose every target is NULL/NaN has __nc=0 and a NULL
+    # sum: the formula says it encodes to the prior — coalesce the sum
+    # to 0 rather than letting NULL propagate through the blend
+    syc = F.coalesce(F.col("__syc").cast("double"), F.lit(0.0))
     if leave_one_out:
-        own = F.when(y.isNotNull(), y).otherwise(F.lit(0.0))
-        n_eff = F.col("__nc") - F.when(y.isNotNull(), 1).otherwise(0)
+        own = F.when(y_ok, y).otherwise(F.lit(0.0))
+        n_eff = F.col("__nc") - F.when(y_ok, 1).otherwise(0)
         denom = n_eff.cast("double") + m
-        enc = F.when(
-            denom != 0,
-            ((F.col("__syc").cast("double") - own) + m * prior) / denom,
-        )
+        enc = F.when(denom != 0, ((syc - own) + m * prior) / denom)
     else:
         denom = F.col("__nc").cast("double") + m
-        enc = F.when(
-            denom != 0, (F.col("__syc").cast("double") + m * prior) / denom
-        )
+        enc = F.when(denom != 0, (syc + m * prior) / denom)
     enc = F.when(F.col("__nc").isNull(), prior).otherwise(enc)
     return joined.withColumn(out, enc).drop("__nc", "__syc", "__ng", "__syg")
 
@@ -608,8 +660,10 @@ def group_ttest(
     """
     dec = f"decimal(38,{int(scale)})"
     v = F.col(value_col).cast("double")
-    in_a = (F.col(group_col) == F.lit(group_a)) & v.isNotNull()
-    in_b = (F.col(group_col) == F.lit(group_b)) & v.isNotNull()
+    # ~isnan: NaN inflates the counts while vanishing from the decimal
+    # sums (see group_ols)
+    in_a = (F.col(group_col) == F.lit(group_a)) & v.isNotNull() & ~F.isnan(v)
+    in_b = (F.col(group_col) == F.lit(group_b)) & v.isNotNull() & ~F.isnan(v)
 
     agg = df.agg(
         F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("__na"),
@@ -681,7 +735,7 @@ def zscore_normalize(
     keys = list(by)
     v = F.col(value_col).cast("double")
     dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
-    stats = df.where(v.isNotNull()).groupBy(
+    stats = df.where(v.isNotNull() & ~F.isnan(v)).groupBy(
         *[F.col(c).alias(f"__k_{c}") for c in keys]
     ).agg(
         F.count(F.lit(1)).alias("__n"),
@@ -704,9 +758,13 @@ def zscore_normalize(
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when(sd > 0.0, (v - mean) / sd).otherwise(F.lit(0.0))
     joined = df.join(F.broadcast(stats) if broadcast else stats, cond, "left")
-    return joined.select(
-        *df.columns, F.coalesce(z, F.lit(0.0)).alias(out)
-    )
+    # missing input stays missing: coalescing a NULL/NaN value to 0.0
+    # would invent "exactly at the mean" for absent data; the 0.0
+    # fallback is only for zero-variance/singleton groups (documented)
+    zout = F.when(
+        v.isNull() | F.isnan(v), F.lit(None).cast("double")
+    ).otherwise(F.coalesce(z, F.lit(0.0)))
+    return joined.select(*df.columns, zout.alias(out))
 
 
 def feature_hash(
@@ -909,6 +967,12 @@ def fit_logistic(
         y.alias("__y"), *[raw_xs[j].alias(f"__x{j}") for j in range(d)]
     ).persist()
     lr, reg = float(learning_rate), float(l2)
+    if data.count() == 0:
+        data.unpersist()
+        raise ValueError(
+            "fit_logistic: no training rows after dropping NULL/NaN "
+            "labels and features"
+        )
     w = [0.0] * d
     # unpersist in finally: a mid-iteration failure (job cancel, ANSI
     # overflow) must not leak the cached feature frame

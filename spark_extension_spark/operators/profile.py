@@ -220,7 +220,11 @@ def corr_matrix(
     dec = f"decimal(38,{int(scale)})"
     complete = None
     for c in cols:
-        cond = F.col(c).isNotNull()
+        # ~isnan too: a NaN passes isNotNull and would inflate __n
+        # while its DECIMAL cast silently NULLs out of every sum —
+        # corrupting the correlations (reliability_report's guard,
+        # same reason)
+        cond = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
         complete = cond if complete is None else (complete & cond)
     d = df.where(complete)
     val = {c: F.col(c).cast("double") for c in cols}

@@ -919,3 +919,96 @@ def test_feature_hash_numeric_index_is_per_feature(spark):
     assert len({r["idx"] for r in out}) == 1  # one stable index for 'age'
     weights = {r["id"]: abs(r["weight"]) for r in out}
     assert weights == {1: 30.0, 2: 31.0, 3: 30.0}
+
+
+def test_null_group_keys_survive_joins_back(spark):
+    from spark_extension_spark.operators.features import (
+        discretize,
+        winsorize,
+    )
+
+    rows = [(None, float(i)) for i in range(10)] + [("a", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    # discretize width: NULL-keyed rows previously vanished (null-unsafe
+    # inner join); freq kept them — the two methods must agree
+    wd = discretize(df, "v", bins=2, by=["src"], method="width")
+    assert wd.count() == 20
+    assert wd.where(F.col("src").isNull() & F.col("bin").isNotNull()).count() == 10
+    # winsorize: NULL-keyed rows previously passed through UNCLIPPED
+    wz = winsorize(df, "v", lower=0.2, upper=0.8, by=["src"])
+    mx = wz.where(F.col("src").isNull()).agg(
+        F.max("v_winsorized").alias("m")
+    ).collect()[0]["m"]
+    assert mx < 9.0  # the extreme value was clipped
+
+
+def test_nan_values_excluded_from_stats(spark):
+    from spark_extension_spark.operators.features import (
+        group_ols,
+        group_ttest,
+        target_encode,
+        zscore_normalize,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (nan, nan)], "x double, y double"
+    )
+    ols = group_ols(df, "x", "y").collect()[0]
+    # NaN previously inflated n while vanishing from the decimal sums
+    assert ols["n"] == 3
+    assert ols["slope"] == pytest.approx(2.0)
+    tt = spark.createDataFrame(
+        [("a", 1.0), ("a", nan), ("a", 3.0), ("b", 5.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    t = group_ttest(tt, "v", "g", "a", "b").collect()[0]
+    # the NaN row is excluded from n_a AND the sums, so the mean is
+    # exact (previously n_a=3 with a 2-value sum -> mean 4/3)
+    assert t["n_a"] == 2
+    assert t["mean_a"] == pytest.approx(2.0)
+    te = spark.createDataFrame(
+        [("c1", 1.0), ("c1", 3.0), ("c2", nan), ("c2", nan)],
+        "cat string, y double",
+    )
+    enc = {r["cat"]: r["te"] for r in
+           target_encode(te, "cat", "y", smoothing=1.0, out="te").collect()}
+    # all-NaN category encodes to the prior (2.0), not NULL
+    assert enc["c2"] == pytest.approx(2.0)
+    zs = zscore_normalize(spark.createDataFrame(
+        [(1.0,), (3.0,), (nan,), (None,)], "v double"), "v", out="z").collect()
+    zmap = sorted((str(r["v"]), r["z"]) for r in zs)
+    by_v = dict(zmap)
+    assert by_v["nan"] is None and by_v["None"] is None  # missing stays missing
+
+
+def test_rank_normalize_null_values(spark):
+    from spark_extension_spark.operators.features import rank_normalize
+
+    df = spark.createDataFrame([(None,), (1.0,), (2.0,)], "v double")
+    out = {str(r["v"]): r["pct_rank"] for r in
+           rank_normalize(df, "v", out="pct_rank").collect()}
+    # NULL is not the "best" score: it gets NULL, and real rows rank
+    # over the non-null count only
+    assert out["None"] is None
+    assert out["1.0"] == 0.0 and out["2.0"] == 1.0
+
+
+def test_fit_logistic_empty_training_set(spark):
+    from spark_extension_spark.operators.features import fit_logistic
+
+    df = spark.createDataFrame([(None, 1.0)], "label double, f double")
+    with pytest.raises(ValueError, match="no training rows"):
+        fit_logistic(df, "label", ["f"], iterations=1)
+
+
+def test_corr_matrix_nan_rows_excluded(spark):
+    from spark_extension_spark.operators.profile import corr_matrix
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (nan, 1.0)], "a double, b double"
+    )
+    row = corr_matrix(df, ["a", "b"]).collect()[0]
+    assert row["n"] == 3
+    assert row["corr"] == pytest.approx(1.0)
