@@ -23,91 +23,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["diff_lineitem"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-hash exposure rotation (round 9): the driver's correctness
+# Driver-hash exposure rotation (round 10): the driver's correctness
 # gate samples a 50-query prefix of this dict.  Cumulative record after
-# round 8: all 150 gate queries driver-hash-checked at least once, ALL
-# GREEN on their latest check — including the two former reds
-# (`char_entropy_documents`, `dup_ngram_fraction_documents`), whose
-# r06/r07 driver-hash mismatches were root-caused to HUGEINT oracle
-# output columns (DuckDB widens integer SUM to int128, which
-# materializes as float64 on the driver's pandas fetch path but plain
-# int on the local mirror's native fetchall()).  The round-8 decode
-# matrix resolved green+green (originals + integer-only twins), which
-# confirms HUGEINT as the sole cause; the diagnostic twins are removed
-# this round and the registry is back to its frozen 150-gate surface.
-# The BIGINT/DOUBLE/VARCHAR/BOOL/temporal output rule (EXACTNESS.md
-# rule 6) stays enforced by scripts/audit_oracle_types.py and a pytest
-# guard so the class cannot recur.
-# Window layout (round 9): positions 1-10 are the ten round-8 plan
-# restructures whose latest driver check predates the restructure
-# (r5-vintage evidence on r8-shaped plans); position 11 is
-# fuzzy_pairs_part, whose plan changes THIS round (lossless length
-# filter in the bucket join + explicit-count expansion spread);
-# positions 12-13 are the two remaining r8-restructured gates whose
-# latest driver check (r7) predates the restructure
-# (near_dedup_against: verify-inside-bucket-join; ngram_containment:
-# window-carried sizes/df) — every changed plan in the repo is now
-# inside the 50-slot window; 14-44 the remaining 31 round-5-vintage
-# gates, oldest evidence first; 45-50 six of the round-6-vintage
-# gates.  Positions 51+ order the rest r06 -> r07 -> r08 so the next
-# rotation continues the freshness sweep.
+# round 9: all 150 registry gates driver-hash GREEN on their latest
+# check, zero reds anywhere; the freshness ledger (latest driver check
+# per gate) reads r6 x7, r7 x45, r8 x48, r9 x50.  This round's window
+# continues the freshness sweep: the seven r6-vintage gates, the one
+# plan changed this round (bm25 sum order), and 42 of the 45 r7-vintage
+# gates — after r10, no gate's evidence predates r7 except the three
+# deferred baseline-criterion queries at positions 51-53.
 _PRIORITY = [
-    # the 10 round-8 plan restructures (latest driver check r5 — stale)
-    "scd2_merge_orders",
-    "funnel_events",
-    "vocab_curve_documents",
-    "prefix_jaccard_documents",
-    "triangle_counts_lineitem",
-    "feature_hash_events",
-    "k_core_lineitem",
-    "mad_outliers_events",
-    "ahash_near_dup_documents",
-    "label_propagation_lineitem",
-    # plan changes THIS round (round-9 fuzzy length filter + spread)
-    "fuzzy_pairs_part",
-    # r8-restructured plans whose latest driver check is r7 (stale)
-    "near_dedup_against_documents",
-    "ngram_containment_documents",
-    # remaining round-5-vintage gates, oldest evidence first
-    "asof_join_forward_events",
-    "asof_join_nearest_events",
-    "association_rules_lineitem",
-    "audio_stats_documents",
-    "bpe_pair_counts_documents",
-    "bpe_train_documents",
-    "cat_assoc_documents",
-    "cohort_retention_events",
-    "corr_matrix_lineitem",
-    "decayed_aggregates_events",
-    "dedup_report_documents",
-    "differential_join_lineitem_orders",
-    "discretize_events",
-    "doc_logprob_bigram_documents",
-    "group_ols_events",
-    "ks_report_events",
-    "pagerank_orders",
-    "plan_compaction_documents",
-    "pmi_pairs_documents",
-    "prune_files_orders",
-    "rank_normalize_events",
-    "reliability_documents",
-    "resample_interpolate_events",
-    "safe_union_documents",
-    "semantic_decontam_embeddings",
-    "snapshot_delta_orders",
-    "target_encode_documents",
-    "temperature_mix_documents",
-    "transition_matrix_events",
-    "ttest_events",
-    "zscore_events",
-    # round-6-vintage gates (6 of 13 fit the window)
-    "check_constraints_orders",
-    "dup_source_matrix_documents",
-    "hilbert_events",
-    "interleave_mix_documents",
-    "interval_join_events",
-    "length_batches_documents",
-    # --- positions 51+: rest of r06, then r07, then the r08 window
+    # --- round-10 window (positions 1-50): freshness sweep ---
+    # 1-7: the seven r6-vintage gates (oldest driver evidence in
+    # the ledger; after this round no gate predates r7)
     "multimodal_frames_documents",
     "multimodal_resize_documents",
     "pivot_events",
@@ -115,6 +43,15 @@ _PRIORITY = [
     "repeat_upsample_documents",
     "resample_mix_documents",
     "vocab_coverage_documents",
+    # 8: plan changed THIS round (bm25 final-sum order now follows
+    # first-occurrence query order, matching the oracle's CASE sum)
+    "bm25_documents",
+    # 9-50: 42 of the 45 r7-vintage gates, alphabetical; includes
+    # embedding_stats_embeddings, whose OUTPUT SCHEMA changed this
+    # round (new n_overflow counter, oracle updated in lock-step).
+    # The 3 deferred r7 gates (histogram/row_numbers/sorted_groups)
+    # are the baseline-criterion queries re-verified every round by
+    # baseline_detail + pytest; they lead positions 51+.
     "ahash_documents",
     "approx_quantiles_events",
     "bloom_prune_orders",
@@ -136,7 +73,6 @@ _PRIORITY = [
     "group_quantiles_events",
     "heavy_hitters_documents",
     "heavy_keys_events",
-    "histogram_lineitem_price",
     "hll_distinct_events",
     "json_extract_events",
     "kmv_distinct_events",
@@ -148,9 +84,7 @@ _PRIORITY = [
     "quality_rules_documents",
     "quantize_embeddings",
     "rolling_events",
-    "row_numbers_orders",
     "semantic_dedup_embeddings",
-    "sorted_groups_running_sum",
     "sparse_cosine_documents",
     "token_budget_documents",
     "top_per_group_documents",
@@ -160,54 +94,107 @@ _PRIORITY = [
     "winsorize_events",
     "zipf_report_documents",
     "zorder_events",
-    "dup_ngram_fraction_documents",
-    "char_entropy_documents",
-    "weighted_quantiles_documents",
-    "diff_lineitem_stats",
-    "ticks_events",
-    "count_null_events",
-    "sorted_groups_running_sum_pandas",
-    "sorted_groups_lambda_running_sum",
-    "write_partitioned_read_back",
-    "parquet_metadata_lineitem",
-    "parquet_blocks_lineitem",
-    "parquet_schema_lineitem",
-    "parquet_partitions_lineitem",
-    "text_stats_documents",
-    "language_id_documents",
-    "dedup_clusters_documents",
-    "ngram_jaccard_documents",
-    "minhash_signatures_documents",
-    "simhash_documents",
-    "similarity_topk_embeddings",
-    "embedding_near_dup_pairs",
-    "similarity_lsh_topk_embeddings",
-    "multimodal_decode_documents",
-    "similarity_ivf_topk_embeddings",
-    "diff_sparse_orders",
-    "diff_left_side_orders",
-    "diff_set_nation",
-    "diff_epsilon_orders",
-    "exact_dedup_documents",
-    "parquet_block_columns_orders",
-    "row_numbers_contract_customer",
-    "diff_whitespace_documents",
-    "diff_duration_events",
-    "salted_join_lineitem_orders",
+    # --- positions 51+: deferred r7 trio, then r8-, then r9-vintage ---
+    "histogram_lineitem_price",
+    "row_numbers_orders",
+    "sorted_groups_running_sum",
     "asof_join_events",
-    "time_bucket_rollup_events",
-    "range_join_events_bands",
-    "deterministic_shuffle_documents",
-    "sessionize_events",
-    "stratified_sample_documents",
-    "split_assign_documents",
-    "pack_blocks_documents",
-    "scrub_pii_documents",
-    "repetition_metrics_documents",
-    "near_dup_clusters_documents",
-    "tfidf_documents",
-    "bm25_documents",
+    "char_entropy_documents",
+    "count_null_events",
     "decontaminate_documents",
+    "dedup_clusters_documents",
+    "deterministic_shuffle_documents",
+    "diff_duration_events",
+    "diff_epsilon_orders",
+    "diff_left_side_orders",
+    "diff_lineitem_stats",
+    "diff_set_nation",
+    "diff_sparse_orders",
+    "diff_whitespace_documents",
+    "dup_ngram_fraction_documents",
+    "embedding_near_dup_pairs",
+    "exact_dedup_documents",
+    "language_id_documents",
+    "minhash_signatures_documents",
+    "multimodal_decode_documents",
+    "near_dup_clusters_documents",
+    "ngram_jaccard_documents",
+    "pack_blocks_documents",
+    "parquet_block_columns_orders",
+    "parquet_blocks_lineitem",
+    "parquet_metadata_lineitem",
+    "parquet_partitions_lineitem",
+    "parquet_schema_lineitem",
+    "range_join_events_bands",
+    "repetition_metrics_documents",
+    "row_numbers_contract_customer",
+    "salted_join_lineitem_orders",
+    "scrub_pii_documents",
+    "sessionize_events",
+    "simhash_documents",
+    "similarity_ivf_topk_embeddings",
+    "similarity_lsh_topk_embeddings",
+    "similarity_topk_embeddings",
+    "sorted_groups_lambda_running_sum",
+    "sorted_groups_running_sum_pandas",
+    "split_assign_documents",
+    "stratified_sample_documents",
+    "text_stats_documents",
+    "tfidf_documents",
+    "ticks_events",
+    "time_bucket_rollup_events",
+    "weighted_quantiles_documents",
+    "write_partitioned_read_back",
+    "ahash_near_dup_documents",
+    "asof_join_forward_events",
+    "asof_join_nearest_events",
+    "association_rules_lineitem",
+    "audio_stats_documents",
+    "bpe_pair_counts_documents",
+    "bpe_train_documents",
+    "cat_assoc_documents",
+    "check_constraints_orders",
+    "cohort_retention_events",
+    "corr_matrix_lineitem",
+    "decayed_aggregates_events",
+    "dedup_report_documents",
+    "differential_join_lineitem_orders",
+    "discretize_events",
+    "doc_logprob_bigram_documents",
+    "dup_source_matrix_documents",
+    "feature_hash_events",
+    "funnel_events",
+    "fuzzy_pairs_part",
+    "group_ols_events",
+    "hilbert_events",
+    "interleave_mix_documents",
+    "interval_join_events",
+    "k_core_lineitem",
+    "ks_report_events",
+    "label_propagation_lineitem",
+    "length_batches_documents",
+    "mad_outliers_events",
+    "near_dedup_against_documents",
+    "ngram_containment_documents",
+    "pagerank_orders",
+    "plan_compaction_documents",
+    "pmi_pairs_documents",
+    "prefix_jaccard_documents",
+    "prune_files_orders",
+    "rank_normalize_events",
+    "reliability_documents",
+    "resample_interpolate_events",
+    "safe_union_documents",
+    "scd2_merge_orders",
+    "semantic_decontam_embeddings",
+    "snapshot_delta_orders",
+    "target_encode_documents",
+    "temperature_mix_documents",
+    "transition_matrix_events",
+    "triangle_counts_lineitem",
+    "ttest_events",
+    "vocab_curve_documents",
+    "zscore_events",
 ]
 
 

@@ -102,6 +102,27 @@ def _repack(src: str, dst: str, target_groups: int = 32) -> None:
             for batch in pf.iter_batches(batch_size=rg):
                 w.write_batch(batch)
 
+def _cpu_sample():
+    """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat line.
+
+    Per-run deltas of these two land in bench_detail.json next to the
+    raw timings: `steal` is CPU the hypervisor withheld from this VM —
+    the one contamination source no in-VM loadavg can see (BENCH_r09's
+    70 % phantom regression adjudicated to exactly this class of load).
+    A flagged run with a large steal delta is machine noise by
+    construction; the adjudication lives in the artifact, not a
+    narrative."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals) - idle - steal, steal
+    except Exception:  # non-Linux or locked-down /proc
+        return 0, 0
+
+
 # Every registry/correctness-gate query gets a bench row, so a perf
 # regression anywhere in the surface is visible in BENCH_r{N}.json
 # (the cheap diff-variant / parquet-metadata / contract queries add
@@ -258,14 +279,19 @@ HEADLINE = [
 ]
 
 # drift guard: any registry query not listed above still gets a bench row
-# (appended after the stable prefix so historical q{i} keys keep meaning);
-# and a name REMOVED/renamed in the registry is dropped with a note
-# instead of KeyError-ing mid-run and losing the whole bench
-_stale = [q for q in HEADLINE if q not in QUERIES]
+# (appended after the stable prefix so historical q{i} keys keep meaning).
+# A name REMOVED/renamed in the registry stays in HEADLINE as a TOMBSTONE:
+# it keeps its q{i} key (so every surviving query's key is frozen across
+# rounds — r9 compacted two removed gates out of the list and silently
+# shifted every tail key, making cross-round per-key comparison lie) but
+# gets no timing row.  The key map is therefore append-only.
+_stale = {q for q in HEADLINE if q not in QUERIES}
 if _stale:
-    print(f"bench: dropping stale HEADLINE entries: {', '.join(_stale)}",
-          file=sys.stderr)
-    HEADLINE = [q for q in HEADLINE if q in QUERIES]
+    print(
+        f"bench: tombstoning removed HEADLINE entries (keys preserved): "
+        f"{', '.join(sorted(_stale))}",
+        file=sys.stderr,
+    )
 HEADLINE += [q for q in QUERIES if q not in HEADLINE]
 
 
@@ -304,6 +330,7 @@ def main() -> None:
 
     timings = {}
     spreads = {}  # raw per-run seconds — noise adjudication data
+    loads = {}  # per-run machine telemetry — noise adjudication data
     repack_applied = False
     sf_dir, warm_dir = SF_DIR, WARM_DIR
     if REPACK:
@@ -327,6 +354,8 @@ def main() -> None:
             timings["ingest_repack"] = round(time.perf_counter() - t0, 3)
             repack_applied = True
     for name in HEADLINE:
+        if name not in QUERIES:
+            continue  # tombstone: key reserved in BENCH_KEYS.md, no timing
         fn = QUERIES[name]
         # Warmup at the smallest SF before the timed runs: whole-stage
         # codegen compiles per plan shape, and that one-time cost (up to
@@ -342,12 +371,24 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; timing still works cold
         runs = []
+        qload = []
         for _ in range(3):
+            la1 = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+            busy0, steal0 = _cpu_sample()
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
+            busy1, steal1 = _cpu_sample()
+            qload.append(
+                {
+                    "la1": round(la1, 2),
+                    "busy": busy1 - busy0,
+                    "steal": steal1 - steal0,
+                }
+            )
         timings[name] = round(sorted(runs)[1], 3)  # median of 3
         spreads[name] = [round(r, 3) for r in runs]
+        loads[name] = qload
         # Operators that persist internally (CC, triangles, row numbers, ...)
         # would otherwise accumulate storage blocks across all queries and
         # evict each other mid-run: q_i's time then depends on every q_j
@@ -368,10 +409,14 @@ def main() -> None:
             "keys (the recording harness keeps only the last ~2000 chars\n"
             "of stdout; full names no longer fit on one JSON line). The\n"
             "mapping below is regenerated on every bench run.\n\n"
+            "Keys are FROZEN: the HEADLINE list in bench.py is append-only\n"
+            "and removed gates stay as tombstones holding their key, so a\n"
+            "given q{i} means the same query in every round.\n\n"
             "| key | query |\n|---|---|\n"
         )
         for k, name in keys.items():
-            f.write(f"| {k} | {name} |\n")
+            note = "" if name in timings else " *(tombstone — removed from registry)*"
+            f.write(f"| {k} | {name}{note} |\n")
     with open(os.path.join(here, "bench_detail.json"), "w") as f:
         json.dump(
             {
@@ -390,6 +435,14 @@ def main() -> None:
                 # query whose recorded min matches the quiet-machine
                 # median was load, not a regression
                 "mins": {k: min(v) for k, v in spreads.items()},
+                # per-run machine telemetry next to the raw runs: la1 =
+                # 1-min loadavg sampled just before the run (includes
+                # our own prior runs — read it relative to neighbors),
+                # busy/steal = /proc/stat jiffy deltas across the run.
+                # steal is hypervisor-withheld CPU — the contamination
+                # class behind BENCH_r09's phantom 70 % regression; a
+                # slow run with high steal is machine noise, in-artifact
+                "load": loads,
                 "sf": sf,
                 # totals are only comparable round-over-round on the
                 # same layout — false means the repack fell back to the
@@ -406,7 +459,11 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": {k: timings[name] for k, name in keys.items()},
+                "queries": {
+                    k: timings[name]
+                    for k, name in keys.items()
+                    if name in timings  # tombstoned keys carry no timing
+                },
                 # sum of per-query minima (+ repack): the load-robust
                 # floor — when value drifts but min_total doesn't, the
                 # drift was machine load (full per-query mins are in

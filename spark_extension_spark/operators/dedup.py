@@ -1450,9 +1450,15 @@ def prefix_jaccard_pairs(
     # post-filter survivors while the intersect still evaluates in the
     # AQE-coalesced candidate stage (the round-9 review caught exactly
     # that defeated form).  With the candidate frame repartitioned and
-    # the set sides broadcast, the intersect-bearing join executes in
-    # the spread stage; in the shuffle-join regime the exchange on the
-    # pair ids is bytes-proportional and AQE sizes it correctly.  An
+    # the set sides broadcast — the planner's own choice whenever the
+    # collected-shingle frames fit the auto-broadcast threshold, as
+    # verified on the live sf0.1 plan; NOT forced here, because the
+    # sets frame is corpus-sized and a forced broadcast would OOM at
+    # scale — the intersect-bearing join executes in the spread stage.
+    # In the shuffle-join regime (the accepted fallback above the
+    # threshold) the join's exchange carries the token arrays, so AQE's
+    # byte-sizing is roughly proportional to per-row intersect CPU —
+    # unlike the bare-pair stage the explicit spread protects.  An
     # explicit-count repartition is exempt from AQE coalescing; the
     # price is one extra exchange of bare id pairs, the smallest data
     # in the pipeline (prefix filtering exists to keep candidates <<

@@ -220,9 +220,15 @@ def approx_group_quantiles(
     by: Sequence[str] = (),
     quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
     bins: int = 4096,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Fixed-grid approximate per-group quantiles — the corpus-scale
     companion to :func:`group_quantiles`.
+
+    Set ``broadcast=False`` when group cardinality exceeds broadcast
+    limits (the per-group ranges frame is group-count-sized; a forced
+    broadcast of a huge one OOMs where a shuffle join degrades
+    gracefully) — same contract as :func:`zscore_normalize`.
 
     The exact operator ranks every row inside a per-group window sort;
     at 100 TB that is a full shuffle + external sort of the fact table.
@@ -254,21 +260,26 @@ def approx_group_quantiles(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
     if by:
-        # NULL-safe + broadcast: a plain USING join dropped NULL-keyed
-        # groups entirely (group_quantiles keeps them), and the
-        # unbroadcast join shuffled the fact table on `by`
+        # NULL-safe + (optionally) broadcast: a plain USING join dropped
+        # NULL-keyed groups entirely (group_quantiles keeps them), and
+        # the unbroadcast join shuffled the fact table on `by`.  The
+        # hint is caller-gated: the ranges frame is group-count-sized,
+        # so for a high-cardinality `by` the shuffle join is the safe
+        # regime (broadcast=False).
         r2 = ranges.select(
             *[F.col(c).alias(f"__k_{c}") for c in by], "__lo", "__hi"
         )
         rcond = functools.reduce(
             lambda a, c: a & F.col(c).eqNullSafe(F.col(f"__k_{c}")), by, F.lit(True)
         )
+        rhs = F.broadcast(r2) if broadcast else r2
         with_range = (
             df.where(v.isNotNull())
-            .join(F.broadcast(r2), rcond)
+            .join(rhs, rcond)
             .drop(*[f"__k_{c}" for c in by])
         )
     else:
+        # 1-row ranges frame: always safe to broadcast
         with_range = df.where(v.isNotNull()).crossJoin(F.broadcast(ranges))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
     cell = F.least(

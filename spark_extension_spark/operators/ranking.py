@@ -139,7 +139,14 @@ def bm25_score(
     # matched nothing, silently scoring zero documents
     import re as _re
 
-    term_list = sorted({m for t in terms for m in _re.findall(r"[a-z0-9]+", t.lower())})
+    # dedupe preserving FIRST-OCCURRENCE order: the final score is a
+    # fixed-order sum over term_list (float addition is not
+    # associative), so the order is part of the contract — it must
+    # follow the caller's query order, which is also the order the
+    # hand-written SQL oracle sums in
+    term_list = list(
+        dict.fromkeys(m for t in terms for m in _re.findall(r"[a-z0-9]+", t.lower()))
+    )
     if not term_list:
         raise ValueError(
             f"no [a-z0-9]+ tokens extractable from query terms {terms!r}"

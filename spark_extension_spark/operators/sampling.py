@@ -690,11 +690,18 @@ def temperature_mix_sql(
     strata_expr: str,
     alpha: float,
     id_expr: str,
+    *,
     seed: int = 42,
     columns: str = "d.*",
 ) -> str:
     """DuckDB query computing exactly :func:`temperature_mix` — kept in
-    lock-step for the oracle gates."""
+    lock-step for the oracle gates.
+
+    .. note:: ``seed`` and ``columns`` are keyword-only.  An earlier
+       release took ``(columns, seed)`` positionally in the opposite
+       order; the keyword-only marker turns any stale positional call
+       into an immediate ``TypeError`` instead of silently binding
+       ``columns`` to ``seed``."""
     return f"""
 WITH counts AS (
   SELECT {strata_expr} AS stratum, COUNT(*) AS c

@@ -1000,16 +1000,19 @@ def embedding_stats(
     catch a broken encoder before a 100 TB ANN build: (``n_vecs``,
     ``n_null``, ``n_dims_min``, ``n_dims_max`` — ragged dimensions are
     a hard error downstream, ``n_zero`` — zero vectors break cosine,
-    ``n_nonfinite`` — NaN/Inf poison every distance, ``mean_norm``,
-    ``min_norm``, ``max_norm``).
+    ``n_nonfinite`` — NaN/Inf poison every distance, ``n_overflow`` —
+    finite components ≥ 1e11 whose square would overflow the decimal
+    fold, ``mean_norm``, ``min_norm``, ``max_norm``).
 
     Per-vector squared norms fold in DECIMAL(38,15) over the exploded
     components (order-independent, engine-reproducible — the same
     discipline as :func:`group_centroids`); the corpus-level mean is a
     decimal sum of the resulting doubles.  Vectors containing NaN/Inf
-    (or components ≥ 1e11, whose square would overflow the decimal
-    fold) are counted in ``n_nonfinite`` / excluded from the norm
-    stats rather than poisoning them with partial sums — and rather
+    are counted in ``n_nonfinite``; vectors whose components are all
+    finite but include some |x| ≥ 1e11 are counted separately in
+    ``n_overflow`` — a distinct poison class the report must name,
+    not silently drop.  Both classes are excluded from the norm stats
+    rather than poisoning them with partial sums — and rather
     than throwing under ANSI mode, which the unguarded decimal cast
     does on components ≥ 1e11.  Scale shape: one explode +
     one per-vector aggregate + one 1-row aggregate — a single scan,
@@ -1060,6 +1063,14 @@ def embedding_stats(
         F.max("__d").alias("n_dims_max"),
         F.sum((clean & (F.col("__ss") == 0.0)).cast("int")).alias("n_zero"),
         F.sum(F.coalesce(F.col("__bad"), F.lit(0))).alias("n_nonfinite"),
+        # disjoint from n_nonfinite: all-finite vectors with a component
+        # too large for the decimal fold — counted, never silently dropped
+        F.sum(
+            (
+                (F.coalesce(F.col("__bad"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("__huge"), F.lit(0)) == 1)
+            ).cast("int")
+        ).alias("n_overflow"),
         (
             F.sum(norm.cast("decimal(38,15)")).cast("double")
             / F.sum(norm.isNotNull().cast("int")).cast("double")

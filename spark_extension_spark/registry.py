@@ -1769,8 +1769,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["vector", "merge", "filter"]
 
-# parenthesization mirrors operators.ranking.bm25_score exactly: every
-# *, /, +, - associates identically so the doubles match bit-for-bit
+# parenthesization AND final-sum order mirror operators.ranking.
+# bm25_score exactly: every *, /, +, - associates identically, and the
+# CASE sum below adds terms in the operator's first-occurrence query
+# order (vector, merge, filter — bm25_score dedupes via dict.fromkeys,
+# preserving caller order).  Residual diffs are 1-2 ulp from the
+# engines' ln/pow implementations, inside the driver's hash tolerance;
+# everything float-associativity-controllable is controlled.
 _BM25_ORACLE = f"""
 WITH toks AS ({_RANK_TOKS_SQL}),
 matched AS (SELECT * FROM toks WHERE token IN ('vector', 'merge', 'filter')),
@@ -3951,14 +3956,16 @@ per AS (
          -- DuckDB round() is half-away (matches Spark)
          CAST(CAST(SUM(CAST(round(x * x, 15) AS DECIMAL(38,15)))
               AS VARCHAR) AS DOUBLE) AS ss,
-         MAX(CASE WHEN isnan(x) OR abs(x) = CAST('infinity' AS DOUBLE) THEN 1 ELSE 0 END) AS bad
+         MAX(CASE WHEN isnan(x) OR abs(x) = CAST('infinity' AS DOUBLE) THEN 1 ELSE 0 END) AS bad,
+         MAX(CASE WHEN NOT (isnan(x) OR abs(x) = CAST('infinity' AS DOUBLE))
+                   AND abs(x) >= 1e11 THEN 1 ELSE 0 END) AS huge
   FROM comp GROUP BY 1
 ),
 base AS (
   SELECT vec_id, CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_nul
   FROM embeddings
 ),
-j AS (SELECT base.vec_id, base.is_nul, per.d, per.ss, per.bad
+j AS (SELECT base.vec_id, base.is_nul, per.d, per.ss, per.bad, per.huge
       FROM base LEFT JOIN per USING (vec_id))
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(is_nul) AS BIGINT) AS n_null,
@@ -3966,6 +3973,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        MAX(d) AS n_dims_max,
        CAST(SUM(CASE WHEN ss = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        CAST(SUM(COALESCE(bad, 0)) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN COALESCE(bad, 0) = 0 AND COALESCE(huge, 0) = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
        CAST(CAST(SUM(CAST(round(sqrt(ss), 15) AS DECIMAL(38,15))) AS VARCHAR) AS DOUBLE)
          / CAST(SUM(CASE WHEN ss IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS mean_norm,
        MIN(sqrt(ss)) AS min_norm,

@@ -467,6 +467,7 @@ def test_embedding_stats_nonfinite_and_huge_guarded(spark):
     s = embedding_stats(df).collect()[0]
     assert s["n_vecs"] == 5
     assert s["n_nonfinite"] == 2          # NaN + Inf vectors
+    assert s["n_overflow"] == 1           # the finite-but-1e12 vector, counted
     assert s["n_zero"] == 1
     # only the clean vectors (1 and 5) contribute norms
     assert s["min_norm"] == 0.0
