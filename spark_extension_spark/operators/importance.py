@@ -127,8 +127,9 @@ def importance_model(
     the add-``k`` smoothed DSIR importance model
     ``ln((c_t + k)/(T_t + k·B)) − ln((c_s + k)/(T_s + k·B))``.
 
-    Two map-side-combined counts (one per corpus), totals from a 1-row
-    cross join, densified against a ``spark.range(buckets)`` frame so
+    Two map-side-combined counts (one per corpus), totals from a
+    single-partition window over the ``buckets``-row dense frame,
+    densified against a ``spark.range(buckets)`` frame so
     unseen features carry the smoothed default explicitly (no silent
     NULL semantics at score time).  The result is ``buckets`` rows —
     broadcast it into :func:`importance_weights`.
@@ -159,11 +160,18 @@ def importance_model(
             F.coalesce("__cs", F.lit(0)).cast("long").alias("__cs"),
         )
     )
-    # integer sums: exact and order-independent (double partials are not)
-    totals = dense.agg(
-        F.sum("__ct").cast("double").alias("__tt"),
-        F.sum("__cs").cast("double").alias("__ts"),
-    )
+    # integer sums: exact and order-independent (double partials are
+    # not).  Totals ride a single-partition window over the
+    # ``buckets``-row dense frame — a separate dense.agg cross-joined
+    # back made `dense` its own second consumer and re-ran BOTH
+    # corpora's n-gram featurization (round-10 REST census: ~2x the
+    # regex work of the whole model fit)
+    from pyspark.sql import Window as _W
+
+    wall = _W.partitionBy()
+    dense = dense.withColumn(
+        "__tt", F.sum("__ct").over(wall).cast("double")
+    ).withColumn("__ts", F.sum("__cs").over(wall).cast("double"))
     kB = float(k) * float(buckets)
     # logratio quantized to 9 decimals: ln() differs between math
     # libraries at the last ulp, and the per-doc weighted sum amplifies
@@ -171,7 +179,7 @@ def importance_model(
     # log-odds score is far below any selection-relevant resolution,
     # and snapping to the grid makes scores reproducible bit-for-bit
     # everywhere (the SQL mirror rounds identically).
-    return dense.crossJoin(F.broadcast(totals)).select(
+    return dense.select(
         "bucket",
         F.round(
             F.log((F.col("__ct") + F.lit(float(k))) / (F.col("__tt") + F.lit(kB)))

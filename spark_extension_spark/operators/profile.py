@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["profile", "check_constraints", "psi_report", "ks_report", "corr_matrix", "categorical_association", "reliability_report"]
@@ -163,13 +163,16 @@ def psi_report(
             F.coalesce("n_b", F.lit(0)).alias("n_b"),
         )
     )
-    totals = dense.agg(
-        F.sum("n_a").cast("double").alias("__ta"),
-        F.sum("n_b").cast("double").alias("__tb"),
-    )
+    # totals as a single-partition window over the (bins+2)-row dense
+    # frame — a separate dense.agg cross-joined back made `dense` its
+    # own second consumer and re-executed both snapshot scans
+    # (round-10 REST census: ~8 scans for this query)
+    wall = Window.partitionBy()
     s = float(smoothing)
     nb = float(bins + 2)
-    with_t = dense.crossJoin(F.broadcast(totals))
+    with_t = dense.withColumn(
+        "__ta", F.sum("n_a").over(wall).cast("double")
+    ).withColumn("__tb", F.sum("n_b").over(wall).cast("double"))
     p_a = (F.col("n_a") + F.lit(s)) / (F.col("__ta") + F.lit(s * nb))
     p_b = (F.col("n_b") + F.lit(s)) / (F.col("__tb") + F.lit(s * nb))
     return with_t.select(
@@ -385,9 +388,10 @@ def reliability_report(
     Returns ``(bin, n, avg_score, frac_positive, abs_gap, weight,
     ece_term)``; only observed buckets appear.  Scores are clamped
     into [0, 1] (values outside land in the edge buckets); NULL or NaN
-    score/label rows are excluded.  One hash aggregate (decimal sums —
-    order-independent) + a 1-row total broadcast: scan-speed at any
-    size.
+    score/label rows are excluded.  ONE hash aggregate (decimal sums —
+    order-independent) + a single-partition window over the
+    ≤``bins``-row bucket frame for the total: scan-speed at any size,
+    and the input aggregate has exactly one consumer (no re-execution).
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
@@ -407,23 +411,25 @@ def reliability_report(
         F.sum(s.cast(dec)).alias("__ss"),
         F.sum(y.cast(dec)).alias("__sy"),
     )
-    tot = per.agg(F.sum("n").cast("double").alias("__total"))
+    # total weight as a single-partition window over the ≤``bins``-row
+    # bucket frame — NOT a separate ``per.agg`` cross-joined back: that
+    # form gave the unpersisted input aggregate two consumers, and the
+    # input-side hash aggregate executed twice (the target_encode
+    # REST-census finding, round 10)
+    total = F.sum("n").over(Window.partitionBy()).cast("double")
     nd = F.col("n").cast("double")
     avg_score = F.col("__ss").cast("double") / nd
     frac_pos = F.col("__sy").cast("double") / nd
     gap = F.abs(frac_pos - avg_score)
-    weight = nd / F.col("__total")
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n",
-            avg_score.alias("avg_score"),
-            frac_pos.alias("frac_positive"),
-            gap.alias("abs_gap"),
-            weight.alias("weight"),
-            (weight * gap).alias("ece_term"),
-        )
+    weight = nd / total
+    return per.select(
+        "bin",
+        "n",
+        avg_score.alias("avg_score"),
+        frac_pos.alias("frac_positive"),
+        gap.alias("abs_gap"),
+        weight.alias("weight"),
+        (weight * gap).alias("ece_term"),
     )
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text
@@ -227,20 +227,24 @@ def unigram_lm(
     score out-of-vocabulary tokens in :func:`doc_logprob`).
 
     One explode + one map-side-combined count per token; the corpus
-    totals are a 1-row broadcast.  The result is vocabulary-sized —
-    typically small enough to broadcast into the scoring join."""
+    totals ride a single-partition window over the vocabulary-sized
+    count frame (bounded by the same assumption that lets the result
+    broadcast into the scoring join).  NOT a separate ``counts.agg``
+    cross-joined back: that form gave the unpersisted count aggregate
+    two consumers, and the whole tokenize+explode+count pipeline
+    executed twice (round-10 REST census — the target_encode
+    two-consumer finding, same shape)."""
     counts = (
         _tokens(df, id_col, text_col).groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = counts.agg(
-        F.sum("c").cast("double").alias("__total"),
-        F.count(F.lit(1)).cast("double").alias("__vocab"),
-    )
-    return counts.crossJoin(F.broadcast(totals)).select(
+    wall = Window.partitionBy()
+    total = F.sum("c").over(wall).cast("double")
+    vocab = F.count(F.lit(1)).over(wall).cast("double")
+    return counts.select(
         "token",
         F.log(
             (F.col("c").cast("double") + F.lit(float(k)))
-            / (F.col("__total") + F.lit(float(k)) * (F.col("__vocab") + F.lit(1.0)))
+            / (total + F.lit(float(k)) * (vocab + F.lit(1.0)))
         ).alias("logp"),
     )
 
@@ -544,9 +548,19 @@ def pmi_pairs(
     tok_counts = base.select(F.explode(t).alias("__w")).groupBy("__w").agg(
         F.count(F.lit(1)).alias("c")
     )
-    totals = pair_counts.agg(F.sum("c_xy").cast("double").alias("__np")).crossJoin(
-        tok_counts.agg(F.sum("c").cast("double").alias("__nt"))
+    # totals ride single-partition windows over the count frames
+    # (vocabulary-/pair-vocabulary-sized — the same bound that lets
+    # them broadcast), attached BEFORE the min_count filter so __np
+    # covers all pairs.  NOT separate .agg frames cross-joined back:
+    # that made pair_counts and tok_counts their own second/third
+    # consumers and re-ran the explode+count pipelines (round-10 REST
+    # census: 4 corpus scans for this query).  Long-sum windows are
+    # exact, so values are unchanged.
+    wall = Window.partitionBy()
+    pair_counts = pair_counts.withColumn(
+        "__np", F.sum("c_xy").over(wall).cast("double")
     )
+    tok_counts = tok_counts.withColumn("__nt", F.sum("c").over(wall).cast("double"))
     split = F.split(F.col("__p"), _PAIR_SEP)
     scored = (
         pair_counts.where(F.col("c_xy") >= int(min_count))
@@ -554,10 +568,13 @@ def pmi_pairs(
             split.getItem(0).alias("x"),
             split.getItem(1).alias("y"),
             "c_xy",
+            "__np",
         )
         .join(
             F.broadcast(
-                tok_counts.select(F.col("__w").alias("x"), F.col("c").alias("c_x"))
+                tok_counts.select(
+                    F.col("__w").alias("x"), F.col("c").alias("c_x"), "__nt"
+                )
             ),
             "x",
         )
@@ -567,7 +584,6 @@ def pmi_pairs(
             ),
             "y",
         )
-        .crossJoin(F.broadcast(totals))
     )
     p_xy = F.col("c_xy").cast("double") / F.col("__np")
     p_x = F.col("c_x").cast("double") / F.col("__nt")
@@ -621,13 +637,18 @@ def bigram_lm(
     pc = pc.select(
         split.getItem(0).alias("w1"), split.getItem(1).alias("w2"), "__c"
     )
-    hist = pc.groupBy("w1").agg(F.sum("__c").alias("__h"))
+    # history totals as a w1-keyed window over the bigram-count frame —
+    # NOT a groupBy joined back, which made pc its own second consumer
+    # and re-ran the whole pair explode+count pipeline (round-10 REST
+    # census: this query read the corpus 7x).  Long sums are exact, so
+    # values are unchanged; one exchange keyed by w1 replaces an
+    # aggregate + a join.
+    pc = pc.withColumn("__h", F.sum("__c").over(Window.partitionBy("w1")))
     vocab = base.select(F.explode(t).alias("__w")).agg(
         F.count_distinct("__w").cast("double").alias("__v")
     )
     return (
-        pc.join(hist, "w1")
-        .crossJoin(F.broadcast(vocab))
+        pc.crossJoin(F.broadcast(vocab))
         .select(
             "w1",
             "w2",

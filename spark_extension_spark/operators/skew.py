@@ -44,12 +44,17 @@ def heavy_keys(df: DataFrame, keys: Sequence[str], k: int = 10) -> DataFrame:
     from pyspark.sql import Window
 
     counts = df.groupBy(*[F.col(c) for c in keys]).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    # the global row total is the sum of the per-key counts: read it
+    # off the count frame with a second window over the SAME single
+    # partition the ranking window already forces — one less full scan
+    # of the input than a separate df.agg cross-joined back (and no
+    # second consumer of anything; round-10 REST census discipline)
     w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in keys])
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (
         counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("__total", total)
         .where(F.col("rank") <= k)
-        .crossJoin(F.broadcast(total))
         .select(
             *keys,
             "n_rows",

@@ -175,18 +175,25 @@ def mix_report(
     ``take_token_budget``: what a mixing decision *did* to the corpus,
     measured, not assumed.
 
-    One map-side-combined aggregate (shuffle = one row per stratum) plus
-    a 1-row broadcast of the totals; long/long division is double in
-    every engine, so the shares hash-match an ANSI oracle."""
+    One map-side-combined aggregate (shuffle = one row per stratum);
+    the totals ride a single-partition window over the |strata|-row
+    frame — NOT a separate ``agg.agg`` cross-joined back, which gave
+    the unpersisted aggregate two consumers and ran the token-count
+    regex over the corpus twice (round-10 REST census: 2 input scans
+    → 1).  long/long division is double in every engine, so the
+    shares hash-match an ANSI oracle."""
+    from pyspark.sql import Window as _W
+
     agg = df.groupBy(_col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(text).cast("long")).alias("n_tokens"),
         F.sum(F.length(_col(text)).cast("long")).alias("n_chars"),
     )
-    totals = agg.agg(
-        F.sum("n_docs").alias("__td"), F.sum("n_tokens").alias("__tt")
+    wall = _W.partitionBy()
+    agg = agg.withColumn("__td", F.sum("n_docs").over(wall)).withColumn(
+        "__tt", F.sum("n_tokens").over(wall)
     )
-    return agg.crossJoin(F.broadcast(totals)).select(
+    return agg.select(
         "stratum",
         "n_docs",
         (F.col("n_docs") / F.col("__td")).alias("doc_share"),
