@@ -28,14 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 9: all 150 registry gates driver-hash GREEN on their latest
 # check, zero reds anywhere; the freshness ledger (latest driver check
 # per gate) reads r6 x7, r7 x45, r8 x48, r9 x50.  This round's window
-# continues the freshness sweep: the seven r6-vintage gates, the one
-# plan changed this round (bm25 sum order), and 42 of the 45 r7-vintage
-# gates — after r10, no gate's evidence predates r7 except the three
-# deferred baseline-criterion queries at positions 51-53.
+# serves two disciplines at once: the freshness sweep (the seven
+# r6-vintage gates + 38 of the 45 r7-vintage gates) and the
+# every-changed-plan-in-the-window rule (bm25's sum-order change plus
+# the four round-10 single-consumer restructures whose latest evidence
+# is r9: target_encode, reliability, pmi, bigram-logprob — their
+# VALUES are provably unchanged, which is exactly what the driver hash
+# should certify).  The five other restructured gates (mix_report,
+# heavy_keys, psi_report, dsir_weights, doc_logprob) are r7-vintage
+# and already inside the sweep.  Deferred to 51+: four
+# pure-projection r7 gates (json_extract / rolling / quantize /
+# project) and the three baseline-criterion queries re-verified every
+# round by baseline_detail + pytest.
 _PRIORITY = [
-    # --- round-10 window (positions 1-50): freshness sweep ---
-    # 1-7: the seven r6-vintage gates (oldest driver evidence in
-    # the ledger; after this round no gate predates r7)
+    # --- round-10 window (positions 1-50) ---
+    # 1-7: the seven r6-vintage gates (oldest driver evidence)
     "multimodal_frames_documents",
     "multimodal_resize_documents",
     "pivot_events",
@@ -43,15 +50,18 @@ _PRIORITY = [
     "repeat_upsample_documents",
     "resample_mix_documents",
     "vocab_coverage_documents",
-    # 8: plan changed THIS round (bm25 final-sum order now follows
-    # first-occurrence query order, matching the oracle's CASE sum)
+    # 8-12: plans changed THIS round (bm25 sum order; the four
+    # window-attached-totals restructures with r9-vintage evidence)
     "bm25_documents",
-    # 9-50: 42 of the 45 r7-vintage gates, alphabetical; includes
+    "target_encode_documents",
+    "reliability_documents",
+    "pmi_pairs_documents",
+    "doc_logprob_bigram_documents",
+    # 13-50: 38 of the 45 r7-vintage gates, alphabetical; includes
     # embedding_stats_embeddings, whose OUTPUT SCHEMA changed this
-    # round (new n_overflow counter, oracle updated in lock-step).
-    # The 3 deferred r7 gates (histogram/row_numbers/sorted_groups)
-    # are the baseline-criterion queries re-verified every round by
-    # baseline_detail + pytest; they lead positions 51+.
+    # round (new n_overflow counter, oracle updated in lock-step) and
+    # the five r7-vintage restructured gates (doc_logprob, dsir_weights,
+    # heavy_keys, mix_report, psi_report).
     "ahash_documents",
     "approx_quantiles_events",
     "bloom_prune_orders",
@@ -74,16 +84,12 @@ _PRIORITY = [
     "heavy_hitters_documents",
     "heavy_keys_events",
     "hll_distinct_events",
-    "json_extract_events",
     "kmv_distinct_events",
     "kmv_overlap_orders_customer",
     "mix_report_documents",
     "paragraph_dedup_documents",
-    "project_embeddings",
     "psi_report_events",
     "quality_rules_documents",
-    "quantize_embeddings",
-    "rolling_events",
     "semantic_dedup_embeddings",
     "sparse_cosine_documents",
     "token_budget_documents",
@@ -95,6 +101,10 @@ _PRIORITY = [
     "zipf_report_documents",
     "zorder_events",
     # --- positions 51+: deferred r7 trio, then r8-, then r9-vintage ---
+    "json_extract_events",
+    "rolling_events",
+    "quantize_embeddings",
+    "project_embeddings",
     "histogram_lineitem_price",
     "row_numbers_orders",
     "sorted_groups_running_sum",
@@ -160,7 +170,6 @@ _PRIORITY = [
     "dedup_report_documents",
     "differential_join_lineitem_orders",
     "discretize_events",
-    "doc_logprob_bigram_documents",
     "dup_source_matrix_documents",
     "feature_hash_events",
     "funnel_events",
@@ -178,17 +187,14 @@ _PRIORITY = [
     "ngram_containment_documents",
     "pagerank_orders",
     "plan_compaction_documents",
-    "pmi_pairs_documents",
     "prefix_jaccard_documents",
     "prune_files_orders",
     "rank_normalize_events",
-    "reliability_documents",
     "resample_interpolate_events",
     "safe_union_documents",
     "scd2_merge_orders",
     "semantic_decontam_embeddings",
     "snapshot_delta_orders",
-    "target_encode_documents",
     "temperature_mix_documents",
     "transition_matrix_events",
     "triangle_counts_lineitem",

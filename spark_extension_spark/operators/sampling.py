@@ -231,12 +231,15 @@ def resample_to_mix(
     with_t = counts.select("__stratum", "__c", t.alias("__t")).where(
         F.col("__t").isNotNull()
     )
-    mn = with_t.agg(
-        F.min(F.col("__c").cast("double") / F.col("__t")).alias("__n")
-    )
-    rates = with_t.crossJoin(F.broadcast(mn)).select(
+    # the limiting stratum's ratio rides a single-partition window over
+    # the |strata|-row count frame — a separate .agg cross-joined back
+    # made with_t (and the corpus groupBy beneath it) its own second
+    # consumer (round-10 REST census discipline; min is min, values
+    # unchanged)
+    mn = F.min(F.col("__c").cast("double") / F.col("__t")).over(Window.partitionBy())
+    rates = with_t.select(
         "__stratum",
-        ((F.col("__t") * F.col("__n")) / F.col("__c").cast("double")).alias("__rate"),
+        ((F.col("__t") * mn) / F.col("__c").cast("double")).alias("__rate"),
     )
     joined = df.join(
         F.broadcast(rates), strata.eqNullSafe(F.col("__stratum")), "inner"
@@ -658,9 +661,11 @@ def temperature_mix(
     The draw is the deterministic :func:`hash_uniform`, so the output
     is frozen across runs and partitionings.
 
-    Scale shape: one map-side-combined count aggregate, a 1-row min,
-    a ≤|strata|-row broadcast rate table joined back — the corpus scans
-    twice (count + filter) and never shuffles.  Unlike
+    Scale shape: one map-side-combined count aggregate with the rarest
+    count window-attached on its |strata|-row output (single consumer —
+    round-10 REST discipline), a ≤|strata|-row broadcast rate table
+    joined back — the corpus scans twice (count + filter) and never
+    shuffles.  Unlike
     :func:`resample_to_mix` there is no target dict to maintain: the
     mix is derived from the data, so new strata are handled without
     config changes.
@@ -671,11 +676,15 @@ def temperature_mix(
     counts = df.groupBy(strata.alias("__stratum")).agg(
         F.count(F.lit(1)).alias("__c")
     )
-    mn = counts.agg(F.min("__c").alias("__cmin"))
-    rates = counts.crossJoin(F.broadcast(mn)).select(
+    # the rarest stratum's count rides a single-partition window over
+    # the |strata|-row count frame — a separate .agg cross-joined back
+    # made the corpus groupBy its own second consumer (round-10 REST
+    # census discipline; min is min, values unchanged)
+    cmin = F.min("__c").over(Window.partitionBy())
+    rates = counts.select(
         "__stratum",
         F.pow(
-            F.col("__cmin").cast("double") / F.col("__c").cast("double"),
+            cmin.cast("double") / F.col("__c").cast("double"),
             F.lit(1.0 - float(alpha)),
         ).alias("__rate"),
     )

@@ -515,6 +515,21 @@ class TestTargetEncode:
         b = sorted(map(tuple, target_encode(df.repartition(8), "c", "y").collect()))
         assert a == b
 
+    def test_null_category_is_its_own_group(self, spark):
+        # the null-safe join (round 10) makes a NULL category a real
+        # group encoded from its own rows — it must NOT silently fall
+        # back to the prior (the pre-r10 USING join never matched NULL)
+        from spark_extension_spark.operators.features import target_encode
+
+        df = spark.createDataFrame(
+            [(1, None, 10.0), (2, None, 20.0), (3, "a", 5.0)],
+            "id long, c string, y double",
+        )
+        got = {r["id"]: r["te"] for r in
+               target_encode(df, "c", "y", smoothing=0.0).collect()}
+        assert got[1] == got[2] == 15.0  # NULL group's own mean, not prior
+        assert got[3] == 5.0
+
 
 class TestGroupTTest:
     def test_matches_scipy_formula(self, spark):
