@@ -39,7 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # and already inside the sweep.  Deferred to 51+: four
 # pure-projection r7 gates (json_extract / rolling / quantize /
 # project) and the three baseline-criterion queries re-verified every
-# round by baseline_detail + pytest.
+# round by baseline_detail + pytest.  Round-11 rotation should lead
+# with the three remaining changed-plan gates that did not fit this
+# window (temperature_mix, dedup_report, dup_source_matrix — all
+# strict bit-exact on the local mirror) plus the seven r7 gates
+# deferred here.
 _PRIORITY = [
     # --- round-10 window (positions 1-50) ---
     # 1-7: the seven r6-vintage gates (oldest driver evidence)

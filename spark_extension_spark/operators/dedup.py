@@ -1273,19 +1273,38 @@ def duplicate_source_matrix(
     priorities.  Returns (``source_a``, ``source_b``, ``n_shared``)
     with ``source_a < source_b``.
 
-    Scale shape: one hash projection → distinct (content, source) pairs
-    → self-equi-join on the content hash (documents only meet through
-    identical content) → pair count.  The join fan-out per content is
+    Scale shape: one hash projection → per-content sorted source SET
+    (one aggregate keyed by content hash) → source pairs generated by
+    array combination and exploded → pair count.  Per-content work is
     |sources-carrying-it|², bounded by the source count, never the
     copy count — a content duplicated 1M times in 2 sources contributes
-    one pair."""
+    one pair.  The former self-equi-join form read the corpus and ran
+    the normalize+md5 projection twice, once per join side (round-10
+    REST census; ReuseExchange does not dedup self-join sides with
+    different aliases) — the array form is one scan, one exchange, no
+    join."""
     content = normalize_text(text_col) if normalized else F.col(text_col)
-    hs = df.select(F.md5(content).alias("__h"), F.col(source_col)).distinct()
-    a = hs.select(F.col("__h"), F.col(source_col).alias("source_a"))
-    b = hs.select(F.col("__h"), F.col(source_col).alias("source_b"))
+    srcs = (
+        df.select(F.md5(content).alias("__h"), F.col(source_col).alias("__s"))
+        .groupBy("__h")
+        .agg(F.array_sort(F.collect_set("__s")).alias("__srcs"))
+        .where(F.size("__srcs") >= 2)
+    )
+    # all ordered pairs (a < b) from the sorted per-content source set:
+    # slice from i+2 (1-based) pairs each element with its successors
+    arr = F.col("__srcs")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "__h")
-        .where(F.col("source_a") < F.col("source_b"))
+        srcs.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.source_a"), F.col("__p.source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -1308,9 +1327,13 @@ def dedup_report(
     mirrored feeds (pick a priority order first — see
     :func:`duplicate_source_matrix` for which pairs mirror).
 
-    One hash projection, one (content, stratum) count aggregate, a
-    content-level stats frame joined back by hash — shuffle keyed by
-    content hash, never wider."""
+    One hash projection, one (content, stratum) count aggregate with
+    the content-level stats attached as hash-keyed WINDOWS over that
+    aggregate's own output — shuffle keyed by content hash, never
+    wider, and the normalize+md5 projection runs exactly once (the
+    former content-level aggregate joined back made the count frame
+    its own second consumer and re-hashed the corpus; round-10 REST
+    census: 2 scans → 1)."""
     content = normalize_text(text_col) if normalized else F.col(text_col)
     hashed = df.select(
         F.md5(content).alias("__h"), F.col(strata_col).alias("stratum")
@@ -1318,11 +1341,10 @@ def dedup_report(
     per_hs = hashed.groupBy("__h", "stratum").agg(
         F.count(F.lit(1)).alias("__n")
     )
-    per_h = per_hs.groupBy("__h").agg(
-        F.sum("__n").alias("__total"),
-        F.count(F.lit(1)).alias("__n_strata"),
+    wh = Window.partitionBy("__h")
+    joined = per_hs.withColumn("__total", F.sum("__n").over(wh)).withColumn(
+        "__n_strata", F.count(F.lit(1)).over(wh)
     )
-    joined = per_hs.join(per_h, "__h")
     return (
         joined.groupBy("stratum")
         .agg(
