@@ -614,6 +614,25 @@ def test_duplicate_source_matrix(spark):
     assert got == {("web", "wiki"): 1, ("books", "web"): 1}
 
 
+def test_duplicate_source_matrix_three_way_content(spark):
+    # a content carried by 3 sources must emit all C(3,2)=3 ordered
+    # pairs (the array-combination pair generator, round 10), and a
+    # content duplicated many times within one source still counts once
+    from spark_extension_spark.operators.dedup import duplicate_source_matrix
+
+    rows = (
+        [(i, "a", "same text") for i in range(5)]
+        + [(10, "b", "same text"), (11, "c", "same text")]
+        + [(12, "c", "only here")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in duplicate_source_matrix(df).collect()
+    }
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
