@@ -54,13 +54,16 @@ _PRIORITY = [
     "repeat_upsample_documents",
     "resample_mix_documents",
     "vocab_coverage_documents",
-    # 8-12: plans changed THIS round (bm25 sum order; the four
-    # window-attached-totals restructures with r9-vintage evidence)
+    # 8-13: plans changed THIS round (bm25 sum order; the four
+    # window-attached-totals restructures; prefix_jaccard's lossless
+    # PPJoin positional+length candidate filters — all r9-vintage
+    # evidence, values provably unchanged)
     "bm25_documents",
     "target_encode_documents",
     "reliability_documents",
     "pmi_pairs_documents",
     "doc_logprob_bigram_documents",
+    "prefix_jaccard_documents",
     # 13-50: 38 of the 45 r7-vintage gates, alphabetical; includes
     # embedding_stats_embeddings, whose OUTPUT SCHEMA changed this
     # round (new n_overflow counter, oracle updated in lock-step) and
@@ -69,7 +72,6 @@ _PRIORITY = [
     "ahash_documents",
     "approx_quantiles_events",
     "bloom_prune_orders",
-    "bpe_segment_documents",
     "bucketed_join_orders_customer",
     "cap_per_source_documents",
     "chunk_documents",
@@ -109,6 +111,7 @@ _PRIORITY = [
     "rolling_events",
     "quantize_embeddings",
     "project_embeddings",
+    "bpe_segment_documents",
     "histogram_lineitem_price",
     "row_numbers_orders",
     "sorted_groups_running_sum",
@@ -191,7 +194,6 @@ _PRIORITY = [
     "ngram_containment_documents",
     "pagerank_orders",
     "plan_compaction_documents",
-    "prefix_jaccard_documents",
     "prune_files_orders",
     "rank_normalize_events",
     "resample_interpolate_events",

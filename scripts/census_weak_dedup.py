@@ -124,18 +124,46 @@ ranked = sh.withColumn(
     F.count(F.lit(1)).over(wn).alias("__size"),
 )
 plen = F.col("__size") - F.ceil(F.lit(t) * F.col("__size") - F.lit(1e-9)) + F.lit(1)
-prefix = ranked.where(F.col("__pos") <= plen).select("doc_id", "shingle")
-cand = (
-    prefix.select(F.col("doc_id").alias("id_a"), "shingle")
-    .join(prefix.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+prefix = ranked.where(F.col("__pos") <= plen).select(
+    "doc_id", "shingle", "__pos", "__size"
+)
+pa = prefix.select(
+    F.col("doc_id").alias("id_a"), "shingle",
+    F.col("__pos").alias("__pa"), F.col("__size").alias("__sa"),
+)
+pb = prefix.select(
+    F.col("doc_id").alias("id_b"), "shingle",
+    F.col("__pos").alias("__pb"), F.col("__size").alias("__sb"),
+)
+ub = F.least(F.col("__sa") - F.col("__pa"), F.col("__sb") - F.col("__pb")) + F.lit(1)
+raw = (
+    pa.join(pb, "shingle")
     .where(F.col("id_a") < F.col("id_b"))
-    .select("id_a", "id_b")
-    .distinct()
+    .groupBy("id_a", "id_b")
+    .agg(
+        F.max(ub).alias("__ub"),
+        F.max("__sa").alias("__msa"),
+        F.max("__sb").alias("__msb"),
+    )
+)
+filt = raw.where(
+    (
+        F.least("__msa", "__msb").cast("double")
+        >= F.lit(t) * F.greatest("__msa", "__msb").cast("double") - F.lit(1e-9)
+    )
+    & (
+        F.col("__ub")
+        >= F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("__msa") + F.col("__msb")).cast("double")
+            - F.lit(1e-9)
+        )
+    )
 )
 out["prefix_jaccard_pairs"]["stages"] = {
     "shingle_postings": sh.count(),
     "prefix_postings": prefix.count(),
-    "candidate_pairs": cand.count(),
+    "raw_candidate_pairs": raw.count(),
+    "filtered_candidate_pairs": filt.count(),
     "survivor_pairs": OPS["prefix_jaccard_pairs"](full).count(),
 }
 

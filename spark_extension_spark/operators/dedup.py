@@ -1398,12 +1398,20 @@ def prefix_jaccard_pairs(
     anyone's prefix at realistic thresholds — this is the skew guard,
     derived instead of imposed.
 
-    Candidates are then verified exactly against the full shingle sets
-    (``array_intersect`` on per-document arrays — per-candidate work
-    is O(doc shingles), never a second corpus join).  The ⌈·⌉ is
-    computed as ``ceil(t·|d| − 1e-9)``: if FP noise ever tips it, it
-    tips toward a *longer* prefix — more candidates, never fewer, so
-    exactness survives float rounding.
+    Two further lossless PPJoin filters run on the candidate pairs
+    BEFORE verification: the *length filter*
+    (``min(|a|,|b|) ≥ t·max(|a|,|b|)`` — necessary for Jaccard ≥ t)
+    and the *positional filter* (the pair's best remaining-window
+    bound ``max over matched prefix shingles of min(|a|−i, |b|−j)+1``
+    must reach ``minoverlap = ⌈t/(1+t)·(|a|+|b|)⌉``; the minimal
+    common shingle of any qualifying pair provably sits inside both
+    prefixes, so the bound is valid).  Survivors are verified exactly
+    against the full shingle sets (``array_intersect`` on
+    per-document arrays — per-candidate work is O(doc shingles),
+    never a second corpus join).  Every ⌈·⌉ is computed as
+    ``ceil(x − 1e-9)``: if FP noise ever tips it, it tips toward a
+    longer prefix / a kept candidate — more verification work, never
+    lost recall, so exactness survives float rounding.
 
     Shuffles: doc-frequency aggregate + one per-document rank window +
     prefix self-join + two set joins; the full-postings self-join of
@@ -1438,13 +1446,62 @@ def prefix_jaccard_pairs(
         - F.ceil(F.lit(float(threshold)) * F.col("__size") - F.lit(1e-9))
         + F.lit(1)
     )
-    prefix = ranked.where(F.col("__pos") <= plen).select(F.col(id_col), "shingle")
+    prefix = ranked.where(F.col("__pos") <= plen).select(
+        F.col(id_col), "shingle", "__pos", "__size"
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("__pos").alias("__pa"),
+        F.col("__size").alias("__sa"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("__pos").alias("__pb"),
+        F.col("__size").alias("__sb"),
+    )
+    t = float(threshold)
+    # PPJoin positional filter (lossless): for a shared shingle at
+    # 1-based positions (i, j), the remaining-window bound is
+    # min(|a|-i, |b|-j) + 1.  All common shingles sort at-or-after the
+    # pair's MINIMAL common shingle s* in the global order, so
+    # overlap <= min(|a|-i*, |b|-j*) + 1 — and for any qualifying pair
+    # s* provably lies inside BOTH prefixes (minoverlap >= ceil(t·|d|)
+    # once the length filter holds), so the MAX of the per-occurrence
+    # bounds over the pair's matched prefix shingles upper-bounds the
+    # true overlap.  Pairs whose best bound can't reach
+    # minoverlap = ceil(t/(1+t)·(|a|+|b|)) are dropped BEFORE the
+    # expensive exact verification; the 1e-9 tilts the ceil toward
+    # keeping, so exactness survives float rounding.  The length
+    # filter min >= t·max is the same necessary condition.  The
+    # groupBy replaces the former .distinct() — identical shuffle key,
+    # three small agg columns extra.
+    ub = F.least(F.col("__sa") - F.col("__pa"), F.col("__sb") - F.col("__pb")) + F.lit(1)
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        pa.join(pb, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(ub).alias("__ub"),
+            F.max("__sa").alias("__msa"),
+            F.max("__sb").alias("__msb"),
+        )
+        .where(
+            (
+                F.least("__msa", "__msb").cast("double")
+                >= F.lit(t) * F.greatest("__msa", "__msb").cast("double") - F.lit(1e-9)
+            )
+            & (
+                F.col("__ub")
+                >= F.ceil(
+                    F.lit(t / (1.0 + t))
+                    * (F.col("__msa") + F.col("__msb")).cast("double")
+                    - F.lit(1e-9)
+                )
+            )
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     sets = sh.groupBy(id_col).agg(
         F.collect_list("shingle").alias("__toks"),

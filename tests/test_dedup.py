@@ -838,6 +838,38 @@ class TestPrefixJaccard:
             }
             assert pref == brute
 
+    def test_positional_filter_lossless_randomized(self, spark):
+        # stress the round-10 positional + length filters: many short
+        # docs built from a small token pool so pairs land on BOTH
+        # sides of every threshold, with uneven lengths so the length
+        # filter and remaining-window bounds actually bite
+        import random
+
+        from spark_extension_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_jaccard_pairs,
+        )
+
+        rng = random.Random(1234)
+        pool = [f"w{i}" for i in range(25)]
+        rows = [
+            (i, " ".join(rng.choice(pool) for _ in range(rng.randint(5, 18))))
+            for i in range(80)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        for t in (0.3, 0.5, 0.7, 0.85):
+            brute = {
+                (r["id_a"], r["id_b"], r["common"], r["size_a"], r["size_b"])
+                for r in ngram_jaccard_pairs(
+                    docs, n=2, threshold=t, max_shingle_freq=None
+                ).collect()
+            }
+            pref = {
+                (r["id_a"], r["id_b"], r["common"], r["size_a"], r["size_b"])
+                for r in prefix_jaccard_pairs(docs, n=2, threshold=t).collect()
+            }
+            assert pref == brute, f"threshold {t}: filters lost/added pairs"
+
     def test_validation_and_handle(self, spark):
         import pytest as _pytest
 
