@@ -32,29 +32,33 @@ def heavy_keys(df: DataFrame, keys: Sequence[str], k: int = 10) -> DataFrame:
     heaviest join/group keys with their row counts and share of the
     table.
 
-    Plan: one map-side-combined count aggregate keyed by ``keys``, a
-    global top-k via ``row_number`` over the *aggregated* (per-key)
-    rows, and a 1-row total **broadcast** for the share — the input is
-    scanned once and shuffles only (key, count) pairs.  Share divides
-    two longs in double precision (exact for realistic counts), rank
-    ties break by key for determinism.
+    Plan: one map-side-combined count aggregate keyed by ``keys``, the
+    global top-k via ``orderBy(...).limit(k)`` — Spark compiles this to
+    ``TakeOrderedAndProject``: each partition keeps a k-row heap and a
+    single k-row merge follows, so NO partition ever sorts the full
+    key set (a ``row_number`` window with an unpartitioned ORDER BY
+    does exactly that: at 10⁹ distinct keys the all-keys
+    single-partition sort is the scale hazard this operator exists to
+    diagnose in others).  Ranks are then a window over the k
+    survivors only, and the 1-row total (a count of the pruned raw
+    input — cheaper than making the count aggregate its own second
+    consumer) joins broadcast for the share.  Share divides two longs
+    in double precision (exact for realistic counts), rank ties break
+    by key for determinism.
 
     Returns ``keys..., n_rows (long), share (double), rank (int)``.
     """
     from pyspark.sql import Window
 
     counts = df.groupBy(*[F.col(c) for c in keys]).agg(F.count(F.lit(1)).alias("n_rows"))
-    # the global row total is the sum of the per-key counts: read it
-    # off the count frame with a second window over the SAME single
-    # partition the ranking window already forces — one less full scan
-    # of the input than a separate df.agg cross-joined back (and no
-    # second consumer of anything; round-10 REST census discipline)
-    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in keys])
-    total = F.sum("n_rows").over(Window.partitionBy())
+    order = [F.col("n_rows").desc(), *[F.col(c).asc() for c in keys]]
+    top = counts.orderBy(*order).limit(int(k))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    # the rank window sees exactly <= k rows
+    w = Window.orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .withColumn("__total", total)
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
         .select(
             *keys,
             "n_rows",
