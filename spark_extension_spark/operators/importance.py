@@ -270,12 +270,15 @@ def select_by_importance(
         _col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(safe_u)), 9
     )
     keyed = weights.withColumn("gumbel_key", key)
-    w = Window.orderBy(F.col("gumbel_key").desc(), _col(id_col).asc())
-    return (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(n))
-        .drop("__rn")
-    )
+    # top-n via orderBy+limit = TakeOrderedAndProject (per-partition
+    # n-row heaps + one n-row merge): the former unpartitioned
+    # row_number window single-partition-sorted the ENTIRE corpus —
+    # the billion-row hazard of every global top-k (the heavy_keys /
+    # KMV finding, round 10).  Selection is identical: same total
+    # order, same n survivors.
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), _col(id_col).asc()
+    ).limit(int(n))
 
 
 # ---------------------------------------------------------------------------

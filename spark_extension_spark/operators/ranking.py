@@ -435,12 +435,16 @@ def zipf_report(
     counts = (
         _tokens(df, id_col, text_col).groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     )
-    from pyspark.sql import Window
-
+    # top max_types via orderBy+limit = TakeOrderedAndProject
+    # (per-partition heaps, no single-partition sort of the whole
+    # vocabulary — the global-top-k hazard class, round 10); ranks are
+    # then a window over the <= max_types survivors only
     w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    top = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
+        int(max_types)
+    )
     ranked = (
-        counts.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= int(max_types))
+        top.withColumn("r", F.row_number().over(w))
         .select(
             # ln coordinates snapped to an exact DECIMAL(12,10) grid
             # (round to 10 decimals + same-scale decimal cast): libm

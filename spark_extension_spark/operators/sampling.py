@@ -487,8 +487,10 @@ def weighted_sample(
     by omission, not a crash).
 
     Plan: one projection + per-group window top-k (one exchange on
-    ``by``; global ``by=()`` means a single ordered partition — prefer
-    groups at corpus scale, same caveat as any global top-k).
+    ``by``); the global ``by=()`` case plans as
+    ``TakeOrderedAndProject`` (per-partition k-row heaps + one k-row
+    merge) instead of an all-rows single-partition window — the
+    global-top-k hazard class (round 10).
 
     Returns the sampled input rows (original schema).
     """
@@ -501,15 +503,22 @@ def weighted_sample(
     # its NULL-id handling
     u = hash_uniform(id_col, seed) + F.lit(1.0 / _TWO_32)  # (0, 1]
     priority = -F.log(u) / w.cast("double")
-    win = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
-        F.col("__priority").asc(), _col(id_col).asc()
+    eligible = df.where(w.isNotNull() & (w.cast("double") > 0)).withColumn(
+        "__priority", priority
     )
+    if by:
+        win = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+            F.col("__priority").asc(), _col(id_col).asc()
+        )
+        return (
+            eligible.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= k)
+            .drop("__priority", "__rn")
+        )
     return (
-        df.where(w.isNotNull() & (w.cast("double") > 0))
-        .withColumn("__priority", priority)
-        .withColumn("__rn", F.row_number().over(win))
-        .where(F.col("__rn") <= k)
-        .drop("__priority", "__rn")
+        eligible.orderBy(F.col("__priority").asc(), _col(id_col).asc())
+        .limit(int(k))
+        .drop("__priority")
     )
 
 
