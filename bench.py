@@ -72,6 +72,22 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # only.  Opt out with SPARK_GRAFT_REPACK=0.
 REPACK = os.environ.get("SPARK_GRAFT_REPACK", "1") == "1"
 
+# Steal-aware re-runs: a timed run whose /proc/stat steal delta exceeds
+# this many jiffies ran while the hypervisor withheld CPU from the VM —
+# machine contamination, not code.  Calibration across the two round-10
+# artifacts on identical code: the verified-quiet 113.8 s run had 1 of
+# 450 runs above 200 steal jiffies; the contaminated 146.9 s driver run
+# had 45 (26 queries hit).  1-min loadavg is NOT a trigger: on this
+# 32-cpu box our own back-to-back queries push la1 to ~15 even on the
+# quiet run, so it cannot separate external load from our own (it stays
+# recorded per run for human adjudication).  When a query's initial
+# triple contains a stolen run, up to STEAL_MAX_EXTRA re-runs are taken
+# and the median is computed over the three lowest-steal runs; ALL raw
+# runs + telemetry land in bench_detail.json (`runs`/`load`/`picked`),
+# so the selection is auditable, and `mins` still covers every run.
+STEAL_FLAG = int(os.environ.get("SPARK_GRAFT_STEAL_FLAG", "200"))
+STEAL_MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_STEAL_EXTRA", "2"))
+
 
 def _repack(src: str, dst: str, target_groups: int = 32) -> None:
     """Rewrite each table in ``src`` into ``dst`` with ~target_groups row
@@ -331,6 +347,7 @@ def main() -> None:
     timings = {}
     spreads = {}  # raw per-run seconds — noise adjudication data
     loads = {}  # per-run machine telemetry — noise adjudication data
+    picked = {}  # queries that took steal re-runs -> indices used for the median
     repack_applied = False
     sf_dir, warm_dir = SF_DIR, WARM_DIR
     if REPACK:
@@ -370,25 +387,46 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception:
             pass  # warmup is best-effort; timing still works cold
-        runs = []
-        qload = []
-        for _ in range(3):
+
+        def _timed_run():
             la1 = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
             busy0, steal0 = _cpu_sample()
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - start)
+            elapsed = time.perf_counter() - start
             busy1, steal1 = _cpu_sample()
-            qload.append(
-                {
-                    "la1": round(la1, 2),
-                    "busy": busy1 - busy0,
-                    "steal": steal1 - steal0,
-                }
-            )
-        timings[name] = round(sorted(runs)[1], 3)  # median of 3
+            return elapsed, {
+                "la1": round(la1, 2),
+                "busy": busy1 - busy0,
+                "steal": steal1 - steal0,
+            }
+
+        runs = []
+        qload = []
+        for _ in range(3):
+            r, l = _timed_run()
+            runs.append(r)
+            qload.append(l)
+        # steal-aware re-runs (see STEAL_FLAG note at top): top up until
+        # three clean runs exist or the extra budget is spent
+        extras = 0
+        while (
+            extras < STEAL_MAX_EXTRA
+            and sum(1 for l in qload if l["steal"] <= STEAL_FLAG) < 3
+        ):
+            r, l = _timed_run()
+            runs.append(r)
+            qload.append(l)
+            extras += 1
+        # median over the three lowest-steal runs (ties keep arrival
+        # order, so with no contamination this is exactly the old
+        # median-of-the-initial-3)
+        sel = sorted(range(len(runs)), key=lambda i: (qload[i]["steal"], i))[:3]
+        timings[name] = round(sorted(runs[i] for i in sel)[1], 3)
         spreads[name] = [round(r, 3) for r in runs]
         loads[name] = qload
+        if extras:
+            picked[name] = sorted(sel)
         # Operators that persist internally (CC, triangles, row numbers, ...)
         # would otherwise accumulate storage blocks across all queries and
         # evict each other mid-run: q_i's time then depends on every q_j
@@ -443,6 +481,13 @@ def main() -> None:
                 # class behind BENCH_r09's phantom 70 % regression; a
                 # slow run with high steal is machine noise, in-artifact
                 "load": loads,
+                # queries whose initial triple contained a run with
+                # steal > STEAL_FLAG jiffies: re-run up to
+                # STEAL_MAX_EXTRA times, median taken over the listed
+                # (lowest-steal) run indices — the raw contaminated runs
+                # stay in `runs`/`load` above for audit
+                "picked": picked,
+                "steal_flag": STEAL_FLAG,
                 "sf": sf,
                 # totals are only comparable round-over-round on the
                 # same layout — false means the repack fell back to the

@@ -270,15 +270,19 @@ def select_by_importance(
         _col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(safe_u)), 9
     )
     keyed = weights.withColumn("gumbel_key", key)
-    # top-n via orderBy+limit = TakeOrderedAndProject (per-partition
-    # n-row heaps + one n-row merge): the former unpartitioned
-    # row_number window single-partition-sorted the ENTIRE corpus —
-    # the billion-row hazard of every global top-k (the heavy_keys /
-    # KMV finding, round 10).  Selection is identical: same total
-    # order, same n survivors.
-    return keyed.orderBy(
-        F.col("gumbel_key").desc(), _col(id_col).asc()
-    ).limit(int(n))
+    # top-n: TakeOrderedAndProject (per-partition n-row heaps + one
+    # n-row merge) for n up to TOP_N_SPILL_THRESHOLD — the former
+    # unpartitioned row_number window single-partition-sorted the
+    # ENTIRE corpus (the billion-row hazard, round 10).  Data-selection
+    # n is routinely millions, and the TakeOrdered heap does not spill,
+    # so above the threshold global_top_n switches to the spillable
+    # range-sort + 5-step row-number form.  Selection is identical in
+    # both forms: same total order, same n survivors.
+    from .sampling import global_top_n
+
+    return global_top_n(
+        keyed, [F.col("gumbel_key").desc(), _col(id_col).asc()], int(n)
+    )
 
 
 # ---------------------------------------------------------------------------

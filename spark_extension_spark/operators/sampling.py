@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "global_top_n",
     "hash_uniform",
     "hash_uniform_sql",
     "hash_sample",
@@ -56,6 +57,51 @@ def _sql_str(v) -> str:
     quotes — interpolated stratum/split names must never produce
     malformed oracle SQL."""
     return "'" + str(v).replace("'", "''") + "'"
+
+
+# `orderBy().limit(n)` plans as TakeOrderedAndProject: per-task n-row
+# priority queues merged once — the right shape for diagnostics-sized n
+# (heavy keys, zipf ranks, sketch minima), but the heap NEVER SPILLS,
+# so at data-selection sizes (n in the millions, e.g. "select the best
+# 50M documents") it trades the old single-partition-sort latency
+# hazard for an executor OOM.  Above this bound `global_top_n` switches
+# to the spillable form instead of relying on the cluster operator
+# having lowered `spark.sql.execution.topKSortFallbackThreshold`
+# (default IntMax: Spark itself would happily heap 50M rows per task).
+TOP_N_SPILL_THRESHOLD = 1_000_000
+
+
+def global_top_n(
+    df: DataFrame,
+    order: Sequence[Column],
+    n: int,
+    unpersist_handle=None,
+) -> DataFrame:
+    """Global top-``n`` rows under ``order`` (pre-built sort Columns,
+    e.g. ``[F.col("k").desc(), F.col("id").asc()]`` — the order must be
+    total for a deterministic selection).
+
+    Two physical forms, same selection: for ``n`` up to
+    :data:`TOP_N_SPILL_THRESHOLD` the plan is ``TakeOrderedAndProject``
+    (per-partition n-row heaps + one n-row merge, no full sort); above
+    it, a range-partitioned external sort with the 5-step row-number
+    algorithm (:func:`~spark_extension_spark.operators.row_numbers.with_row_numbers`:
+    per-partition windows + broadcast offsets) and a rank filter —
+    slower, but every stage spills, so a 100M-row selection cannot OOM
+    an executor.  The large-``n`` path persists the sorted frame (the
+    row-number algorithm's partition-id pin); pass ``unpersist_handle``
+    to release it after the action."""
+    n = int(n)
+    if n <= TOP_N_SPILL_THRESHOLD:
+        return df.orderBy(*order).limit(n)
+    from ..utils import distinct_prefix_for
+    from .row_numbers import with_row_numbers
+
+    rank = distinct_prefix_for(df.columns) + "top_n_rank"
+    ranked = with_row_numbers(
+        df, rank, order=list(order), unpersist_handle=unpersist_handle
+    )
+    return ranked.where(F.col(rank) <= n).drop(rank)
 
 
 def _col(c: Union[str, Column]) -> Column:
@@ -515,11 +561,12 @@ def weighted_sample(
             .where(F.col("__rn") <= k)
             .drop("__priority", "__rn")
         )
-    return (
-        eligible.orderBy(F.col("__priority").asc(), _col(id_col).asc())
-        .limit(int(k))
-        .drop("__priority")
-    )
+    # global form: TakeOrderedAndProject for sane k, spillable
+    # sort+rank above TOP_N_SPILL_THRESHOLD (the per-task heap does
+    # not spill — see global_top_n)
+    return global_top_n(
+        eligible, [F.col("__priority").asc(), _col(id_col).asc()], int(k)
+    ).drop("__priority")
 
 
 def interleave_by_mix(

@@ -4683,7 +4683,7 @@ SELECT d.doc_id, d.source,
        ((CAST(pc.sy AS DOUBLE) - (CASE WHEN d.y IS NOT NULL THEN d.y ELSE 0.0 END))
          + 20.0 * (CAST(g.syg AS DOUBLE) / CAST(g.n_g AS DOUBLE)))
          / (CAST(pc.n_c - (CASE WHEN d.y IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) + 20.0) AS te_loo
-FROM d, pc, g WHERE d.source = pc.source
+FROM d, pc, g WHERE d.source IS NOT DISTINCT FROM pc.source
 """
 
 

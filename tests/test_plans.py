@@ -294,7 +294,10 @@ def test_heavy_keys_total_is_broadcast(spark):
     # scale hazard.  The 1-row total joins broadcast; the only window
     # ranks the <= k survivors.
     assert "TakeOrderedAndProject" in q._jdf.queryExecution().executedPlan().toString()
-    assert not plan.has_cartesian or True  # 1-row total cross join is fine
+    # the only join is the 1-row total attached by broadcast nested
+    # loop — any other join strategy appearing here means the total is
+    # being shuffled against the key counts
+    assert set(plan.joins) <= {"BroadcastNestedLoopJoin"}
 
 
 def test_kmv_overlap_sketch_only(spark):

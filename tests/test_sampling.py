@@ -284,6 +284,38 @@ class TestWeightedSample:
             weighted_sample(df, 0, "w", "id")
 
 
+class TestGlobalTopN:
+    def test_small_n_is_take_ordered(self, spark):
+        from pyspark.sql import functions as F
+
+        from spark_extension_spark.operators.sampling import global_top_n
+
+        df = spark.createDataFrame([(i, float(i % 17)) for i in range(500)], ["id", "v"])
+        q = global_top_n(df, [F.col("v").desc(), F.col("id").asc()], 10)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_large_n_spillable_form_same_selection(self, spark, monkeypatch):
+        from pyspark.sql import functions as F
+
+        from spark_extension_spark.operators import sampling
+        from spark_extension_spark.operators.sampling import global_top_n
+
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 101)) for i in range(500)], ["id", "v"]
+        )
+        order = [F.col("v").desc(), F.col("id").asc()]
+        heap = {r["id"] for r in global_top_n(df, order, 50).collect()}
+        # force the spillable branch at a tiny threshold: the 5-step
+        # row-number form must pick the identical 50 rows and must NOT
+        # plan a per-task heap
+        monkeypatch.setattr(sampling, "TOP_N_SPILL_THRESHOLD", 10)
+        q = global_top_n(df, order, 50)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" not in plan
+        assert {r["id"] for r in q.collect()} == heap
+
+
 # ---------------------------------------------------------------------------
 # stride-scheduled interleaving
 # ---------------------------------------------------------------------------
