@@ -596,9 +596,26 @@ def _cc_label_propagation(
     cycler: Optional[LocalCheckpointCycler] = None,
 ) -> DataFrame:
     """Min-label propagation over persisted symmetric edges ``sym``
-    (columns ``src``, ``dst``).  Labels are monotone non-increasing, so
-    "converged" == "no row got a strictly smaller label this batch" — a
-    filter-count over the materialized step output, not a join.
+    (columns ``src``, ``dst``, hash-partitioned on ``src`` by the
+    caller).  Labels are monotone non-increasing, so "converged" ==
+    "no row got a strictly smaller label this batch".
+
+    Step shape (round 11): neighbour contributions and the node's own
+    state meet in ONE union + min-aggregate keyed by node id — the
+    former join-back of the neighbour minima onto the label frame was a
+    second edge-adjacent exchange per step.  The label state arrives at
+    each step's join hash-partitioned on ``id`` from the previous
+    aggregate, and ``sym`` is pre-partitioned on ``src``, so the
+    labels-onto-edges join itself moves nothing: ONE exchange per step
+    (the union aggregate).  The batch-start labels (``__old``) ride the
+    aggregate as ``max`` over a column only the self branch populates —
+    exactly one non-null per id.
+
+    Convergence is read from an :class:`~pyspark.sql.Observation` bound
+    to the batch's checkpoint materialization job — the former separate
+    ``count()`` action per batch re-scanned the checkpointed labels
+    (verified: eager ``localCheckpoint`` fulfills observe metrics; the
+    one-job-per-batch shape is pinned by test).
 
     Each batch ends in ``localCheckpoint(eager=True)``: iterative plans
     reference the previous state 2× per step, so without lineage
@@ -608,15 +625,20 @@ def _cc_label_propagation(
     ``cycler`` frees each superseded checkpoint generation as the next
     one lands (each batch reads only the previous labels, so lag 1),
     keeping live checkpoint storage at one generation instead of
-    one-per-round."""
+    one-per-round.  The seed labels are NOT checkpointed: distinct
+    ``src`` over the pre-partitioned ``sym`` is exchange-free and folds
+    into batch 1's single materialization job."""
+    from pyspark.sql import Observation
+
     ck = cycler.checkpoint if cycler is not None else (
         lambda df: df.localCheckpoint(eager=True)
     )
-    labels = ck(
+    labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    old_type = labels.schema["label"].dataType
     steps_done = 0
     while steps_done < max_iterations:
         batch = min(check_every, max_iterations - steps_done)
@@ -624,24 +646,28 @@ def _cc_label_propagation(
         # the whole batch at the checkpoint below
         stepped = labels.withColumn("__old", F.col("label"))
         for _ in range(batch):
-            neighbour_min = (
-                sym.join(stepped.select("id", "label"),
-                         sym["src"] == F.col("id"))
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("label").alias("__nbr_min"))
+            contrib = sym.join(
+                stepped.select(F.col("id").alias("src"), "label"), "src"
+            ).select(
+                F.col("dst").alias("id"),
+                "label",
+                F.lit(None).cast(old_type).alias("__old"),
             )
             stepped = (
-                stepped.join(neighbour_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("__nbr_min", F.col("label"))
-                    ).alias("label"),
-                    "__old",
-                )
+                contrib.unionByName(stepped)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
             )
-        stepped = ck(stepped)
-        changed = stepped.where(F.col("label") < F.col("__old")).count()
+        obs = Observation()
+        stepped = ck(
+            stepped.observe(
+                obs,
+                F.count(F.when(F.col("label") < F.col("__old"), 1)).alias(
+                    "changed"
+                ),
+            )
+        )
+        changed = obs.get["changed"]
         labels = stepped
         steps_done += batch
         if changed == 0:
@@ -800,9 +826,13 @@ def connected_components(
     """
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     fwd.count()  # force: upstream pair pipelines are expensive; run once
+    # hash-partitioned on src ONCE: every label step joins on src, and
+    # the seed distinct + per-step joins are then exchange-free (the
+    # former (src,dst)-hashed layout reshuffled the full edge list into
+    # the join EVERY step)
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct().repartition("src").persist()
     spark = edges.sparkSession
     cycler = None
     ok = False
@@ -997,6 +1027,7 @@ def dedup_keep_best(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = 1000,
+    clusters: Optional[DataFrame] = None,
     unpersist_handle: Optional[UnpersistHandle] = None,
     warn_single_use: bool = True,
 ) -> DataFrame:
@@ -1009,6 +1040,15 @@ def dedup_keep_best(
     frame — MinHash-LSH, SimHash, semantic); by default n-gram Jaccard
     pairs at ``threshold`` are computed from ``df`` itself.  Documents
     in no pair form singleton clusters and always survive.
+
+    ``clusters`` supplies a PRECOMPUTED component assignment
+    (``doc_id``, ``cluster_id`` — the output of
+    :func:`near_dup_clusters`) and skips both the candidate generator
+    and the label-propagation loop entirely: a pipeline that needs
+    keep-best decisions AND leakage-safe splits over the same corpus
+    runs connected components once and feeds both consumers, instead
+    of paying the iterative loop twice.  When given, ``pairs`` /
+    ``n`` / ``threshold`` / ``max_shingle_freq`` are ignored.
 
     Returns the surviving input rows plus ``cluster_id`` (smallest id
     in the component) and ``cluster_size``.  ``quality_col`` must be
@@ -1023,16 +1063,18 @@ def dedup_keep_best(
     semi-join back.  The corpus is never shuffled by anything wider
     than its own id.
     """
-    if pairs is None:
-        pairs = ngram_jaccard_pairs(
-            df, id_col, text_col, n=n, threshold=threshold,
-            max_shingle_freq=max_shingle_freq,
-            unpersist_handle=unpersist_handle,
-        ).select("id_a", "id_b")
-    clusters = near_dup_clusters(
-        pairs, unpersist_handle=unpersist_handle,
-        warn_single_use=warn_single_use, _warn_stacklevel=4,
-    ).withColumnRenamed("doc_id", id_col)
+    if clusters is None:
+        if pairs is None:
+            pairs = ngram_jaccard_pairs(
+                df, id_col, text_col, n=n, threshold=threshold,
+                max_shingle_freq=max_shingle_freq,
+                unpersist_handle=unpersist_handle,
+            ).select("id_a", "id_b")
+        clusters = near_dup_clusters(
+            pairs, unpersist_handle=unpersist_handle,
+            warn_single_use=warn_single_use, _warn_stacklevel=4,
+        )
+    clusters = clusters.withColumnRenamed("doc_id", id_col)
     # `labeled` feeds both the per-cluster max-struct aggregate and the
     # final join below; without the persist the corpus→clusters shuffle
     # join runs twice (clusters itself is already cached upstream).
@@ -1069,6 +1111,7 @@ def leakage_safe_splits(
     seed: int = 42,
     out: str = "split",
     max_iterations: int = 50,
+    clusters: Optional[DataFrame] = None,
     unpersist_handle: Optional[UnpersistHandle] = None,
     warn_single_use: bool = True,
 ) -> DataFrame:
@@ -1083,6 +1126,12 @@ def leakage_safe_splits(
     an embedding-based generator; ``None`` derives n-gram Jaccard pairs
     from ``df`` with the given ``n``/``threshold``.
 
+    ``clusters`` supplies a PRECOMPUTED component assignment
+    (``doc_id``, ``cluster_id`` from :func:`near_dup_clusters`),
+    skipping the candidate generator and the propagation loop — the
+    share-one-CC hook for pipelines that also run
+    :func:`dedup_keep_best` over the same corpus.
+
     Scale shape: the candidate generator is the bucketed inverted-index
     join (never all-pairs), the cluster assignment is the same
     min-label-propagation loop as :func:`near_dup_clusters`, and the
@@ -1091,15 +1140,17 @@ def leakage_safe_splits(
     ``df`` plus ``cluster_id`` and ``out`` columns."""
     from .sampling import assign_splits
 
-    if pairs is None:
-        pairs = ngram_jaccard_pairs(
-            df, id_col, text_col, n=n, threshold=threshold,
-            unpersist_handle=unpersist_handle,
-        ).select("id_a", "id_b")
-    clusters = near_dup_clusters(
-        pairs, max_iterations=max_iterations, unpersist_handle=unpersist_handle,
-        warn_single_use=warn_single_use, _warn_stacklevel=4,
-    ).withColumnRenamed("doc_id", id_col)
+    if clusters is None:
+        if pairs is None:
+            pairs = ngram_jaccard_pairs(
+                df, id_col, text_col, n=n, threshold=threshold,
+                unpersist_handle=unpersist_handle,
+            ).select("id_a", "id_b")
+        clusters = near_dup_clusters(
+            pairs, max_iterations=max_iterations, unpersist_handle=unpersist_handle,
+            warn_single_use=warn_single_use, _warn_stacklevel=4,
+        )
+    clusters = clusters.withColumnRenamed("doc_id", id_col)
     labeled = df.join(clusters, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )

@@ -429,22 +429,29 @@ def label_propagation(
 
     Scale shape per round (what must hold at 10^10 edges): ONE
     equi-join (labels onto the directed-both edge list, keyed by
-    source) + ONE map-side-combined count aggregate + ONE per-node
-    window over (node, label) counts — label-cardinality-sized, not
-    edge-sized.  State is ``localCheckpoint``-ed every
-    ``checkpoint_every`` rounds to truncate lineage.  The canonical
-    edge list is persisted (it feeds every round); pass an
-    ``unpersist_handle`` to release it.
+    source — exchange-free: the edge list is hash-partitioned on ``u``
+    once up front and the label state arrives hash-partitioned on
+    ``id`` from the previous round's aggregate, so the co-partitioned
+    join moves nothing) + ONE map-side-combined count aggregate + ONE
+    map-side-combined max-struct argmax per node — label-cardinality-
+    sized, not edge-sized, and with NO per-node sort (the former
+    ``row_number`` window sorted every node's label counts each round;
+    ``max(struct(count, -label))`` is the identical argmax — count
+    desc, label asc on ties — as a plain aggregate).  State is
+    ``localCheckpoint``-ed every ``checkpoint_every`` rounds to
+    truncate lineage.  The canonical edge list is persisted (it feeds
+    every round); pass an ``unpersist_handle`` to release it.
     """
-    from pyspark.sql import Window
-
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
 
     und = undirected_edges(edges, src, dst)
+    # hash-partition the round-invariant edge list on the join key ONCE
+    # (the union output is otherwise partitioned by its inputs' layout,
+    # forcing a full edge shuffle into the join EVERY round)
     both = und.select("u", "v").unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).repartition("u").persist()
     if unpersist_handle is not None:
         unpersist_handle.set_dataframe(both)
 
@@ -452,7 +459,6 @@ def label_propagation(
         "id", F.col("id").alias("label")
     )
 
-    w = Window.partitionBy("id").orderBy(F.col("__c").desc(), F.col("label").asc())
     # lag-1 cycling (each round votes from the previous labels only)
     cycler = LocalCheckpointCycler(edges.sparkSession, lag=1)
     for i in range(int(iterations)):
@@ -462,10 +468,16 @@ def label_propagation(
             .unionAll(labels)  # self-vote
         )
         counts = votes.groupBy("id", "label").agg(F.count(F.lit(1)).alias("__c"))
+        # argmax by (count desc, label asc): labels are non-negative
+        # ids, so max(-label) == min(label) exactly (integer negation)
         labels = (
-            counts.select("id", "label", F.row_number().over(w).alias("__rn"))
-            .where(F.col("__rn") == 1)
-            .select("id", "label")
+            counts.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c").alias("c"), (-F.col("label")).alias("nl"))
+                ).alias("__b")
+            )
+            .select("id", (-F.col("__b.nl")).alias("label"))
         )
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
             labels = cycler.checkpoint(labels)

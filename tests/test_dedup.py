@@ -463,6 +463,43 @@ def test_dedup_keep_best_self_computed_pairs(spark, docs):
     assert len(kept & {1, 2, 3}) == 1
 
 
+def test_precomputed_clusters_shared_across_consumers(spark, docs):
+    # the share-one-CC hook: run connected components ONCE, feed the
+    # result to both keep-best and leakage-safe splits; outputs must be
+    # identical to each consumer computing its own clustering, and the
+    # propagation loop must run exactly once (cc stats ledger)
+    from spark_extension_spark.operators.dedup import (
+        cc_stats_log,
+        dedup_keep_best,
+        leakage_safe_splits,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    scored = docs.withColumn("quality", F.length("text").cast("double"))
+    own_kept = dedup_keep_best(
+        scored, "quality", threshold=0.5, warn_single_use=False
+    ).collect()
+    own_splits = leakage_safe_splits(
+        docs, {"train": 0.8, "test": 0.2}, threshold=0.5, warn_single_use=False
+    ).collect()
+
+    cc_stats_log(clear=True)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    shared = near_dup_clusters(pairs, warn_single_use=False)
+    kept = dedup_keep_best(
+        scored, "quality", clusters=shared, warn_single_use=False
+    ).collect()
+    splits = leakage_safe_splits(
+        docs, {"train": 0.8, "test": 0.2}, clusters=shared, warn_single_use=False
+    ).collect()
+    assert len(cc_stats_log()) == 1  # one propagation loop fed both
+
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(kept) == key(own_kept)
+    assert key(splits) == key(own_splits)
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints
 # ---------------------------------------------------------------------------
