@@ -126,6 +126,17 @@ def bm25_score(
     Returns (id, score, n_matched) for documents matching ≥1 term,
     scores descending (ties by id).
 
+    The per-term idf — the only transcendental in the formula — is
+    snapped to an exact DECIMAL(18,10) grid (round to 10 decimals,
+    then the same-scale decimal cast; the EXACTNESS.md ``ln``
+    discipline): ``ln`` differs between libm builds at the last ulp,
+    and BM25 is a weighted sum of ``ln`` terms, exactly the class the
+    quantization rule covers.  Everything downstream (the tf/length
+    rational factor, the fixed-order term sum) is correctly-rounded
+    IEEE arithmetic, so scores are bit-reproducible across engines —
+    the snap perturbs each term by ≤ 5e-11, far below ranking
+    resolution.
+
     Scale shape: the token stream is filtered to ``terms`` *before*
     any aggregation — everything downstream is O(matching tokens).
     The per-term df and the corpus-level (N, avg length) are tiny
@@ -171,10 +182,20 @@ def bm25_score(
 
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "token",
-        F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ).alias("__idf"),
+        # snapped to the DECIMAL(18,10) grid — see docstring; the
+        # decimal→double cast back is correctly rounded in Spark (the
+        # oracle routes its cast through VARCHAR, EXACTNESS.md rule 2)
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+            10,
+        )
+        .cast("decimal(18,10)")
+        .cast("double")
+        .alias("__idf"),
         "__n",
         "__avglen",
     )
@@ -240,13 +261,15 @@ def unigram_lm(
     wall = Window.partitionBy()
     total = F.sum("c").over(wall).cast("double")
     vocab = F.count(F.lit(1)).over(wall).cast("double")
-    return counts.select(
-        "token",
-        F.log(
-            (F.col("c").cast("double") + F.lit(float(k)))
-            / (total + F.lit(float(k)) * (vocab + F.lit(1.0)))
-        ).alias("logp"),
+    # prob is the raw ratio (correctly-rounded double division — bit-
+    # reproducible across engines, which the ln output is not):
+    # interpolating consumers (doc_logprob_bigram) combine probabilities
+    # directly instead of exp(logp) round-trips, keeping ONE
+    # transcendental in their score path
+    prob = (F.col("c").cast("double") + F.lit(float(k))) / (
+        total + F.lit(float(k)) * (vocab + F.lit(1.0))
     )
+    return counts.select("token", F.log(prob).alias("logp"), prob.alias("prob"))
 
 
 def doc_logprob(
@@ -651,19 +674,14 @@ def bigram_lm(
     vocab = base.select(F.explode(t).alias("__w")).agg(
         F.count_distinct("__w").cast("double").alias("__v")
     )
+    # prob mirrors unigram_lm: the raw conditional ratio for
+    # interpolating consumers (one ln in the score path, no exp(logp))
+    prob = (F.col("__c").cast("double") + F.lit(float(k))) / (
+        F.col("__h").cast("double") + F.lit(float(k)) * (F.col("__v") + F.lit(1.0))
+    )
     return (
         pc.crossJoin(F.broadcast(vocab))
-        .select(
-            "w1",
-            "w2",
-            F.log(
-                (F.col("__c").cast("double") + F.lit(float(k)))
-                / (
-                    F.col("__h").cast("double")
-                    + F.lit(float(k)) * (F.col("__v") + F.lit(1.0))
-                )
-            ).alias("logp"),
-        )
+        .select("w1", "w2", F.log(prob).alias("logp"), prob.alias("prob"))
     )
 
 
@@ -688,6 +706,20 @@ def doc_logprob_bigram(
     corpus.  Bigrams unseen in the model back off to
     ``(1−λ)·p_unigram``; tokens unseen entirely take ``unk_logp``.
     Returns (id, ``n_bigrams``, ``sum_logp``, ``avg_logp``).
+
+    Exactness: when both model frames carry the ``prob`` column that
+    :func:`bigram_lm` / :func:`unigram_lm` emit, the interpolation
+    combines the raw probability ratios directly — correctly-rounded
+    divisions and multiply-adds, bit-identical on every engine — so
+    the ONLY transcendental in the score is the final
+    ``ln(λ·p_bg + (1−λ)·p_ug)``, which is snapped to the exact
+    DECIMAL(18,10) grid before the tf-weighted integer-decimal fold
+    (the :func:`doc_logprob` discipline; perturbs ``sum_logp`` by
+    ≤ 5e-11 · n_bigrams).  Scores are then bit-reproducible across
+    engines, partitionings, and libm builds.  External models exposing
+    only ``logp`` fall back to ``exp(logp)`` round-trips whose
+    multi-ulp spread the snap cannot fully absorb — reproducible per
+    engine, last-ulp across engines.
 
     Scale shape: one pair explode + map-side-combined (doc, bigram)
     counts, an equi-join with the bigram model (vocabulary-sized), the
@@ -722,24 +754,40 @@ def doc_logprob_bigram(
         split.getItem(1).alias("w2"),
         "__tf",
     )
-    model = lm.select("w1", "w2", F.col("logp").alias("__bg"))
-    uni = unigram.select(F.col("token").alias("w2"), F.col("logp").alias("__ug"))
     lam_ = float(lam)
-    # ln(lam*e^bg + (1-lam)*e^ug); exp/ln of moderate magnitudes —
-    # identical IEEE expression on both engines
-    p = (
-        F.lit(lam_) * F.exp(F.coalesce(F.col("__bg"), F.lit(float("-inf"))))
-        + F.lit(1.0 - lam_)
-        * F.exp(F.coalesce(F.col("__ug"), F.lit(float(unk_logp))))
-    )
+    use_prob = "prob" in lm.columns and "prob" in unigram.columns
+    if use_prob:
+        import math
+
+        model = lm.select("w1", "w2", F.col("prob").alias("__bgp"))
+        uni = unigram.select(F.col("token").alias("w2"), F.col("prob").alias("__ugp"))
+        # unseen-token backoff probability as a driver-computed literal:
+        # the same double lands in the lock-step oracle SQL, so the
+        # backoff contributes no engine-libm term
+        p = F.lit(lam_) * F.coalesce(F.col("__bgp"), F.lit(0.0)) + F.lit(
+            1.0 - lam_
+        ) * F.coalesce(F.col("__ugp"), F.lit(math.exp(float(unk_logp))))
+    else:
+        model = lm.select("w1", "w2", F.col("logp").alias("__bg"))
+        uni = unigram.select(F.col("token").alias("w2"), F.col("logp").alias("__ug"))
+        # ln(lam*e^bg + (1-lam)*e^ug); exp/ln of moderate magnitudes —
+        # identical IEEE expression on both engines
+        p = (
+            F.lit(lam_) * F.exp(F.coalesce(F.col("__bg"), F.lit(float("-inf"))))
+            + F.lit(1.0 - lam_)
+            * F.exp(F.coalesce(F.col("__ug"), F.lit(float(unk_logp))))
+        )
     per_doc = (
         tf.join(model, ["w1", "w2"], "left")
         .join(uni, "w2", "left")
         .groupBy(id_col)
         .agg(
             F.sum("__tf").alias("n_bigrams"),
+            # ln(p) snapped to the DECIMAL(18,10) grid, tf-weighted fold
+            # in integer decimal arithmetic (the doc_logprob discipline)
             F.sum(
-                (F.col("__tf").cast("double") * F.log(p)).cast("decimal(38,15)")
+                F.round(F.log(p), 10).cast("decimal(18,10)")
+                * F.col("__tf").cast("decimal(19,0)")
             ).alias("__s"),
         )
     )

@@ -1791,12 +1791,24 @@ lens AS (
 ),
 stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(doclen) AS avglen FROM lens),
 idf AS (
-  SELECT token, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+  -- idf snapped to the DECIMAL(18,10) grid lock-step with bm25_score;
+  -- the decimal->double cast goes through VARCHAR (DuckDB's direct
+  -- cast is last-ulp off, EXACTNESS.md rule 2)
+  SELECT token,
+         CAST(CAST(CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 10)
+              AS DECIMAL(18,10)) AS VARCHAR) AS DOUBLE) AS idf
   FROM dfreq CROSS JOIN stats
 ),
 per_term AS (
+  -- k1/b literals cast to DOUBLE: DuckDB types bare 1.2 as DECIMAL,
+  -- so tf*(1.2+1.0) would run exact-decimal and round to a DIFFERENT
+  -- double than Spark's all-double 6*2.2 (= 13.200000000000001, not
+  -- decimal 13.2's nearest double) — the former last-ulp residue of
+  -- this gate alongside the unsnapped ln
   SELECT tf.doc_id, tf.token,
-         idf.idf * (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.doclen / stats.avglen)) AS s
+         idf.idf * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+           / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+              + 0.75::DOUBLE * lens.doclen / stats.avglen)) AS s
   FROM tf
   JOIN idf USING (token)
   JOIN lens USING (doc_id)
@@ -4192,8 +4204,12 @@ vocab AS (
   FROM (SELECT unnest(t) AS w FROM toks)
 ),
 bg AS (
+  -- raw conditional probability ratio (correctly-rounded division),
+  -- lock-step with bigram_lm's prob column; literals forced DOUBLE
+  -- (DuckDB types bare 1.0 as DECIMAL)
   SELECT w1, w2,
-         ln((CAST(c AS DOUBLE) + 1.0) / (CAST(h AS DOUBLE) + 1.0 * (v + 1.0))) AS bgp
+         (CAST(c AS DOUBLE) + 1.0::DOUBLE)
+           / (CAST(h AS DOUBLE) + 1.0::DOUBLE * (v + 1.0::DOUBLE)) AS bgp
   FROM bg0 JOIN hist USING (w1) CROSS JOIN vocab
 ),
 ucounts AS (
@@ -4202,7 +4218,8 @@ ucounts AS (
 utot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS vv FROM ucounts),
 uni AS (
   SELECT token,
-         ln((CAST(c AS DOUBLE) + 1.0) / (total + 1.0 * (vv + 1.0))) AS ugp
+         (CAST(c AS DOUBLE) + 1.0::DOUBLE)
+           / (total + 1.0::DOUBLE * (vv + 1.0::DOUBLE)) AS ugp
   FROM ucounts CROSS JOIN utot
 ),
 tf AS (
@@ -4211,19 +4228,24 @@ tf AS (
   FROM pairs GROUP BY 1, 2, 3
 ),
 per AS (
+  -- the only transcendental is the final ln of the interpolated
+  -- probability, snapped to the DECIMAL(18,10) grid before the
+  -- tf-weighted integer-decimal fold (the doc_logprob discipline,
+  -- lock-step with doc_logprob_bigram's prob path)
   SELECT tf.doc_id,
          CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-         SUM(CAST(CAST(tf AS DOUBLE)
-             * ln(0.7 * exp(bgp) + 0.30000000000000004 * exp(ugp)) AS DECIMAL(38,15))) AS s
+         SUM(CAST(round(ln(0.7::DOUBLE * bgp + 0.30000000000000004::DOUBLE * ugp), 10)
+             AS DECIMAL(18,10)) * CAST(tf AS DECIMAL(19,0))) AS s
   FROM tf
   JOIN bg USING (w1, w2)
   JOIN uni ON uni.token = tf.w2
   GROUP BY 1
 )
+-- decimal->double via VARCHAR: bit-matches Spark's correctly-rounded cast
 SELECT d.doc_id,
        COALESCE(per.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
-       CAST(per.s AS DOUBLE) AS sum_logp,
-       CAST(per.s AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) AS avg_logp
+       CAST(CAST(per.s AS VARCHAR) AS DOUBLE) AS sum_logp,
+       CAST(CAST(per.s AS VARCHAR) AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) AS avg_logp
 FROM documents d LEFT JOIN per USING (doc_id)
 """
 
