@@ -19,7 +19,12 @@ from typing import List
 
 from pyspark.sql import DataFrame
 
-__all__ = ["PlanSummary", "summarize_plan", "explain_text"]
+__all__ = [
+    "PlanSummary",
+    "summarize_plan",
+    "explain_text",
+    "unpartitioned_windows",
+]
 
 
 @dataclass
@@ -53,6 +58,57 @@ _JOIN_KINDS = [
     "BroadcastNestedLoopJoin",
     "CartesianProduct",
 ]
+
+
+def unpartitioned_windows(df: DataFrame) -> List[str]:
+    """Window expressions in ``df``'s executed plan whose
+    ``windowspecdefinition`` has an EMPTY partition clause — the
+    global-top-k hazard class: such a window sorts its ENTIRE input in
+    one partition, which at 10⁹ rows is a single-task sort (the
+    heavy_keys / dsir_select / zipf_fit / weighted_sample findings,
+    round 10).  Bounded-output global rankings must plan as
+    ``TakeOrderedAndProject`` (``orderBy().limit(k)``) or the 5-step
+    row-number algorithm instead.
+
+    An unpartitioned window is LEGITIMATE only over an input bounded
+    by construction (≤ k survivors after a limit, ≤ #partitions offset
+    rows, a vocabulary-sized count frame) — the CI test keeps the
+    explicit allowlist of those cases.
+
+    Detection: inside ``windowspecdefinition(part..., order..., frame)``
+    the partition expressions carry no sort direction, order
+    expressions end in ``ASC/DESC NULLS ...`` — an empty partition
+    clause means the FIRST argument is already a sort-order expression
+    (or the frame itself, for the degenerate no-order spec)."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", text):
+        # capture the argument list up to the matching close paren
+        depth, i = 1, m.end()
+        while depth and i < len(text):
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        args = text[m.end() : i - 1]
+        # first top-level argument
+        depth = 0
+        first_end = len(args)
+        for j, ch in enumerate(args):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                first_end = j
+                break
+        first = args[:first_end].strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC)\b", first
+        ):
+            out.append(args)
+    return out
 
 
 def summarize_plan(df: DataFrame) -> PlanSummary:
