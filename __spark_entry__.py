@@ -23,98 +23,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["diff_lineitem"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-hash exposure rotation (round 10): the driver's correctness
+# Driver-hash exposure rotation (round 11): the driver's correctness
 # gate samples a 50-query prefix of this dict.  Cumulative record after
-# round 9: all 150 registry gates driver-hash GREEN on their latest
-# check, zero reds anywhere; the freshness ledger (latest driver check
-# per gate) reads r6 x7, r7 x45, r8 x48, r9 x50.  This round's window
-# serves two disciplines at once: the freshness sweep (the seven
-# r6-vintage gates + 38 of the 45 r7-vintage gates) and the
-# every-changed-plan-in-the-window rule (bm25's sum-order change plus
-# the four round-10 single-consumer restructures whose latest evidence
-# is r9: target_encode, reliability, pmi, bigram-logprob — their
-# VALUES are provably unchanged, which is exactly what the driver hash
-# should certify).  The five other restructured gates (mix_report,
-# heavy_keys, psi_report, dsir_weights, doc_logprob) are r7-vintage
-# and already inside the sweep.  Deferred to 51+: four
-# pure-projection r7 gates (json_extract / rolling / quantize /
-# project) and the three baseline-criterion queries re-verified every
-# round by baseline_detail + pytest.  Round-11 rotation should lead
-# with the three remaining changed-plan gates that did not fit this
-# window (temperature_mix, dedup_report, dup_source_matrix — all
-# strict bit-exact on the local mirror) plus the seven r7 gates
-# deferred here.
+# round 10: all 150 registry gates driver-hash GREEN on their latest
+# check, zero reds anywhere; freshness ledger (now mechanical:
+# scripts/freshness.py) reads r7 x8, r8 x47, r9 x45, r10 x50.  This
+# window serves, in order: (1) the three changed-plan gates whose
+# driver evidence is r9-vintage and did not fit the round-10 window
+# (temperature_mix, dedup_report, dup_source_matrix — strict bit-exact
+# locally); (2) the eight r7-vintage gates, closing the freshness tail
+# at r8 (bpe_segment, histogram, json_extract, project/quantize
+# embeddings, rolling, row_numbers, sorted_groups_running_sum); (3)
+# every gate whose PLAN or VALUES changed in round 11 — the CC-family
+# restructure (near_dup_clusters, dedup_keep_best, cluster_splits,
+# label_propagation, semantic_dedup, ahash_near_dup), the exactness
+# upgrades whose values moved on the snap grid (bm25,
+# doc_logprob_bigram) and doc_logprob (upstream unigram_lm gained a
+# pruned-away prob column), the null-safe target_encode oracle text,
+# and the global_top_n routing (dsir_select, weighted_sample — plans
+# identical at gate scale, certified anyway); (4) oldest-r8 gates
+# alphabetical to fill 50.  Pre-round local sweep: 49/50 strict
+# bit-exact; the one exception is embedding_near_dup_pairs — a
+# documented EXACTNESS.md ulp-band member (numpy BLAS pairwise sums),
+# green at the driver's tolerance and driver-hash-green in r8.
+# Deferred to 51+: the remaining r8 gates, then r9, then r10.
 _PRIORITY = [
-    # --- round-10 window (positions 1-50) ---
-    # 1-7: the seven r6-vintage gates (oldest driver evidence)
-    "multimodal_frames_documents",
-    "multimodal_resize_documents",
-    "pivot_events",
-    "profile_orders",
-    "repeat_upsample_documents",
-    "resample_mix_documents",
-    "vocab_coverage_documents",
-    # 8-13: plans changed THIS round (bm25 sum order; the four
-    # window-attached-totals restructures; prefix_jaccard's lossless
-    # PPJoin positional+length candidate filters — all r9-vintage
-    # evidence, values provably unchanged)
-    "bm25_documents",
-    "target_encode_documents",
-    "reliability_documents",
-    "pmi_pairs_documents",
-    "doc_logprob_bigram_documents",
-    "prefix_jaccard_documents",
-    # 13-50: 38 of the 45 r7-vintage gates, alphabetical; includes
-    # embedding_stats_embeddings, whose OUTPUT SCHEMA changed this
-    # round (new n_overflow counter, oracle updated in lock-step) and
-    # the five r7-vintage restructured gates (doc_logprob, dsir_weights,
-    # heavy_keys, mix_report, psi_report).
-    "ahash_documents",
-    "approx_quantiles_events",
-    "bloom_prune_orders",
-    "bucketed_join_orders_customer",
-    "cap_per_source_documents",
-    "chunk_documents",
-    "cluster_splits_documents",
-    "cms_counts_documents",
-    "dedup_against_documents",
-    "dedup_keep_best_documents",
-    "diff_lineitem",
-    "doc_logprob_documents",
-    "dsir_select_documents",
-    "dsir_weights_documents",
-    "embedding_stats_embeddings",
-    "fit_logistic_documents",
-    "group_centroids_embeddings",
-    "group_quantiles_events",
-    "heavy_hitters_documents",
-    "heavy_keys_events",
-    "hll_distinct_events",
-    "kmv_distinct_events",
-    "kmv_overlap_orders_customer",
-    "mix_report_documents",
-    "paragraph_dedup_documents",
-    "psi_report_events",
-    "quality_rules_documents",
-    "semantic_dedup_embeddings",
-    "sparse_cosine_documents",
-    "token_budget_documents",
-    "top_per_group_documents",
-    "weighted_sample_documents",
-    "winnow_fingerprints_documents",
-    "winnow_overlap_documents",
-    "winsorize_events",
-    "zipf_report_documents",
-    "zorder_events",
-    # --- positions 51+: deferred r7 trio, then r8-, then r9-vintage ---
-    "json_extract_events",
-    "rolling_events",
-    "quantize_embeddings",
-    "project_embeddings",
+    "temperature_mix_documents",
+    "dedup_report_documents",
+    "dup_source_matrix_documents",
     "bpe_segment_documents",
     "histogram_lineitem_price",
+    "json_extract_events",
+    "project_embeddings",
+    "quantize_embeddings",
+    "rolling_events",
     "row_numbers_orders",
     "sorted_groups_running_sum",
+    "near_dup_clusters_documents",
+    "dedup_keep_best_documents",
+    "cluster_splits_documents",
+    "label_propagation_lineitem",
+    "semantic_dedup_embeddings",
+    "ahash_near_dup_documents",
+    "bm25_documents",
+    "doc_logprob_bigram_documents",
+    "doc_logprob_documents",
+    "target_encode_documents",
+    "dsir_select_documents",
+    "weighted_sample_documents",
     "asof_join_events",
     "char_entropy_documents",
     "count_null_events",
@@ -134,7 +90,6 @@ _PRIORITY = [
     "language_id_documents",
     "minhash_signatures_documents",
     "multimodal_decode_documents",
-    "near_dup_clusters_documents",
     "ngram_jaccard_documents",
     "pack_blocks_documents",
     "parquet_block_columns_orders",
@@ -162,7 +117,6 @@ _PRIORITY = [
     "time_bucket_rollup_events",
     "weighted_quantiles_documents",
     "write_partitioned_read_back",
-    "ahash_near_dup_documents",
     "asof_join_forward_events",
     "asof_join_nearest_events",
     "association_rules_lineitem",
@@ -174,10 +128,8 @@ _PRIORITY = [
     "cohort_retention_events",
     "corr_matrix_lineitem",
     "decayed_aggregates_events",
-    "dedup_report_documents",
     "differential_join_lineitem_orders",
     "discretize_events",
-    "dup_source_matrix_documents",
     "feature_hash_events",
     "funnel_events",
     "fuzzy_pairs_part",
@@ -187,7 +139,6 @@ _PRIORITY = [
     "interval_join_events",
     "k_core_lineitem",
     "ks_report_events",
-    "label_propagation_lineitem",
     "length_batches_documents",
     "mad_outliers_events",
     "near_dedup_against_documents",
@@ -201,12 +152,52 @@ _PRIORITY = [
     "scd2_merge_orders",
     "semantic_decontam_embeddings",
     "snapshot_delta_orders",
-    "temperature_mix_documents",
     "transition_matrix_events",
     "triangle_counts_lineitem",
     "ttest_events",
     "vocab_curve_documents",
     "zscore_events",
+    "ahash_documents",
+    "approx_quantiles_events",
+    "bloom_prune_orders",
+    "bucketed_join_orders_customer",
+    "cap_per_source_documents",
+    "chunk_documents",
+    "cms_counts_documents",
+    "dedup_against_documents",
+    "diff_lineitem",
+    "dsir_weights_documents",
+    "embedding_stats_embeddings",
+    "fit_logistic_documents",
+    "group_centroids_embeddings",
+    "group_quantiles_events",
+    "heavy_hitters_documents",
+    "heavy_keys_events",
+    "hll_distinct_events",
+    "kmv_distinct_events",
+    "kmv_overlap_orders_customer",
+    "mix_report_documents",
+    "multimodal_frames_documents",
+    "multimodal_resize_documents",
+    "paragraph_dedup_documents",
+    "pivot_events",
+    "pmi_pairs_documents",
+    "prefix_jaccard_documents",
+    "profile_orders",
+    "psi_report_events",
+    "quality_rules_documents",
+    "reliability_documents",
+    "repeat_upsample_documents",
+    "resample_mix_documents",
+    "sparse_cosine_documents",
+    "token_budget_documents",
+    "top_per_group_documents",
+    "vocab_coverage_documents",
+    "winnow_fingerprints_documents",
+    "winnow_overlap_documents",
+    "winsorize_events",
+    "zipf_report_documents",
+    "zorder_events",
 ]
 
 
