@@ -40,12 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # upgrades whose values moved on the snap grid (bm25,
 # doc_logprob_bigram) and doc_logprob (upstream unigram_lm gained a
 # pruned-away prob column), the null-safe target_encode oracle text,
-# and the global_top_n routing (dsir_select, weighted_sample — plans
-# identical at gate scale, certified anyway); (4) oldest-r8 gates
-# alphabetical to fill 50.  Pre-round local sweep: 49/50 strict
-# bit-exact; the one exception is embedding_near_dup_pairs — a
-# documented EXACTNESS.md ulp-band member (numpy BLAS pairwise sums),
-# green at the driver's tolerance and driver-hash-green in r8.
+# pagerank (edge list pre-partitioned on src this round; values
+# partitioning-independent by the decimal-sum design), and k_core
+# (monotone early exit this round; value-identity is a theorem,
+# strict-verified).  The global_top_n-routed dsir_select /
+# weighted_sample have byte-identical plans at gate scale and defer to
+# the tail to make room.  (4) oldest-r8 gates alphabetical to fill 50.
+# Pre-round
+# local sweep: 48/50 strict bit-exact; the two exceptions are
+# documented EXACTNESS.md ulp-band members green at driver tolerance
+# (embedding_near_dup_pairs — numpy BLAS; pagerank_orders —
+# DOUBLE→DECIMAL(38,20) quantization), both driver-hash-green before.
 # Deferred to 51+: the remaining r8 gates, then r9, then r10.
 _PRIORITY = [
     "temperature_mix_documents",
@@ -69,8 +74,8 @@ _PRIORITY = [
     "doc_logprob_bigram_documents",
     "doc_logprob_documents",
     "target_encode_documents",
-    "dsir_select_documents",
-    "weighted_sample_documents",
+    "k_core_lineitem",
+    "pagerank_orders",
     "asof_join_events",
     "char_entropy_documents",
     "count_null_events",
@@ -137,13 +142,13 @@ _PRIORITY = [
     "hilbert_events",
     "interleave_mix_documents",
     "interval_join_events",
-    "k_core_lineitem",
+    "dsir_select_documents",
     "ks_report_events",
     "length_batches_documents",
     "mad_outliers_events",
     "near_dedup_against_documents",
     "ngram_containment_documents",
-    "pagerank_orders",
+    "weighted_sample_documents",
     "plan_compaction_documents",
     "prune_files_orders",
     "rank_normalize_events",

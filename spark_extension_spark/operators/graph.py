@@ -67,7 +67,13 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     d = float(damping)
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # hash-partitioned on src ONCE: every iteration joins ranks onto the
+    # edges by src, and the out-degree count groups by src — with the
+    # scan's arbitrary layout both reshuffled the full edge list every
+    # round (the round-11 CC/LPA finding applied to pagerank)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).repartition(
+        "src"
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -330,11 +336,20 @@ def k_core(
 
     Lineage is truncated with ``localCheckpoint`` every
     ``checkpoint_every`` passes — the iterative-plan guard shared
-    with :func:`pagerank` and connected components.  Pass an
-    ``unpersist_handle`` to free the last checkpoint generation when
-    done with the result (it backs the returned frame's lineage, so it
-    stays live until then; without a handle it falls to GC).
+    with :func:`pagerank` and connected components.  Peeling is
+    monotone (passes only REMOVE edges), so a pass that leaves the
+    edge COUNT unchanged left the edge SET unchanged and every further
+    pass is a provable no-op: the loop exits early then, with a result
+    identical to running all ``rounds`` (and to :func:`k_core_sql`'s
+    full unroll).  The count rides an :class:`~pyspark.sql.Observation`
+    on the checkpoint job the loop already pays — early exit costs
+    zero extra actions.  Pass an ``unpersist_handle`` to free the last
+    checkpoint generation when done with the result (it backs the
+    returned frame's lineage, so it stays live until then; without a
+    handle it falls to GC).
     """
+    from pyspark.sql import Observation
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
@@ -343,13 +358,16 @@ def k_core(
     # lag-1 cycling: each pass reads only the previous edge set, so the
     # superseded checkpoint is freed as soon as the next one lands
     cycler = LocalCheckpointCycler(edges.sparkSession, lag=1)
+    prev_edges = None
     if checkpoint_every:
         # checkpoint the canonical edge set BEFORE the loop: pass 0
         # consumes it three times (two degree projections + the
         # semi-join base), and un-truncated each consumer re-runs the
         # distinct-union over the source — the sibling iteratives
         # (pagerank, LPA) pin their base frames the same way
-        cur = cycler.checkpoint(cur)
+        obs0 = Observation()
+        cur = cycler.checkpoint(cur.observe(obs0, F.count(F.lit(1)).alias("n")))
+        prev_edges = obs0.get["n"]
     for r in range(int(rounds)):
         deg = degrees_from_canonical(cur)
         keep = deg.where(F.col("degree") >= int(k)).select("id")
@@ -358,7 +376,12 @@ def k_core(
             .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
         )
         if checkpoint_every and (r + 1) % int(checkpoint_every) == 0 and r + 1 < rounds:
-            cur = cycler.checkpoint(cur)
+            obs = Observation()
+            cur = cycler.checkpoint(cur.observe(obs, F.count(F.lit(1)).alias("n")))
+            n_edges = obs.get["n"]
+            if n_edges == prev_edges:
+                break  # fixed point: every remaining pass is a no-op
+            prev_edges = n_edges
     # the last live generation backs the returned frame's lineage and
     # cannot be freed here; the caller's handle frees it when done
     if unpersist_handle is not None:
