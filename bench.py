@@ -99,6 +99,32 @@ SPREAD_RATIO = float(os.environ.get("SPARK_GRAFT_SPREAD_RATIO", "2.5"))
 SPREAD_ABS = float(os.environ.get("SPARK_GRAFT_SPREAD_ABS", "0.5"))
 
 
+def _needs_rerun(runs, qload) -> bool:
+    """True while the accumulated runs don't yet contain a trustworthy
+    triple: fewer than three non-stolen runs, or the three fastest
+    non-stolen runs are spread wider than the contamination thresholds
+    (see the trigger notes above).  Pure function — unit-tested."""
+    clean = [runs[i] for i in range(len(runs)) if qload[i]["steal"] <= STEAL_FLAG]
+    if len(clean) < 3:
+        return True
+    best3 = sorted(clean)[:3]
+    return best3[-1] - best3[0] > SPREAD_ABS and best3[-1] > SPREAD_RATIO * best3[0]
+
+
+def _select_median(runs, qload, extras):
+    """(median_seconds, picked_indices_or_None).  With no extras the
+    historical median-of-the-initial-3 is preserved exactly; with
+    extras the median is over the three cleanest runs — non-stolen
+    first, then lowest wall (for in-VM contention steal is flat, so
+    wall is the only discriminator).  Pure function — unit-tested."""
+    if extras == 0:
+        return round(sorted(runs)[1], 3), None
+    sel = sorted(
+        range(len(runs)), key=lambda i: (qload[i]["steal"] > STEAL_FLAG, runs[i])
+    )[:3]
+    return round(sorted(runs[i] for i in sel)[1], 3), sorted(sel)
+
+
 def _repack(src: str, dst: str, target_groups: int = 32) -> None:
     """Rewrite each table in ``src`` into ``dst`` with ~target_groups row
     groups so the parquet scan is splittable.  Schema-preserving
@@ -420,38 +446,15 @@ def main() -> None:
         # contamination-aware re-runs (see the trigger notes at top):
         # top up while the triple looks stolen or wildly spread, until
         # the extra budget is spent
-        def _contaminated():
-            clean = [
-                runs[i] for i in range(len(runs)) if qload[i]["steal"] <= STEAL_FLAG
-            ]
-            if len(clean) < 3:
-                return True  # stolen runs in the would-be triple
-            best3 = sorted(clean)[:3]
-            return (
-                best3[-1] - best3[0] > SPREAD_ABS
-                and best3[-1] > SPREAD_RATIO * best3[0]
-            )
-
         extras = 0
-        while extras < STEAL_MAX_EXTRA and _contaminated():
+        while extras < STEAL_MAX_EXTRA and _needs_rerun(runs, qload):
             r, l = _timed_run()
             runs.append(r)
             qload.append(l)
             extras += 1
-        if extras == 0:
-            # quiet triple: exactly the historical median-of-3
-            timings[name] = round(sorted(runs)[1], 3)
-        else:
-            # median over the three cleanest runs: non-stolen first,
-            # then lowest wall (for in-VM contention steal is flat, so
-            # wall is the only discriminator; the raw runs stay in the
-            # artifact for audit)
-            sel = sorted(
-                range(len(runs)),
-                key=lambda i: (qload[i]["steal"] > STEAL_FLAG, runs[i]),
-            )[:3]
-            timings[name] = round(sorted(runs[i] for i in sel)[1], 3)
-            picked[name] = sorted(sel)
+        timings[name], sel = _select_median(runs, qload, extras)
+        if sel is not None:
+            picked[name] = sel
         spreads[name] = [round(r, 3) for r in runs]
         loads[name] = qload
         # Operators that persist internally (CC, triangles, row numbers, ...)

@@ -43,3 +43,59 @@ def test_repack_splits_large_tables(tmp_path):
     expect = math.ceil(rows / max(32, math.ceil(rows / 32)))
     assert li.metadata.num_row_groups == expect
     assert li.metadata.num_row_groups > 1  # the point of the exercise
+
+
+# ---------------------------------------------------------------------------
+# contamination-aware run selection (pure functions, no Spark)
+# ---------------------------------------------------------------------------
+
+def _load(steals):
+    return [{"la1": 0.0, "busy": 0, "steal": s} for s in steals]
+
+
+def test_quiet_triple_keeps_historical_median():
+    from bench import _needs_rerun, _select_median
+
+    runs = [1.2, 1.0, 1.1]
+    ql = _load([0, 3, 1])
+    assert not _needs_rerun(runs, ql)
+    med, picked = _select_median(runs, ql, extras=0)
+    assert med == 1.1 and picked is None
+
+
+def test_stolen_run_triggers_and_selection_prefers_clean():
+    from bench import _needs_rerun, _select_median
+
+    runs = [1.0, 4.0, 1.1]          # run 2 stolen and slow
+    ql = _load([0, 900, 2])
+    assert _needs_rerun(runs, ql)   # only 2 clean runs
+    runs.append(1.05)               # the re-run
+    ql.append({"la1": 0.0, "busy": 0, "steal": 1})
+    assert not _needs_rerun(runs, ql)
+    med, picked = _select_median(runs, ql, extras=1)
+    # median over the three clean runs (1.0, 1.05, 1.1); stolen run out
+    assert med == 1.05 and 1 not in picked
+
+
+def test_spread_triggers_without_steal_and_selects_low_wall():
+    from bench import _needs_rerun, _select_median
+
+    # the round-11 in-VM reclaim signature: 9.4/5.0/3.4 on a ~1.6s
+    # query, steal flat — must trigger despite zero stolen runs
+    runs = [9.4, 5.0, 3.4]
+    ql = _load([52, 72, 16])
+    assert _needs_rerun(runs, ql)
+    runs += [1.7, 1.6]
+    ql += _load([2, 1])
+    assert not _needs_rerun(runs, ql)  # best3 = 1.6/1.7/3.4: 2.1x < 2.5x ratio
+    med, picked = _select_median(runs, ql, extras=2)
+    # three lowest-wall runs are 1.6, 1.7, 3.4 -> median 1.7
+    assert med == 1.7 and picked == [2, 3, 4]
+
+
+def test_small_absolute_spread_never_triggers():
+    from bench import _needs_rerun
+
+    # sub-second queries routinely spread 3x in wall with no
+    # contamination (scheduler jitter); the absolute floor gates that
+    assert not _needs_rerun([0.05, 0.12, 0.14], _load([0, 0, 0]))
