@@ -824,15 +824,30 @@ def connected_components(
     ``_warn_stacklevel`` lets the composed operators that wrap this one
     point the warning at *their* caller instead of library internals.
     """
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    fwd.count()  # force: upstream pair pipelines are expensive; run once
-    # hash-partitioned on src ONCE: every label step joins on src, and
-    # the seed distinct + per-step joins are then exchange-free (the
-    # former (src,dst)-hashed layout reshuffled the full edge list into
-    # the join EVERY step)
-    sym = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().repartition("src").persist()
+    # Symmetrize in ONE pass over the (possibly expensive) upstream
+    # pair pipeline: explode each edge into both directions instead of
+    # a union of two scans.  The union form needed a separate
+    # persist+count of the forward edges so its two branches would not
+    # re-run the pair generation; the explode form reads it exactly
+    # once inside sym's own forcing action — one cache and one job
+    # fewer per call.  Hash-partitioned on src ONCE: every label step
+    # joins on src, and the seed distinct + per-step joins are then
+    # exchange-free (an arbitrary layout would reshuffle the full edge
+    # list into the join EVERY step).
+    both_dirs = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+        )
+    )
+    sym = (
+        edges.select(both_dirs.alias("__e"))
+        .select("__e.src", "__e.dst")
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    sym.count()  # force once: later consumers read the warm cache
     spark = edges.sparkSession
     cycler = None
     ok = False
@@ -857,7 +872,6 @@ def connected_components(
         ok = True
         return out
     finally:
-        fwd.unpersist()
         sym.unpersist()
         if cycler is not None:
             if not ok:
