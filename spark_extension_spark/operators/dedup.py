@@ -797,9 +797,11 @@ def connected_components(
     contraction, O(log^2 n) rounds on any graph — use for adversarial
     long-chain graphs where diameter-many label steps would be slow.
 
-    The (possibly expensive) upstream ``edges`` pipeline is persisted
-    and forced ONCE before symmetrization — without that, the union's
-    two branches would each recompute the full pair-generation DAG.
+    The (possibly expensive) upstream ``edges`` pipeline is read
+    exactly once: symmetrization explodes each edge into both
+    directions in a single pass (a union of two scans would recompute
+    the full pair-generation DAG per branch), and the symmetric edge
+    set is persisted and forced before the loop.
     The returned labels are persisted (already materialized — reading
     them costs nothing); pass an ``unpersist_handle`` to release that
     cache when done, as with the other persisting dedup operators.
