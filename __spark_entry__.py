@@ -43,10 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # pagerank (edge list pre-partitioned on src this round; values
 # partitioning-independent by the decimal-sum design), and k_core
 # (monotone early exit this round; value-identity is a theorem,
-# strict-verified).  The global_top_n-routed dsir_select /
-# weighted_sample have byte-identical plans at gate scale and defer to
-# the tail to make room.  (4) oldest-r8 gates alphabetical to fill 50.
-# Pre-round
+# strict-verified), and association_rules (membership persisted +
+# forced, basket total as a plan literal — the two-consumer-trap fix).
+# The global_top_n-routed dsir_select / weighted_sample have
+# byte-identical plans at gate scale and defer to the tail to make
+# room, as does range_join (r8 freshness filler; the r8-vintage
+# criterion is already met by the 8 r7 upgrades).  (4) oldest-r8 gates
+# alphabetical to fill 50.  Pre-round
 # local sweep: 48/50 strict bit-exact; the two exceptions are
 # documented EXACTNESS.md ulp-band members green at driver tolerance
 # (embedding_near_dup_pairs — numpy BLAS; pagerank_orders —
@@ -102,7 +105,7 @@ _PRIORITY = [
     "parquet_metadata_lineitem",
     "parquet_partitions_lineitem",
     "parquet_schema_lineitem",
-    "range_join_events_bands",
+    "association_rules_lineitem",
     "repetition_metrics_documents",
     "row_numbers_contract_customer",
     "salted_join_lineitem_orders",
@@ -124,7 +127,7 @@ _PRIORITY = [
     "write_partitioned_read_back",
     "asof_join_forward_events",
     "asof_join_nearest_events",
-    "association_rules_lineitem",
+    "range_join_events_bands",
     "audio_stats_documents",
     "bpe_pair_counts_documents",
     "bpe_train_documents",

@@ -33,6 +33,7 @@ def association_rules(
     item_col: str,
     min_count: int = 2,
     max_basket_size: Optional[int] = 1000,
+    unpersist_handle=None,
 ) -> DataFrame:
     """Association rules over item pairs co-occurring in a basket:
     one row per ordered pair ``(antecedent, consequent)`` whose
@@ -50,6 +51,15 @@ def association_rules(
     entirely (quadratic pair fan-out; ``None`` disables the cap).
     All metrics are exact integer ratios evaluated as single double
     divisions — engine-replayable.
+
+    The deduplicated (basket, item) membership feeds FOUR consumers
+    (basket total, per-item counts, both self-join sides), so it is
+    persisted and forced once by the basket-count action — unpersisted,
+    each consumer re-ran the scan+distinct (the round-10 REST-census
+    two-consumer trap), and AQE's parallel broadcast builds race a lazy
+    cache.  The basket total rides into the metrics as a driver
+    literal, which also removes the former 1-row cross join.  Pass
+    ``unpersist_handle`` to release the membership cache when done.
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
@@ -67,9 +77,13 @@ def association_rules(
             .select("__b")
         )
         mem = mem.join(ok, "__b", "left_semi")
-    n_baskets = mem.agg(
-        F.count_distinct(F.col("__b")).cast("long").alias("__nb")
-    )
+    mem = mem.persist()
+    if unpersist_handle is not None:
+        unpersist_handle.set_dataframe(mem)
+    # one action: forces the membership cache AND yields the exact
+    # basket total as a plan literal (identical value to the former
+    # count_distinct aggregate — mem is already (basket, item) distinct)
+    n_baskets = mem.select("__b").distinct().count()
     item_counts = mem.groupBy(F.col("__i").alias("antecedent")).agg(
         F.count(F.lit(1)).cast("long").alias("__na")
     )
@@ -85,12 +99,10 @@ def association_rules(
     cons_counts = item_counts.select(
         F.col("antecedent").alias("consequent"), F.col("__na").alias("__nc")
     )
-    out = (
-        pairs.join(F.broadcast(item_counts), "antecedent")
-        .join(F.broadcast(cons_counts), "consequent")
-        .crossJoin(F.broadcast(n_baskets))
+    out = pairs.join(F.broadcast(item_counts), "antecedent").join(
+        F.broadcast(cons_counts), "consequent"
     )
-    nb = F.col("__nb").cast("double")
+    nb = F.lit(int(n_baskets)).cast("double")
     support = F.col("n_ab").cast("double") / nb
     confidence = F.col("n_ab").cast("double") / F.col("__na").cast("double")
     lift = (
