@@ -15,7 +15,11 @@ source across rounds (r3->r4 adjudication cost — see VERDICT r4
 "Bench noise floor"; simhash's 64-sum aggregate costs ~9 s to compile
 vs 2.6 s steady-state).  It then runs three times at the bench SF and
 the MEDIAN is reported, which discards a residual outlier pass while
-staying robust to a lucky fast run, which min-of-2 was not.
+staying robust to a lucky fast run, which min-of-2 was not.  When a
+triple looks contaminated (hypervisor steal, or an in-VM load burst —
+see the trigger notes below), up to two re-runs are taken and the
+median is over the three cleanest runs; all raw runs stay in
+bench_detail.json.
 
 The one-line JSON uses short positional keys ("q1".."qN", in HEADLINE
 order) because the recording harness captures only the last ~2000
