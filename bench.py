@@ -515,13 +515,19 @@ def main() -> None:
                 # class behind BENCH_r09's phantom 70 % regression; a
                 # slow run with high steal is machine noise, in-artifact
                 "load": loads,
-                # queries whose initial triple contained a run with
-                # steal > STEAL_FLAG jiffies: re-run up to
+                # queries whose initial triple tripped EITHER re-run
+                # trigger (steal > steal_flag jiffies, OR a clean-run
+                # spread wider than spread_ratio x with spread_abs
+                # seconds between the three fastest — the in-VM
+                # contention class, steal stays ~0 there): re-run up to
                 # STEAL_MAX_EXTRA times, median taken over the listed
-                # (lowest-steal) run indices — the raw contaminated runs
-                # stay in `runs`/`load` above for audit
+                # run indices (non-stolen first, then lowest wall) —
+                # the raw contaminated runs stay in `runs`/`load`
+                # above for audit
                 "picked": picked,
                 "steal_flag": STEAL_FLAG,
+                "spread_ratio": SPREAD_RATIO,
+                "spread_abs": SPREAD_ABS,
                 "sf": sf,
                 # totals are only comparable round-over-round on the
                 # same layout — false means the repack fell back to the

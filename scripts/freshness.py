@@ -28,11 +28,15 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def ledger() -> dict[str, dict]:
     """gate -> {round, green, history: [(round, green), ...]}."""
     out: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+    # order by the PARSED round number, not filename: lexicographic
+    # order lies as soon as round numbers mix digit counts (r100 sorts
+    # between r10 and r11), and "latest" keeps the last file visited
+    paths = []
+    for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            paths.append((int(m.group(1)), path))
+    for rnd, path in sorted(paths):
         with open(path) as f:
             data = json.load(f)
         for gate, res in data.items():

@@ -19,10 +19,13 @@ explicit-cap discipline as the dedup operators.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..utils import UnpersistHandle
 
 __all__ = ["association_rules"]
 
@@ -33,7 +36,7 @@ def association_rules(
     item_col: str,
     min_count: int = 2,
     max_basket_size: Optional[int] = 1000,
-    unpersist_handle=None,
+    unpersist_handle: Optional["UnpersistHandle"] = None,
 ) -> DataFrame:
     """Association rules over item pairs co-occurring in a basket:
     one row per ordered pair ``(antecedent, consequent)`` whose
@@ -59,7 +62,9 @@ def association_rules(
     two-consumer trap), and AQE's parallel broadcast builds race a lazy
     cache.  The basket total rides into the metrics as a driver
     literal, which also removes the former 1-row cross join.  Pass
-    ``unpersist_handle`` to release the membership cache when done.
+    ``unpersist_handle`` to release the membership cache when done;
+    without one the cache lives until session GC (the same contract as
+    the dedup pair generators' internal persists).
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")

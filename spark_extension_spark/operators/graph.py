@@ -478,8 +478,19 @@ def label_propagation(
     if unpersist_handle is not None:
         unpersist_handle.set_dataframe(both)
 
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
     labels = both.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
+    )
+    # the aggregate argmax needs an order-reversing encoding of the
+    # label for the tie-break (max(-label) == min(label)); that only
+    # exists for numeric ids, so non-numeric (e.g. string host) ids
+    # keep the row_number window form the aggregate replaced
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
     )
 
     # lag-1 cycling (each round votes from the previous labels only)
@@ -491,17 +502,31 @@ def label_propagation(
             .unionAll(labels)  # self-vote
         )
         counts = votes.groupBy("id", "label").agg(F.count(F.lit(1)).alias("__c"))
-        # argmax by (count desc, label asc): labels are non-negative
-        # ids, so max(-label) == min(label) exactly (integer negation)
-        labels = (
-            counts.groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(F.col("__c").alias("c"), (-F.col("label")).alias("nl"))
-                ).alias("__b")
+        if numeric_ids:
+            # argmax by (count desc, label asc) as a map-side-combined
+            # aggregate: max(-label) == min(label) exactly (integer
+            # negation is order-reversing and lossless)
+            labels = (
+                counts.groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("__c").alias("c"), (-F.col("label")).alias("nl")
+                        )
+                    ).alias("__b")
+                )
+                .select("id", (-F.col("__b.nl")).alias("label"))
             )
-            .select("id", (-F.col("__b.nl")).alias("label"))
-        )
+        else:
+            # orderable-but-not-negatable ids: the window argmax over
+            # the label-cardinality-sized count frame
+            labels = (
+                counts.select(
+                    "id", "label", F.row_number().over(w_rank).alias("__rn")
+                )
+                .where(F.col("__rn") == 1)
+                .select("id", "label")
+            )
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
             labels = cycler.checkpoint(labels)
 

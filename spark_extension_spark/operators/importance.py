@@ -237,6 +237,7 @@ def select_by_importance(
     logw_col: str = "logw",
     seed: int = 123,
     temperature: float = 1.0,
+    unpersist_handle=None,
 ) -> DataFrame:
     """Sample ``n`` documents without replacement with probability
     ∝ ``exp(logw / temperature)`` — the Gumbel-top-k trick: rank by
@@ -281,7 +282,10 @@ def select_by_importance(
     from .sampling import global_top_n
 
     return global_top_n(
-        keyed, [F.col("gumbel_key").desc(), _col(id_col).asc()], int(n)
+        keyed,
+        [F.col("gumbel_key").desc(), _col(id_col).asc()],
+        int(n),
+        unpersist_handle=unpersist_handle,
     )
 
 

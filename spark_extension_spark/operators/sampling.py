@@ -514,6 +514,7 @@ def weighted_sample(
     id_col: Union[str, Column],
     by: Sequence[str] = (),
     seed: int = 42,
+    unpersist_handle=None,
 ) -> DataFrame:
     """Weighted sampling without replacement, ``k`` rows (per group):
     each row's inclusion probability is proportional to its weight —
@@ -565,7 +566,10 @@ def weighted_sample(
     # sort+rank above TOP_N_SPILL_THRESHOLD (the per-task heap does
     # not spill — see global_top_n)
     return global_top_n(
-        eligible, [F.col("__priority").asc(), _col(id_col).asc()], int(k)
+        eligible,
+        [F.col("__priority").asc(), _col(id_col).asc()],
+        int(k),
+        unpersist_handle=unpersist_handle,
     ).drop("__priority")
 
 

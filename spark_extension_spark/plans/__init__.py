@@ -79,8 +79,23 @@ def unpartitioned_windows(df: DataFrame) -> List[str]:
     the partition expressions carry no sort direction, order
     expressions end in ``ASC/DESC NULLS ...`` — an empty partition
     clause means the FIRST argument is already a sort-order expression
-    (or the frame itself, for the degenerate no-order spec)."""
-    text = df._jdf.queryExecution().executedPlan().toString()
+    (or the frame itself, for the degenerate no-order spec).
+
+    The plan string is rendered with ``spark.sql.debug.maxToStringFields``
+    raised for the call: at its default (25) a wide plan elides
+    expression lists as "... N more fields", which would silently drop
+    a hazard window from the scan — a false negative in the CI gate."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    old = conf.get(key, None)
+    conf.set(key, "1000000")
+    try:
+        text = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
     out = []
     for m in re.finditer(r"windowspecdefinition\(", text):
         # capture the argument list up to the matching close paren

@@ -1120,3 +1120,83 @@ def test_paragraph_dedup_null_text_passthrough(spark):
     assert got[3]["text"] is None
     assert got[3]["n_paragraphs"] == 0 and got[3]["n_removed"] == 0
     assert got[1]["n_removed"] == 1 and got[1]["text"] == "b"
+
+
+def test_observation_fulfilled_by_eager_local_checkpoint(spark):
+    # Load-bearing assumption of the CC / k_core convergence reads:
+    # Dataset.checkpoint routes through the action path, so an
+    # Observation attached below an EAGER localCheckpoint is fulfilled
+    # by the checkpoint job itself.  Observation.get blocks forever if
+    # a Spark upgrade changes that, so pin it with a timeout here
+    # instead of discovering it as a hung driver run.
+    import threading
+
+    from pyspark.sql import Observation
+
+    df = spark.range(100).withColumn("label", F.col("id") % 3)
+    obs = Observation()
+    ck = df.observe(
+        obs, F.count(F.when(F.col("label") == 0, 1)).alias("n")
+    ).localCheckpoint(eager=True)
+    got = {}
+    t = threading.Thread(target=lambda: got.update(obs.get), daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert got.get("n") == 34, (
+        f"Observation not fulfilled by eager localCheckpoint (got {got}) — "
+        f"the CC/k_core convergence reads would hang; restore a separate "
+        f"count() action if Spark changed the checkpoint action path"
+    )
+    assert ck.count() == 100
+
+
+def test_label_propagation_string_node_ids(spark):
+    # the aggregate argmax negates the label for its tie-break, which
+    # only exists for numeric ids — string ids must fall back to the
+    # window argmax instead of silently NULLing (ANSI off) or throwing
+    # (ANSI on).  Two triangles joined by one bridge edge: each keeps
+    # its lexicographically-smallest member as the community label.
+    from spark_extension_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"),
+         ("c", "x")],
+        ["src", "dst"],
+    )
+    got = {r["id"]: r["label"] for r in label_propagation(edges, iterations=4).collect()}
+    assert None not in got.values()
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+
+    # numeric ids take the aggregate path; same graph as integers must
+    # produce the isomorphic communities
+    int_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        ["src", "dst"],
+    )
+    got_i = {r["id"]: r["label"] for r in label_propagation(int_edges, iterations=4).collect()}
+    assert got_i[1] == got_i[2] == got_i[3] == 1
+    assert got_i[10] == got_i[11] == got_i[12] == 10
+
+
+def test_weighted_sample_large_k_forwards_unpersist_handle(spark, monkeypatch):
+    # the spillable global_top_n path persists the sorted corpus via
+    # with_row_numbers; the handle must flow through so callers can
+    # release it (the leak class UnpersistHandle exists to prevent)
+    from spark_extension_spark.operators import sampling
+    from spark_extension_spark.operators.sampling import weighted_sample
+    from spark_extension_spark.utils import UnpersistHandle
+
+    def cached_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    monkeypatch.setattr(sampling, "TOP_N_SPILL_THRESHOLD", 5)
+    df = spark.createDataFrame([(i, float(i % 9 + 1)) for i in range(200)], ["id", "w"])
+    before = cached_ids()
+    h = UnpersistHandle()
+    got = weighted_sample(df, 50, "w", "id", unpersist_handle=h).collect()
+    assert len(got) == 50
+    assert cached_ids() - before  # the spillable path cached the sort
+    h(blocking=True)
+    assert cached_ids() <= before
