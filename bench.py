@@ -19,7 +19,12 @@ staying robust to a lucky fast run, which min-of-2 was not.  When a
 triple looks contaminated (hypervisor steal, or an in-VM load burst —
 see the trigger notes below), up to two re-runs are taken and the
 median is over the three cleanest runs; all raw runs stay in
-bench_detail.json.
+bench_detail.json.  A third trigger catches what those two cannot: a
+TIGHT but uniformly slow triple caused by in-sweep JVM/page-cache
+state — any query reading >FLOOR_RATIO x its committed quiet floor
+(BENCH_FLOOR_r{N}.json) is re-run as one fresh triple after the sweep
+and the better triple is kept (the `floor_rerun` record in
+bench_detail.json holds the adjudication).
 
 The one-line JSON uses short positional keys ("q1".."qN", in HEADLINE
 order) because the recording harness captures only the last ~2000
@@ -101,6 +106,67 @@ STEAL_FLAG = int(os.environ.get("SPARK_GRAFT_STEAL_FLAG", "200"))
 STEAL_MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_STEAL_EXTRA", "2"))
 SPREAD_RATIO = float(os.environ.get("SPARK_GRAFT_SPREAD_RATIO", "2.5"))
 SPREAD_ABS = float(os.environ.get("SPARK_GRAFT_SPREAD_ABS", "0.5"))
+
+# FLOOR trigger (round 12): the steal and spread triggers cannot catch
+# a triple that is TIGHT but uniformly slow — r11's dedup_keep_best
+# read 6.43 s in-sweep (runs 7.85/6.42/6.43, steal 3/7/24 — clean and
+# tight) vs 4.12 s in the same-code committed floor.  The cause is
+# in-sweep state (JVM heap / page-cache pressure accumulated over 151
+# back-to-back queries), not external load, so the remedy is a FRESH
+# CONTEXT: any query whose picked median exceeds FLOOR_RATIO x its
+# value in the latest committed BENCH_FLOOR_r{N}.json (by at least
+# FLOOR_ABS seconds, so sub-second queries don't re-run on jitter) is
+# re-run as a full fresh triple AFTER the sweep finishes, and the
+# better of the two triples is reported.  Both triples stay in
+# `runs`/`load`; the early-vs-late adjudication lands in
+# `floor_rerun`.  The floor file is a per-query map of quiet-machine
+# medians committed each round precisely so later rounds can tell
+# "this query got slower" from "this sweep got noisier".
+FLOOR_RATIO = float(os.environ.get("SPARK_GRAFT_FLOOR_RATIO", "1.25"))
+FLOOR_ABS = float(os.environ.get("SPARK_GRAFT_FLOOR_ABS", "0.25"))
+FLOOR_MAX = int(os.environ.get("SPARK_GRAFT_FLOOR_MAX", "25"))
+
+
+def _latest_floor(here: str):
+    """(queries_map, filename) from the newest committed
+    BENCH_FLOOR_r{N}.json next to this file, or ({}, None) when no
+    floor has been committed yet (round 1) or the file is unreadable.
+    Pure file I/O — unit-tested."""
+    import glob
+    import re
+
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_FLOOR_r*.json")):
+        m = re.search(r"BENCH_FLOOR_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        return {}, None
+    try:
+        with open(best) as f:
+            return json.load(f).get("queries", {}), os.path.basename(best)
+    except Exception:
+        return {}, None
+
+
+def _qkeys(names, keys):
+    """Comma-joined q-keys for the given query names, in key order,
+    truncated past 20 entries (the one-line JSON lives in a ~2000-char
+    stdout window).  Pure function — unit-tested."""
+    hits = [k for k, name in keys.items() if name in names]
+    return ",".join(hits[:20]) + (f",+{len(hits) - 20}" if len(hits) > 20 else "")
+
+
+def _floor_suspects(timings, floor):
+    """Queries whose swept median exceeds the committed floor by both
+    the ratio and absolute thresholds, worst excess first, capped at
+    FLOOR_MAX.  Pure function — unit-tested."""
+    out = []
+    for name, t in timings.items():
+        f = floor.get(name)
+        if f and t > FLOOR_RATIO * f and t - f > FLOOR_ABS:
+            out.append((t - f, name))
+    return [name for _, name in sorted(out, reverse=True)[:FLOOR_MAX]]
 
 
 def _needs_rerun(runs, qload) -> bool:
@@ -410,6 +476,37 @@ def main() -> None:
             sf_dir, warm_dir = new_sf, new_warm
             timings["ingest_repack"] = round(time.perf_counter() - t0, 3)
             repack_applied = True
+    def _timed_run(fn):
+        la1 = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+        busy0, steal0 = _cpu_sample()
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        busy1, steal1 = _cpu_sample()
+        return elapsed, {
+            "la1": round(la1, 2),
+            "busy": busy1 - busy0,
+            "steal": steal1 - steal0,
+        }
+
+    def _triple(fn):
+        """(median, picked_sel, raw_runs, raw_load): three timed runs
+        plus contamination-aware top-ups (see the trigger notes at
+        top)."""
+        runs, qload = [], []
+        for _ in range(3):
+            r, l = _timed_run(fn)
+            runs.append(r)
+            qload.append(l)
+        extras = 0
+        while extras < STEAL_MAX_EXTRA and _needs_rerun(runs, qload):
+            r, l = _timed_run(fn)
+            runs.append(r)
+            qload.append(l)
+            extras += 1
+        med, sel = _select_median(runs, qload, extras)
+        return med, sel, runs, qload
+
     for name in HEADLINE:
         if name not in QUERIES:
             continue  # tombstone: key reserved in BENCH_KEYS.md, no timing
@@ -428,35 +525,7 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; timing still works cold
 
-        def _timed_run():
-            la1 = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
-            busy0, steal0 = _cpu_sample()
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            busy1, steal1 = _cpu_sample()
-            return elapsed, {
-                "la1": round(la1, 2),
-                "busy": busy1 - busy0,
-                "steal": steal1 - steal0,
-            }
-
-        runs = []
-        qload = []
-        for _ in range(3):
-            r, l = _timed_run()
-            runs.append(r)
-            qload.append(l)
-        # contamination-aware re-runs (see the trigger notes at top):
-        # top up while the triple looks stolen or wildly spread, until
-        # the extra budget is spent
-        extras = 0
-        while extras < STEAL_MAX_EXTRA and _needs_rerun(runs, qload):
-            r, l = _timed_run()
-            runs.append(r)
-            qload.append(l)
-            extras += 1
-        timings[name], sel = _select_median(runs, qload, extras)
+        timings[name], sel, runs, qload = _triple(fn)
         if sel is not None:
             picked[name] = sel
         spreads[name] = [round(r, 3) for r in runs]
@@ -470,6 +539,36 @@ def main() -> None:
         spark.catalog.clearCache()
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    # FLOOR pass (see the trigger notes at top): queries that read
+    # tight-but-slow against the committed quiet floor get one fresh
+    # triple now, at the END of the sweep — after 150 queries' worth of
+    # JVM heap and page-cache churn has stopped accumulating under
+    # them.  The better triple wins; both are recorded.
+    floor, floor_file = _latest_floor(here)
+    floor_rerun = {}
+    for name in _floor_suspects(
+        {k: v for k, v in timings.items() if k in QUERIES}, floor
+    ):
+        fn = QUERIES[name]
+        late_med, late_sel, runs, qload = _triple(fn)
+        spark.catalog.clearCache()
+        early_med = timings[name]
+        base = len(spreads[name])
+        spreads[name] += [round(r, 3) for r in runs]
+        loads[name] += qload
+        floor_rerun[name] = {
+            "floor": floor[name],
+            "early": early_med,
+            "late": late_med,
+            "kept": "late" if late_med < early_med else "early",
+        }
+        if late_med < early_med:
+            timings[name] = late_med
+            picked[name] = (
+                [base + i for i in late_sel] if late_sel is not None
+                else [base, base + 1, base + 2]
+            )
     # non-query rows (ingest_repack) append AFTER the stable q{i} prefix
     # so historical keys keep meaning across rounds
     ordered = HEADLINE + [k for k in timings if k not in HEADLINE]
@@ -525,6 +624,17 @@ def main() -> None:
                 # the raw contaminated runs stay in `runs`/`load`
                 # above for audit
                 "picked": picked,
+                # queries whose swept median exceeded FLOOR_RATIO x the
+                # committed quiet floor with a clean triple (the
+                # in-sweep-state class neither steal nor spread can
+                # see): re-run as one fresh triple after the sweep;
+                # early/late medians + which one was kept, per query.
+                # The late triple's raw runs are appended to
+                # `runs`/`load` after the early ones.
+                "floor_rerun": floor_rerun,
+                "floor_file": floor_file,
+                "floor_ratio": FLOOR_RATIO,
+                "floor_abs": FLOOR_ABS,
                 "steal_flag": STEAL_FLAG,
                 "spread_ratio": SPREAD_RATIO,
                 "spread_abs": SPREAD_ABS,
@@ -562,6 +672,20 @@ def main() -> None:
                 "sf": sf,
                 "repack": repack_applied,
                 "keys": "BENCH_KEYS.md",
+                # per-query reselection flags IN the one-line artifact
+                # (round-11 ADVICE): keys whose median was re-selected
+                # by the steal/spread triggers ("resel") or replaced by
+                # a post-sweep fresh triple under the floor trigger
+                # ("fr") are not strictly comparable to a plain
+                # median-of-3 — round-over-round diffs can exclude them
+                # without opening bench_detail.json.  Comma-joined
+                # q-keys, truncated past 20 entries to protect the
+                # ~2000-char stdout budget.
+                "resel": _qkeys(picked, keys),
+                "fr": _qkeys(
+                    {n: r for n, r in floor_rerun.items() if r["kept"] == "late"},
+                    keys,
+                ),
             },
             separators=(",", ":"),
         )

@@ -99,3 +99,56 @@ def test_small_absolute_spread_never_triggers():
     # sub-second queries routinely spread 3x in wall with no
     # contamination (scheduler jitter); the absolute floor gates that
     assert not _needs_rerun([0.05, 0.12, 0.14], _load([0, 0, 0]))
+
+
+# ---------------------------------------------------------------------------
+# floor-comparison re-run trigger (round 12 — pure functions, no Spark)
+# ---------------------------------------------------------------------------
+
+def test_floor_suspects_ratio_and_abs_gates():
+    from bench import _floor_suspects
+
+    floor = {"a": 4.0, "b": 0.4, "c": 2.0, "d": 1.0}
+    timings = {
+        "a": 6.4,   # 1.6x and +2.4s -> suspect
+        "b": 0.6,   # 1.5x but only +0.2s < FLOOR_ABS -> jitter, not a suspect
+        "c": 2.3,   # +0.3s but 1.15x < FLOOR_RATIO -> not a suspect
+        "d": 1.6,   # 1.6x and +0.6s -> suspect
+        "e": 9.0,   # no committed floor -> cannot adjudicate
+    }
+    # worst absolute excess first: a (+2.4) before d (+0.6)
+    assert _floor_suspects(timings, floor) == ["a", "d"]
+
+
+def test_floor_suspects_empty_without_floor():
+    from bench import _floor_suspects
+
+    assert _floor_suspects({"a": 9.9}, {}) == []
+
+
+def test_latest_floor_picks_highest_round(tmp_path):
+    import json
+
+    from bench import _latest_floor
+
+    for n, val in ((9, {"x": 1.0}), (11, {"x": 2.0})):
+        with open(tmp_path / f"BENCH_FLOOR_r{n:02d}.json", "w") as f:
+            json.dump({"queries": val}, f)
+    q, fname = _latest_floor(str(tmp_path))
+    assert q == {"x": 2.0} and fname == "BENCH_FLOOR_r11.json"
+
+
+def test_latest_floor_absent_dir_is_empty(tmp_path):
+    from bench import _latest_floor
+
+    assert _latest_floor(str(tmp_path)) == ({}, None)
+
+
+def test_qkeys_compact_and_truncated():
+    from bench import _qkeys
+
+    keys = {f"q{i}": f"name{i}" for i in range(30)}
+    assert _qkeys({"name3": 1, "name7": 1}, keys) == "q3,q7"
+    assert _qkeys({}, keys) == ""
+    all_flagged = _qkeys({f"name{i}": 1 for i in range(30)}, keys)
+    assert all_flagged.endswith(",+10") and all_flagged.count(",") == 20
