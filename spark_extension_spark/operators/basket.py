@@ -47,6 +47,17 @@ def association_rules(
     - ``lift``        = confidence / P(b) — >1 means genuinely
       associated, not just individually popular.
 
+    **Unlike every other operator in this module family, construction
+    is EAGER and the result is a SNAPSHOT**: calling this function
+    runs one Spark action (it persists the deduplicated membership and
+    counts baskets), and the basket total is frozen into the returned
+    plan as a literal.  Re-executing the returned frame after the
+    source data changes therefore recomputes pair counts against the
+    NEW data but support/lift against the OLD basket total — re-call
+    the function instead of re-running a stale frame over changed
+    input.  This is the deliberate static-batch contract; see the
+    persist note below for why laziness was a correctness trap here.
+
     Both directions of every qualifying pair are emitted (confidence
     and lift are asymmetric).  Membership is set-valued: duplicate
     (basket, item) rows count once; NULL basket/item rows are

@@ -7,9 +7,14 @@ trainer since) is that training never needs the corpus after one pass:
 all pair statistics are linear in the **word frequency table**, which
 is vocabulary-sized.  So the corpus is scanned exactly once
 (:func:`word_counts` — one token explode + one map-side-combined
-aggregate), and every merge iteration runs on the tiny distinct-word
-table: one pair-count aggregate + one ``regexp_replace`` projection.
-Only the argmax pair (a single row) ever reaches the driver.
+aggregate), and training runs on the tiny distinct-word table.  Exact
+greedy BPE is inherently sequential, but one Spark job need not carry
+one merge: each job SPECULATES a batch of symbol-disjoint merges and
+VALIDATES every intermediate state's true argmax in the same
+aggregate, accepting the verified prefix plus the true argmax at the
+first mismatch (see :func:`bpe_train`) — bit-identical to the classic
+one-merge-per-job loop, at ~``batch_size`` merges per driver
+round-trip.  Only per-state top-K pair rows ever reach the driver.
 
 Words are symbolized as a space-joined, space-padded character string
 (``"hello"`` → ``" h e l l o "``); applying merge ``(a, b)`` is the
@@ -72,10 +77,13 @@ def _spaced(word: Column) -> Column:
     return F.concat(F.lit(" "), F.array_join(F.split(word, "(?!^)"), " "), F.lit(" "))
 
 
-def _pair_counts_from_spaced(vocab: DataFrame) -> DataFrame:
-    """(sym_a, sym_b, cnt) adjacent-pair statistics over a symbolized
-    vocabulary — one explode over per-word pair lists, weighted by word
-    frequency, one aggregate.  Shuffle volume is pair-vocabulary-sized."""
+def _pair_counts_from_spaced(vocab: DataFrame, *extra_keys: str) -> DataFrame:
+    """(*extra_keys, sym_a, sym_b, cnt) adjacent-pair statistics over a
+    symbolized vocabulary — one explode over per-word pair lists,
+    weighted by word frequency, one aggregate.  Shuffle volume is
+    pair-vocabulary-sized.  ``extra_keys`` lets the batched trainer
+    count several vocabulary STATES in the same aggregate (keyed by
+    ``step``)."""
     syms = F.split(F.trim(F.col("spaced")), " ")
     n = F.size(syms)
     pairs = F.arrays_zip(
@@ -84,8 +92,12 @@ def _pair_counts_from_spaced(vocab: DataFrame) -> DataFrame:
     )
     return (
         vocab.where(n >= 2)
-        .select(F.explode(pairs).alias("p"), "cnt")
-        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .select(*extra_keys, F.explode(pairs).alias("p"), "cnt")
+        .groupBy(
+            *extra_keys,
+            F.col("p.sym_a").alias("sym_a"),
+            F.col("p.sym_b").alias("sym_b"),
+        )
         .agg(F.sum("cnt").alias("cnt"))
     )
 
@@ -124,32 +136,88 @@ GROUP BY 1, 2
 """
 
 
+def _plan_batch(step_tops, guess, min_pair_count: int, cap: int):
+    """Exact-greedy acceptance rule over a validated batch:
+    ``(accepted, next_guess, done)``.
+
+    ``step_tops[j]`` is the TRUE top-K pair table — sorted by the
+    greedy order (cnt desc, sym_a, sym_b), filtered to ``cnt >=
+    min_pair_count`` — of the vocabulary state with ``guess[:j]``
+    applied (computed in one Spark job by :func:`bpe_train`).  Walking
+    j upward: while ``guess[j]`` equals state j's argmax, the guess
+    was the true greedy merge — accept it.  At the first mismatch (or
+    at the final state, one past the guesses) accept the state's TRUE
+    argmax instead and stop, so every batch advances by at least one
+    exactly-greedy merge and by construction the accepted sequence is
+    bit-identical to the classic one-merge-per-job loop.  An empty
+    state table means no pair reaches ``min_pair_count`` — training is
+    ``done``.  The next guess is the last inspected state's table IN
+    ORDER below its argmax (counts stale by exactly one merge —
+    speculation only; measured on the sf0.1 documents corpus the true
+    merge sequence tracks the stale order closely, where a symbol-
+    disjointness filter skipped exactly the pairs that stayed the
+    argmax).  Pure function — unit-tested and stress-tested against
+    the reference greedy trainer."""
+    accepted: List[Tuple[str, str]] = []
+    for j in range(len(guess) + 1):
+        tops = step_tops.get(j) or []
+        if not tops:
+            return accepted, [], True  # greedy stops: nothing >= threshold
+        argmax = (tops[0][0], tops[0][1])
+        if j < len(guess) and guess[j] == argmax:
+            accepted.append(argmax)
+            continue
+        accepted.append(argmax)
+        next_guess = [(a, b) for a, b, _c in tops[1 : 1 + int(cap)]]
+        return accepted, next_guess, False
+    raise AssertionError("unreachable: the final state always returns")
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    batch_size: int = 8,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     table ``(rank, sym_a, sym_b, merged)`` in application order.
 
     Scale shape: the corpus is scanned ONCE into the distinct-word
-    frequency table (persisted); each merge iteration is one
-    pair-count aggregate + a 1-row ``limit(1)`` argmax collect + one
-    ``regexp_replace`` projection over the vocabulary — all
-    vocabulary-sized, nothing corpus-sized.  Lineage is truncated via
-    ``localCheckpoint`` every ``checkpoint_every`` merges (the
-    re-symbolized vocabulary would otherwise chain ``n_merges``
-    projections).  Training stops early when no pair reaches
-    ``min_pair_count``.
+    frequency table (persisted); training then runs on the tiny
+    distinct-word table.  Exact greedy BPE is inherently sequential —
+    merge k+1's statistics depend on merge k — and one Spark job per
+    merge makes a production 32k-merge vocabulary 32k sequential
+    driver round-trips.  This trainer advances up to ``batch_size``
+    merges per job by SPECULATING and VALIDATING in the same action:
+    each job evaluates the vocabulary at every intermediate state of a
+    guessed merge batch (the chained merge rewrites are plain column
+    expressions, so state j is just ``guess[:j]`` applied — one explode
+    over the states, one pair-count aggregate, one per-state top-K) and
+    the driver accepts the longest guess prefix whose members each
+    equal their state's TRUE argmax, plus the true argmax at the first
+    mismatch.  Values are therefore bit-identical to the classic
+    one-merge-per-job loop BY CONSTRUCTION — speculation quality
+    affects only how many jobs training takes (perfect guesses:
+    ``n_merges / batch_size``; worst case: one merge per job, the
+    classic loop's cost).  Guesses are the symbol-disjoint walk of the
+    previous state's top-K (disjoint pairs usually keep their counts).
+    ``batch_size=1`` forces the classic loop exactly.
+
+    Lineage is truncated via ``localCheckpoint`` roughly every
+    ``checkpoint_every`` merges (the re-symbolized vocabulary would
+    otherwise chain ``n_merges`` projections).  Training stops early
+    when no pair reaches ``min_pair_count``.
 
     Determinism: winner by (count desc, sym_a asc, sym_b asc) — a pure
     function of the corpus, verified against a reference Python BPE in
-    the test suite.
+    the test suite (batched and per-merge paths agree merge-for-merge).
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     spark = df.sparkSession
     vocab = (
         word_counts(df, text_col)
@@ -158,34 +226,78 @@ def bpe_train(
     )
     vocab.count()  # materialize once: every iteration reuses this scan
 
+    from pyspark.sql import Window
+
     merges: List[Tuple[int, str, str, str]] = []
     current = vocab
-    # lag-1 cycling: each merge rewrites only the previous vocabulary,
+    # lag-1 cycling: each batch rewrites only the previous vocabulary,
     # and the result is the driver-side merge list, so the final
     # generation is releasable too — the loop leaves no checkpoint
     # storage behind
     cycler = LocalCheckpointCycler(spark, lag=1)
+    since_ckpt = 0
+    guess: List[Tuple[str, str]] = []  # first job: bootstrap, 1 merge
+    top_k = max(16, 2 * int(batch_size))
+    # bounded window: partitions are the <= batch_size+1 states, each
+    # holding the pair-vocabulary-sized count table (the same frame the
+    # classic loop's per-merge TakeOrdered consumed) — vocabulary-
+    # bounded input, never corpus-sized
+    w_top = Window.partitionBy("step").orderBy(
+        F.col("cnt").desc(), F.col("sym_a"), F.col("sym_b")
+    )
     try:
-        for k in range(int(n_merges)):
-            top = (
-                _pair_counts_from_spaced(current)
+        while len(merges) < int(n_merges):
+            guess = guess[: min(int(batch_size) - 1, int(n_merges) - len(merges) - 1)]
+            # state j = current with guess[:j] applied — prefix chains
+            # of the same rewrite expressions the accept step will use
+            states, spaced = [F.col("spaced")], F.col("spaced")
+            for a, b in guess:
+                spaced = F.regexp_replace(spaced, f" {a} {b}(?= )", f" {a}{b}")
+                states.append(spaced)
+            stepped = current.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("step"), st.alias("spaced")
+                            )
+                            for j, st in enumerate(states)
+                        ]
+                    )
+                ).alias("s"),
+                "cnt",
+            ).select("s.step", "s.spaced", "cnt")
+            rows = (
+                _pair_counts_from_spaced(stepped, "step")
                 .where(F.col("cnt") >= int(min_pair_count))
-                .orderBy(F.col("cnt").desc(), F.col("sym_a"), F.col("sym_b"))
-                .limit(1)
+                .withColumn("__rn", F.row_number().over(w_top))
+                .where(F.col("__rn") <= top_k)
                 .collect()
             )
-            if not top:
-                break
-            a, b = top[0]["sym_a"], top[0]["sym_b"]
-            merges.append((k, a, b, a + b))
-            current = current.select(
-                F.regexp_replace(
-                    F.col("spaced"), f" {a} {b}(?= )", f" {a}{b}"
-                ).alias("spaced"),
-                "cnt",
+            step_tops: dict = {}
+            for r in sorted(rows, key=lambda r: (r["step"], r["__rn"])):
+                step_tops.setdefault(r["step"], []).append(
+                    (r["sym_a"], r["sym_b"], r["cnt"])
+                )
+            accepted, guess, done = _plan_batch(
+                step_tops, guess, min_pair_count, int(batch_size) - 1
             )
-            if checkpoint_every and (k + 1) % int(checkpoint_every) == 0:
+            accepted = accepted[: int(n_merges) - len(merges)]
+            if not accepted:
+                break
+            spaced = F.col("spaced")
+            for a, b in accepted:
+                merges.append((len(merges), a, b, a + b))
+                # chained in rank order — textually identical to
+                # applying each merge as its own projection
+                spaced = F.regexp_replace(spaced, f" {a} {b}(?= )", f" {a}{b}")
+            current = current.select(spaced.alias("spaced"), "cnt")
+            if done:
+                break
+            since_ckpt += len(accepted)
+            if checkpoint_every and since_ckpt >= int(checkpoint_every):
                 current = cycler.checkpoint(current)
+                since_ckpt = 0
     finally:
         vocab.unpersist()
         cycler.release()

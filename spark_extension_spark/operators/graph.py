@@ -341,9 +341,12 @@ def k_core(
     edge COUNT unchanged left the edge SET unchanged and every further
     pass is a provable no-op: the loop exits early then, with a result
     identical to running all ``rounds`` (and to :func:`k_core_sql`'s
-    full unroll).  The count rides an :class:`~pyspark.sql.Observation`
-    on the checkpoint job the loop already pays — early exit costs
-    zero extra actions.  Pass an ``unpersist_handle`` to free the last
+    full unroll).  The count — plus an order-independent edge hash-sum
+    and a monotonicity tripwire that guard the exit against
+    observed-metric inflation under cluster task retries (see the loop
+    comment) — rides an :class:`~pyspark.sql.Observation` on the
+    checkpoint job the loop already pays, so early exit costs zero
+    extra actions.  Pass an ``unpersist_handle`` to free the last
     checkpoint generation when done with the result (it backs the
     returned frame's lineage, so it stays live until then; without a
     handle it falls to GC).
@@ -358,7 +361,26 @@ def k_core(
     # lag-1 cycling: each pass reads only the previous edge set, so the
     # superseded checkpoint is freed as soon as the next one lands
     cycler = LocalCheckpointCycler(edges.sparkSession, lag=1)
-    prev_edges = None
+    # The early exit reads (count, xxhash64-sum) of the surviving edge
+    # set from an Observation.  Observed metrics can OVER-count when
+    # stages/tasks retry on a real cluster, so the exit is guarded two
+    # ways: (a) peeling is monotone, so an observed count ABOVE the
+    # previous reading proves inflation — the tripwire distrusts every
+    # later reading and falls back to the fixed round count (still
+    # exact, just no early exit); (b) a retry that inflates the count
+    # back to a coincidental match would also have to reproduce the
+    # order-independent hash-sum of the previous edge SET.  In local
+    # mode (exactly-once observation) count-equality alone is already
+    # a theorem-backed fixed-point proof; the extra guard costs two
+    # aggregate expressions on a job the loop pays anyway.
+    _exit_metrics = [
+        F.count(F.lit(1)).alias("n"),
+        # decimal-widened so the full-int64-range hash values sum
+        # without long overflow (ANSI-safe up to ~10^10 edges)
+        F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(20,0)")).alias("h"),
+    ]
+    prev = None
+    metrics_trusted = True
     if checkpoint_every:
         # checkpoint the canonical edge set BEFORE the loop: pass 0
         # consumes it three times (two degree projections + the
@@ -366,8 +388,8 @@ def k_core(
         # distinct-union over the source — the sibling iteratives
         # (pagerank, LPA) pin their base frames the same way
         obs0 = Observation()
-        cur = cycler.checkpoint(cur.observe(obs0, F.count(F.lit(1)).alias("n")))
-        prev_edges = obs0.get["n"]
+        cur = cycler.checkpoint(cur.observe(obs0, *_exit_metrics))
+        prev = (obs0.get["n"], obs0.get["h"])
     for r in range(int(rounds)):
         deg = degrees_from_canonical(cur)
         keep = deg.where(F.col("degree") >= int(k)).select("id")
@@ -377,11 +399,13 @@ def k_core(
         )
         if checkpoint_every and (r + 1) % int(checkpoint_every) == 0 and r + 1 < rounds:
             obs = Observation()
-            cur = cycler.checkpoint(cur.observe(obs, F.count(F.lit(1)).alias("n")))
-            n_edges = obs.get["n"]
-            if n_edges == prev_edges:
+            cur = cycler.checkpoint(cur.observe(obs, *_exit_metrics))
+            n_h = (obs.get["n"], obs.get["h"])
+            if prev is not None and n_h[0] > prev[0]:
+                metrics_trusted = False  # retry inflation: counts rose
+            if metrics_trusted and n_h == prev:
                 break  # fixed point: every remaining pass is a no-op
-            prev_edges = n_edges
+            prev = n_h
     # the last live generation backs the returned frame's lineage and
     # cannot be freed here; the caller's handle frees it when done
     if unpersist_handle is not None:
@@ -459,8 +483,9 @@ def label_propagation(
     map-side-combined max-struct argmax per node — label-cardinality-
     sized, not edge-sized, and with NO per-node sort (the former
     ``row_number`` window sorted every node's label counts each round;
-    ``max(struct(count, -label))`` is the identical argmax — count
-    desc, label asc on ties — as a plain aggregate).  State is
+    ``min(struct(-count, label))`` is the identical argmax — count
+    desc, label asc on ties — as a plain aggregate, for any orderable
+    id type).  State is
     ``localCheckpoint``-ed every ``checkpoint_every`` rounds to
     truncate lineage.  The canonical edge list is persisted (it feeds
     every round); pass an ``unpersist_handle`` to release it.
@@ -478,19 +503,8 @@ def label_propagation(
     if unpersist_handle is not None:
         unpersist_handle.set_dataframe(both)
 
-    from pyspark.sql import Window
-    from pyspark.sql.types import NumericType
-
     labels = both.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
-    )
-    # the aggregate argmax needs an order-reversing encoding of the
-    # label for the tie-break (max(-label) == min(label)); that only
-    # exists for numeric ids, so non-numeric (e.g. string host) ids
-    # keep the row_number window form the aggregate replaced
-    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
-    w_rank = Window.partitionBy("id").orderBy(
-        F.col("__c").desc(), F.col("label").asc()
     )
 
     # lag-1 cycling (each round votes from the previous labels only)
@@ -502,31 +516,23 @@ def label_propagation(
             .unionAll(labels)  # self-vote
         )
         counts = votes.groupBy("id", "label").agg(F.count(F.lit(1)).alias("__c"))
-        if numeric_ids:
-            # argmax by (count desc, label asc) as a map-side-combined
-            # aggregate: max(-label) == min(label) exactly (integer
-            # negation is order-reversing and lossless)
-            labels = (
-                counts.groupBy("id")
-                .agg(
-                    F.max(
-                        F.struct(
-                            F.col("__c").alias("c"), (-F.col("label")).alias("nl")
-                        )
-                    ).alias("__b")
-                )
-                .select("id", (-F.col("__b.nl")).alias("label"))
+        # argmax by (count desc, label asc) as one map-side-combined
+        # aggregate: min(struct(-count, label)).  Negating the COUNT —
+        # bounded by degree+1, never near Long.MIN_VALUE — keeps the
+        # same argmax for ANY orderable label type (struct comparison
+        # is lexicographic), so string/date/decimal ids take the same
+        # single code path as longs; the former max(-label) encoding
+        # worked only for numerics and wrapped at Long.MIN_VALUE under
+        # non-ANSI arithmetic.
+        labels = (
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("nc"), F.col("label"))
+                ).alias("__b")
             )
-        else:
-            # orderable-but-not-negatable ids: the window argmax over
-            # the label-cardinality-sized count frame
-            labels = (
-                counts.select(
-                    "id", "label", F.row_number().over(w_rank).alias("__rn")
-                )
-                .where(F.col("__rn") == 1)
-                .select("id", "label")
-            )
+            .select("id", F.col("__b.label").alias("label"))
+        )
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
             labels = cycler.checkpoint(labels)
 

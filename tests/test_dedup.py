@@ -1151,11 +1151,11 @@ def test_observation_fulfilled_by_eager_local_checkpoint(spark):
 
 
 def test_label_propagation_string_node_ids(spark):
-    # the aggregate argmax negates the label for its tie-break, which
-    # only exists for numeric ids — string ids must fall back to the
-    # window argmax instead of silently NULLing (ANSI off) or throwing
-    # (ANSI on).  Two triangles joined by one bridge edge: each keeps
-    # its lexicographically-smallest member as the community label.
+    # the aggregate argmax negates the bounded COUNT (round-12 ADVICE
+    # fix), so string/date/decimal ids take the same single code path
+    # as longs — no window fallback, no Long.MIN_VALUE wrap.  Two
+    # triangles joined by one bridge edge: each keeps its
+    # lexicographically-smallest member as the community label.
     from spark_extension_spark.operators.graph import label_propagation
 
     edges = spark.createDataFrame(

@@ -569,6 +569,172 @@ class TestBpe:
                     assert seg[i] == ref, (corpus, i)
 
 
+class TestBpeBatchedMerges:
+    """The round-12 speculate+validate trainer must be bit-identical
+    to exact per-merge greedy BPE — the acceptance rule (_plan_batch)
+    is stress-tested in pure Python over small-alphabet random corpora
+    (tiny alphabets maximize merged-symbol string collisions and
+    mispredicted guesses, the hard cases), and the Spark trainer's
+    batched/per-merge paths are compared directly."""
+
+    @staticmethod
+    def _apply_merge(vocab, a, b):
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        return new_vocab
+
+    @classmethod
+    def _tops(cls, vocab, min_pair_count, k):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        rows = sorted(
+            ((a, b, c) for (a, b), c in pairs.items() if c >= min_pair_count),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )
+        return rows[:k]
+
+    @classmethod
+    def _sim_batched(cls, word_counts, n_merges, batch_size, min_pair_count=2):
+        """Pure-Python simulation of the speculate+validate loop: one
+        per-state top-K 'job' per batch, merges applied with the same
+        leftmost non-overlapping semantics the Spark regex uses.
+        Mirrors bpe_train's driver logic exactly (shared _plan_batch)."""
+        from spark_extension_spark.operators.bpe import _plan_batch
+
+        vocab = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        guess = []
+        top_k = max(16, 2 * batch_size)
+        jobs = 0
+        while len(merges) < n_merges:
+            guess = guess[: min(batch_size - 1, n_merges - len(merges) - 1)]
+            # the 'one job': per-state top-K for states 0..len(guess)
+            step_tops, v = {}, dict(vocab)
+            for j in range(len(guess) + 1):
+                step_tops[j] = cls._tops(v, min_pair_count, top_k)
+                if j < len(guess):
+                    v = cls._apply_merge(v, *guess[j])
+            jobs += 1
+            accepted, guess, done = _plan_batch(
+                step_tops, guess, min_pair_count, batch_size - 1
+            )
+            accepted = accepted[: n_merges - len(merges)]
+            if not accepted:
+                break
+            for a, b in accepted:
+                merges.append((a, b))
+                vocab = cls._apply_merge(vocab, a, b)
+            if done:
+                break
+        return merges, jobs
+
+    def test_plan_batch_pure_units(self):
+        from spark_extension_spark.operators.bpe import _plan_batch
+
+        # bootstrap (no guess): accept the state-0 argmax, guess the
+        # rest of the table in order, capped
+        acc, nxt, done = _plan_batch(
+            {0: [("a", "b", 9), ("c", "d", 8), ("a", "x", 7), ("y", "z", 6)]},
+            [],
+            2,
+            2,
+        )
+        assert acc == [("a", "b")] and nxt == [("c", "d"), ("a", "x")]
+        assert not done
+
+        # full match: every guess equals its state's argmax, plus the
+        # final state's argmax rides along
+        tops = {
+            0: [("a", "b", 9), ("c", "d", 8)],
+            1: [("c", "d", 8), ("e", "f", 3)],
+            2: [("e", "f", 3)],
+        }
+        acc, nxt, done = _plan_batch(tops, [("a", "b"), ("c", "d")], 2, 3)
+        assert acc == [("a", "b"), ("c", "d"), ("e", "f")] and not done
+
+        # mismatch mid-batch: verified prefix + the TRUE argmax, stop;
+        # the next guess re-reads the mismatching state's order
+        tops = {
+            0: [("a", "b", 9)],
+            1: [("x", "y", 9), ("c", "d", 8)],
+        }
+        acc, nxt, done = _plan_batch(tops, [("a", "b"), ("c", "d")], 2, 3)
+        assert acc == [("a", "b"), ("x", "y")] and nxt == [("c", "d")]
+        assert not done
+
+        # empty state table: training done after the verified prefix
+        tops = {0: [("a", "b", 9)], 1: []}
+        acc, nxt, done = _plan_batch(tops, [("a", "b")], 2, 3)
+        assert acc == [("a", "b")] and done
+
+    def test_batched_equals_reference_on_random_small_alphabet_corpora(self):
+        import random
+        from collections import Counter
+
+        rng = random.Random(0xB9E)
+        for trial in range(300):
+            alphabet = rng.choice(["ab", "abc", "abcd"])
+            words = Counter()
+            for _ in range(rng.randint(1, 12)):
+                w = "".join(
+                    rng.choice(alphabet) for _ in range(rng.randint(1, 8))
+                )
+                words[w] += rng.randint(1, 9)
+            n_merges = rng.randint(1, 10)
+            batch = rng.choice([1, 2, 4, 8])
+            want = _ref_bpe_train(words, n_merges)
+            got, jobs = self._sim_batched(words, n_merges, batch)
+            assert got == want, (trial, dict(words), n_merges, batch)
+            # every job must advance: jobs never exceed merges (+1 probe)
+            assert jobs <= max(1, len(got)) + 1, (trial, jobs, len(got))
+
+    def test_spark_batched_equals_per_merge_and_reference(self, spark):
+        from collections import Counter
+
+        from spark_extension_spark.operators.bpe import bpe_train
+
+        corpora = [
+            TestBpe.CORPUS,
+            ["ababab ababab abab", "banana bandana banana"],
+            ["xxxxxxxx xxxx xx", "xyxyxyxy xyxy"],
+        ]
+        for corpus in corpora:
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+            )
+            batched = [
+                tuple(r) for r in bpe_train(df, 8).orderBy("rank").collect()
+            ]
+            per_merge = [
+                tuple(r)
+                for r in bpe_train(df, 8, batch_size=1).orderBy("rank").collect()
+            ]
+            assert batched == per_merge, corpus
+            want = _ref_bpe_train(Counter(w for t in corpus for w in t.split()), 8)
+            assert [(a, b) for _r, a, b, _m in batched] == want, corpus
+
+    def test_batch_size_guard(self, spark):
+        import pytest as _pytest
+
+        from spark_extension_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="batch_size"):
+            bpe_train(df, 2, batch_size=0)
+
+
 def test_bpe_segment_accepts_lists_and_two_field_rows(spark):
     # merge tables round-tripped through JSON arrive as lists, and
     # select('sym_a','sym_b').collect() yields 2-field Rows — both must
