@@ -206,6 +206,22 @@ out["cand_lsh_scaled"] = lsh_candidates(PLANES_SCALED)
 out["cand_ivf_fixed"] = ivf_candidates(cents_fixed)
 out["cand_ivf_scaled"] = ivf_candidates(cents_scaled)
 
+# ---- round-12: the DEFAULT paths, no manual knob ----
+# rp_lsh_topk(num_planes=None) derives ⌈log₂N⌉+1; ivf_topk
+# (n_centroids=None) derives ⌈N/target_cell_size⌉.  The census
+# criterion: per-query candidates ~flat 1x→10x with the defaults.
+from spark_extension_spark.operators.similarity import (  # noqa: E402
+    _derive_n_cells,
+    _derive_num_planes,
+)
+
+planes_default = _derive_num_planes(n_corpus)
+cents_default = ivf_centroids(corpus, _derive_n_cells(n_corpus, 128))
+out["planes_default"] = planes_default
+out["cells_default"] = _derive_n_cells(n_corpus, 128)
+out["cand_lsh_default"] = lsh_candidates(planes_default)
+out["cand_ivf_default"] = ivf_candidates(cents_default)
+
 n_cells = max(1, -(-n_corpus // TARGET_CELL))
 cents_auto = ivf_centroids(corpus, n_cells)
 assigned = ivf_assignments(corpus.select("vec_id", "embedding"), cents_auto, "embedding", n_probes=1)

@@ -955,9 +955,11 @@ def fit_logistic(
     Scale: each iteration is ONE map-side-combined hash aggregate over
     the data — the shuffle carries ``len(feature_cols)+2`` numbers
     total, never rows — with the current weights broadcast as plan
-    literals.  The driver holds O(iterations × features) doubles (the
-    1-row aggregate per iteration, same bounded-collect contract as the
-    BPE trainer's per-merge argmax).  Rows with a NULL *or NaN* label
+    literals.  Iteration 1's aggregate doubles as the action that
+    materializes the feature cache AND the empty-input check (no
+    separate count job).  The driver holds O(iterations × features)
+    doubles (the 1-row aggregate per iteration, same bounded-collect
+    contract as the BPE trainer's argmax window).  Rows with a NULL *or NaN* label
     or feature are excluded (a single NaN feature would otherwise
     poison every weight to NaN through the gradient sum — and Spark
     manufactures NaN where SQL engines yield NULL, e.g. ``0.0/0.0``
@@ -995,17 +997,11 @@ def fit_logistic(
         y.alias("__y"), *[raw_xs[j].alias(f"__x{j}") for j in range(d)]
     ).persist()
     lr, reg = float(learning_rate), float(l2)
-    if data.count() == 0:
-        data.unpersist()
-        raise ValueError(
-            "fit_logistic: no training rows after dropping NULL/NaN "
-            "labels and features"
-        )
     w = [0.0] * d
     # unpersist in finally: a mid-iteration failure (job cancel, ANSI
     # overflow) must not leak the cached feature frame
     try:
-        for _ in range(int(iterations)):
+        for it in range(int(iterations)):
             # current weights inlined as plan literals: the iteration is one
             # map-side-combined aggregate over the cached features, and the
             # per-iteration driver sync transports d doubles.  (A fully-lazy
@@ -1025,14 +1021,22 @@ def fit_logistic(
                 ],
             )
             # weight update computed IN-ENGINE (same arithmetic the SQL
-            # oracle replays); the collect only transports the result
+            # oracle replays); the collect only transports the result.
+            # try_divide (NULL on n=0, identical quotient on n>0) keeps
+            # ANSI mode from throwing before the empty-input check below
+            # — iteration 1's aggregate doubles as the cache-forcing
+            # action the trainer formerly paid a separate count() for.
             upd = row.select(
+                F.col("n"),
                 *[
                     F.round(
                         F.lit(w[j])
                         - F.lit(lr)
                         * (
-                            F.col(f"g{j}").cast("double") / F.col("n").cast("double")
+                            F.try_divide(
+                                F.col(f"g{j}").cast("double"),
+                                F.col("n").cast("double"),
+                            )
                             + F.lit(reg) * F.lit(w[j])
                         ),
                         10,
@@ -1040,6 +1044,11 @@ def fit_logistic(
                     for j in range(d)
                 ]
             ).collect()[0]
+            if it == 0 and upd["n"] == 0:
+                raise ValueError(
+                    "fit_logistic: no training rows after dropping NULL/NaN "
+                    "labels and features"
+                )
             w = [float(upd[f"w{j}"]) for j in range(d)]
     finally:
         data.unpersist()

@@ -402,21 +402,48 @@ def cap_drop_stats(df: DataFrame, bucket_col: str, cap: Optional[int]) -> DataFr
     )
 
 
+def _derive_num_planes(n_rows: int) -> int:
+    """``planes = ⌈log₂ N⌉ + 1`` (≥ 4): ``2^planes ≈ 2N`` buckets pins
+    the expected bucket occupancy — and therefore per-query candidate
+    counts — at a constant regardless of corpus size.  A FIXED plane
+    count that reads fine at gate scale silently turns K-linear at K×
+    the data (the round-11 weak-scaling census measured exactly this:
+    candidates flat 1x→10x under ``12 + ⌈log₂K⌉`` at the 2000-row base
+    corpus, which this closed form reproduces: N=2000→12, N=6000→14,
+    N=20000→16)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2, int(n_rows)))) + 1)
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: Optional[int] = None,
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: Optional[int] = None,
     seed: int = 42,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from (multi-probe) bucket collisions,
-    exact cosine on candidates only (Arrow/numpy kernel)."""
+    exact cosine on candidates only (Arrow/numpy kernel).
+
+    ``num_planes=None`` (default) self-tunes to corpus size as
+    ``⌈log₂ N⌉ + 1`` (:func:`_derive_num_planes` — the knob the
+    weak-scaling census says MUST track N, now wired so the default
+    path stays ~flat 1x→10x with no manual knob).  N comes from
+    ``n_rows`` when the caller already knows it, else from one count
+    job at construction time — pass ``num_planes`` or ``n_rows``
+    explicitly to keep construction fully lazy / plans reproducible."""
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
+    if num_planes is None:
+        num_planes = _derive_num_planes(
+            n_rows if n_rows is not None else corpus.count()
+        )
     planes = rp_planes(num_planes, dim, seed)
 
     # project BEFORE the Arrow bucket kernel: mapInPandas blocks column
@@ -447,17 +474,24 @@ def rp_lsh_topk(
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
-    num_planes: int = 12,
+    num_planes: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: Optional[int] = None,
     seed: int = 42,
     max_bucket_size: Optional[int] = 10_000,
     with_drop_stats: bool = False,
+    n_rows: Optional[int] = None,
 ):
     """Vector pairs with cosine ≥ threshold, via exact-bucket LSH
     collision + exact verification.  Near-identical directions land in
     identical buckets, so recall at thresholds ≈1 is high.
+
+    ``num_planes=None`` (default) self-tunes to corpus size as
+    ``⌈log₂ N⌉ + 1`` (:func:`_derive_num_planes` — constant bucket
+    occupancy, so the self-join stays linear as the corpus grows); N
+    comes from ``n_rows`` or one construction-time count — pass
+    ``num_planes`` / ``n_rows`` to keep construction fully lazy.
 
     ``max_bucket_size`` drops degenerate buckets before the self-join
     (see :func:`_cap_buckets`); ``None`` disables the guard.  With
@@ -465,6 +499,10 @@ def embedding_near_dup_pairs(
     is the one-row :func:`cap_drop_stats` frame accounting for the
     recall the cap costs — check it whenever a cap is in play."""
     dim = dim if dim is not None else _infer_dim(df, vec_col)
+    if num_planes is None:
+        num_planes = _derive_num_planes(
+            n_rows if n_rows is not None else df.count()
+        )
     planes = rp_planes(num_planes, dim, seed)
     # project before the Arrow kernel — see rp_lsh_topk
     raw = _with_buckets(df.select(id_col, vec_col), vec_col, planes, probes=0)
@@ -703,11 +741,13 @@ def ivf_centroids(
 
 def fit_centroids(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
     sample_fraction: Optional[float] = None,
+    target_cell_size: int = 128,
+    n_rows: Optional[int] = None,
 ) -> List[List[float]]:
     """k-means|| cluster centers from ``pyspark.ml`` — the production
     centroid source for :func:`ivf_topk` / :func:`semantic_dedup`
@@ -719,10 +759,22 @@ def fit_centroids(
     k centers come back to the driver).  On a huge corpus pass
     ``sample_fraction`` to fit on a uniform sample — centroid quality
     degrades slowly with sampling while each iteration's cost drops
-    linearly."""
+    linearly.
+
+    ``n_centroids=None`` (default) self-tunes to the FULL corpus size
+    as ``⌈N / target_cell_size⌉`` (the SemDeDup rule — cells must
+    track corpus size or probe candidate counts grow K-linearly; the
+    round-11 census measured exactly that); N comes from ``n_rows`` or
+    one count job.  The derivation uses the pre-``sample_fraction``
+    size because the cells serve the full corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_centroids is None:
+        n_centroids = _derive_n_cells(
+            n_rows if n_rows is not None else corpus.count(),
+            target_cell_size,
+        )
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     ).where(F.col("features").isNotNull())
@@ -738,17 +790,32 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     n_probes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: Optional[List[List[float]]] = None,
+    target_cell_size: int = 128,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed by nearest
     centroid (one pass, no shuffle of vectors beyond the final join);
     each query probes its ``n_probes`` nearest cells and scores only the
-    vectors inside them.  Candidate fraction ≈ n_probes/n_centroids."""
+    vectors inside them.  Candidate fraction ≈ n_probes/n_centroids.
+
+    ``n_centroids=None`` (default, when no ``centroids`` are passed)
+    self-tunes to corpus size as ``⌈N / target_cell_size⌉`` — constant
+    cell size, so per-query candidates (= n_probes × cell size) stay
+    ~flat as the corpus grows, the round-11 census criterion.  N comes
+    from ``n_rows`` or one construction-time count; pass
+    ``n_centroids`` / ``n_rows`` / ``centroids`` for a fully lazy
+    plan."""
+    if centroids is None and n_centroids is None:
+        n_centroids = _derive_n_cells(
+            n_rows if n_rows is not None else corpus.count(),
+            target_cell_size,
+        )
     cents = (centroids if centroids is not None
              else ivf_centroids(corpus, n_centroids, id_col, vec_col))
     if not cents:
@@ -1102,13 +1169,29 @@ def semantic_decontam_flags(
     Execution shape — the same contract as :func:`brute_force_topk`:
     the benchmark set is eval-sized (10³–10⁵ rows), so it collects to
     the driver once and ships to executors as a normalized matrix;
-    each Arrow batch of the corpus scores against it in ONE BLAS
-    matmul + row-max.  The corpus is scanned once, never shuffled, and
+    each Arrow batch of the corpus scores against it in one vectorized
+    kernel.  The corpus is scanned once, never shuffled, and
     only (id, score) pairs come back — no candidate-pair explosion, no
     LSH recall loss: this is *exact* at corpus-scan cost, which is the
     right trade for a screen that must not miss contamination.
+
+    Determinism (EXACTNESS discipline, the :func:`project_embeddings`
+    precedent): norms and dot products accumulate as FIXED left-to-
+    right folds over the dimensions — vectorized fused adds, not a
+    BLAS matmul whose pairwise summation is batch-size- and library-
+    dependent — so every score is bit-identical across partitionings,
+    batch sizes, and a ``list_reduce`` left-fold SQL replay.
     """
     import numpy as np
+
+    def _fold_sq_norms(M):
+        # left-to-right fold of the squared norms (NOT np.linalg.norm,
+        # whose pairwise summation the SQL replay can't reproduce)
+        sq = M * M
+        acc = sq[:, 0].copy()
+        for j in range(1, M.shape[1]):
+            acc = acc + sq[:, j]
+        return np.sqrt(acc)
 
     brows = (
         benchmark.select(vec_col).where(F.col(vec_col).isNotNull()).collect()
@@ -1129,7 +1212,7 @@ def semantic_decontam_flags(
             f"benchmark vectors have inconsistent dimensions {sorted(dims)}"
         )
     B = np.stack(vecs)
-    Bu = (B / np.linalg.norm(B, axis=1)[:, None]).T  # (dim, b)
+    Bu = (B / _fold_sq_norms(B)[:, None]).T  # (dim, b)
     id_name, vec_name = id_col, vec_col
 
     def kernel(batches):
@@ -1145,10 +1228,20 @@ def semantic_decontam_flags(
                 V = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf.loc[sub, vec_name]]
                 )
-                norms = np.linalg.norm(V, axis=1)
+                sq = V * V
+                nacc = sq[:, 0].copy()
+                for j in range(1, V.shape[1]):
+                    nacc = nacc + sq[:, j]
+                norms = np.sqrt(nacc)
                 ok = norms > 0
                 if ok.any():
-                    scores = (V[ok] / norms[ok, None]) @ Bu
+                    Vn = V[ok] / norms[ok, None]
+                    # dim-ordered left fold == list_reduce((a,b)->a+b)
+                    # over per-dim products; one vectorized fused add
+                    # per dimension ≈ matmul speed at these dims
+                    scores = Vn[:, 0:1] * Bu[0:1, :]
+                    for j in range(1, Vn.shape[1]):
+                        scores = scores + Vn[:, j : j + 1] * Bu[j : j + 1, :]
                     out = np.full(int(sub.sum()), np.nan)
                     out[ok] = scores.max(axis=1)
                     vals[sub.to_numpy()] = out

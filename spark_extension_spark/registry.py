@@ -857,7 +857,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double") * 1.1).alias("embedding"),
     )
     corpus = as_double.unionAll(scaled)
-    return _sim.embedding_near_dup_pairs(corpus, threshold=0.999)
+    # num_planes pinned at the historical default: the operator's
+    # num_planes=None path now derives ⌈log₂N⌉+1 from a count job
+    # (round-12 self-tuning); the pin keeps this gate's plan and hash
+    # byte-identical to every prior round
+    return _sim.embedding_near_dup_pairs(corpus, threshold=0.999, num_planes=12)
 
 
 @register("similarity_lsh_topk_embeddings")  # approximate: rows-only check
@@ -4970,22 +4974,37 @@ def q_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic (embedding-space) benchmark decontamination
 # ---------------------------------------------------------------------------
 
+# Bit-exact replay of semantic_decontam_flags (round 12 — formerly a
+# documented ulp-band gate): the kernel accumulates norms and dot
+# products as FIXED left-to-right folds over the dimensions, so the
+# oracle replays the identical float sequence with list_reduce left
+# folds — sqrt / divide / multiply are correctly-rounded IEEE ops on
+# both engines, MAX is order-independent, and list_cosine_similarity
+# (whose internal summation order DuckDB does not document) is no
+# longer involved on either side.
 _SEMANTIC_DECONTAM_ORACLE = """
 WITH bench AS (
-  SELECT embedding::DOUBLE[] AS e FROM embeddings
-  WHERE vec_id % 97 = 0 AND embedding IS NOT NULL
-    AND isfinite(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
-    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+  SELECT e, sqrt(list_reduce(list_transform(e, x -> x * x), (p, q) -> p + q)) AS nrm
+  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id % 97 = 0 AND embedding IS NOT NULL)
+  WHERE isfinite(list_reduce(list_transform(e, x -> x * x), (p, q) -> p + q))
+    AND list_reduce(list_transform(e, x -> x * x), (p, q) -> p + q) > 0
 ),
 corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scorable AS (
-  SELECT vec_id, e FROM corpus
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (p, q) -> p + q)) AS nrm
+  FROM corpus
   WHERE e IS NOT NULL
-    AND isfinite(list_sum(list_transform(e, x -> x * x)))
-    AND list_sum(list_transform(e, x -> x * x)) > 0
+    AND isfinite(list_reduce(list_transform(e, x -> x * x), (p, q) -> p + q))
+    AND list_reduce(list_transform(e, x -> x * x), (p, q) -> p + q) > 0
 ),
 scored AS (
-  SELECT s.vec_id, MAX(list_cosine_similarity(s.e, b.e)) AS m
+  SELECT s.vec_id,
+         MAX(list_reduce(
+               list_transform(generate_series(1, len(s.e)),
+                              i -> (s.e[i] / s.nrm) * (b.e[i] / b.nrm)),
+               (p, q) -> p + q)) AS m
   FROM scorable s CROSS JOIN bench b GROUP BY s.vec_id
 )
 SELECT c.vec_id, scored.m AS max_benchmark_cosine,

@@ -560,3 +560,66 @@ def test_lsh_and_ivf_tolerate_payload_and_query_id_columns(spark):
     ivf = ivf_topk(corpus, queries, k=2, n_centroids=2, n_probes=2)
     assert ivf.columns == ["query_id", "vec_id", "cosine", "rank"]
     assert ivf.count() >= 1
+
+
+class TestSelfTuningKnobs:
+    """Round-12: the ANN scale knobs the weak-scaling census named are
+    now the defaults — planes/cells derive from corpus size instead of
+    relying on a caller remembering to scale them."""
+
+    def test_derive_num_planes_reproduces_census_calibration(self):
+        from spark_extension_spark.operators.similarity import _derive_num_planes
+
+        # the census rule 12 + ceil(log2 K) at the 2000-row base corpus
+        assert _derive_num_planes(2000) == 12
+        assert _derive_num_planes(6000) == 14   # K=3
+        assert _derive_num_planes(20000) == 16  # K=10
+        # floor for degenerate corpora
+        assert _derive_num_planes(1) == 4
+        assert _derive_num_planes(0) == 4
+
+    def test_derive_n_cells_rule(self):
+        from spark_extension_spark.operators.similarity import _derive_n_cells
+
+        assert _derive_n_cells(2000, 128) == 16   # the old fixed default
+        assert _derive_n_cells(20000, 128) == 157  # ~10x cells at 10x rows
+        assert _derive_n_cells(0, 128) == 1
+
+    def test_default_path_equals_explicit_derived_knob(self, spark):
+        from spark_extension_spark.operators.similarity import (
+            _derive_n_cells,
+            _derive_num_planes,
+            ivf_topk,
+            rp_lsh_topk,
+        )
+
+        rows = [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(4)]) for i in range(40)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = df.where(F.col("vec_id") % 10 == 0)
+
+        auto = sorted(map(tuple, rp_lsh_topk(df, q, k=2).collect()))
+        pinned = sorted(
+            map(tuple, rp_lsh_topk(df, q, k=2, num_planes=_derive_num_planes(40)).collect())
+        )
+        assert auto == pinned
+
+        # n_rows= keeps construction lazy and must match the count path
+        estimated = sorted(map(tuple, rp_lsh_topk(df, q, k=2, n_rows=40).collect()))
+        assert estimated == pinned
+
+        auto_ivf = sorted(map(tuple, ivf_topk(df, q, k=2).collect()))
+        pinned_ivf = sorted(
+            map(
+                tuple,
+                ivf_topk(df, q, k=2, n_centroids=_derive_n_cells(40, 128)).collect(),
+            )
+        )
+        assert auto_ivf == pinned_ivf
+
+    def test_fit_centroids_derives_cell_count(self, spark):
+        from spark_extension_spark.operators.similarity import fit_centroids
+
+        rows = [(i, [float(i % 3), float((i * 5) % 7), 1.0]) for i in range(300)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cents = fit_centroids(df, target_cell_size=100, seed=1)
+        assert len(cents) == 3  # ceil(300/100)
