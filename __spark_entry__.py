@@ -23,39 +23,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["diff_lineitem"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-hash exposure rotation (round 11): the driver's correctness
+# Driver-hash exposure rotation (round 12): the driver's correctness
 # gate samples a 50-query prefix of this dict.  Cumulative record after
-# round 10: all 150 registry gates driver-hash GREEN on their latest
-# check, zero reds anywhere; freshness ledger (now mechanical:
-# scripts/freshness.py) reads r7 x8, r8 x47, r9 x45, r10 x50.  This
-# window serves, in order: (1) the three changed-plan gates whose
-# driver evidence is r9-vintage and did not fit the round-10 window
-# (temperature_mix, dedup_report, dup_source_matrix — strict bit-exact
-# locally); (2) the eight r7-vintage gates, closing the freshness tail
-# at r8 (bpe_segment, histogram, json_extract, project/quantize
-# embeddings, rolling, row_numbers, sorted_groups_running_sum); (3)
-# every gate whose PLAN or VALUES changed in round 11 — the CC-family
-# restructure (near_dup_clusters, dedup_keep_best, cluster_splits,
-# label_propagation, semantic_dedup, ahash_near_dup), the exactness
-# upgrades whose values moved on the snap grid (bm25,
-# doc_logprob_bigram) and doc_logprob (upstream unigram_lm gained a
-# pruned-away prob column), the null-safe target_encode oracle text,
-# pagerank (edge list pre-partitioned on src this round; values
-# partitioning-independent by the decimal-sum design), and k_core
-# (monotone early exit this round; value-identity is a theorem,
-# strict-verified), and association_rules (membership persisted +
-# forced, basket total as a plan literal — the two-consumer-trap fix).
-# The global_top_n-routed dsir_select / weighted_sample have
-# byte-identical plans at gate scale and defer to the tail to make
-# room, as does range_join (r8 freshness filler; the r8-vintage
-# criterion is already met by the 8 r7 upgrades).  (4) oldest-r8 gates
-# alphabetical to fill 50.  Pre-round
-# local sweep: 48/50 strict bit-exact; the two exceptions are
-# documented EXACTNESS.md ulp-band members green at driver tolerance
-# (embedding_near_dup_pairs — numpy BLAS; pagerank_orders —
-# DOUBLE→DECIMAL(38,20) quantization), both driver-hash-green before.
-# Deferred to 51+: the remaining r8 gates, then r9, then r10.
+# round 11: all 150 registry gates driver-hash GREEN on their latest
+# check, zero reds anywhere; freshness ledger (scripts/freshness.py)
+# reads r8 x20, r9 x37, r10 x43, r11 x50.  This window serves, in
+# order: (1) every gate whose PLAN or VALUES changed in round 12 — the
+# speculate+validate BPE trainer (bpe_train; bpe_pair_counts rides
+# along: its helper gained an extra-keys parameter, plan unchanged),
+# fit_logistic (the empty-check now rides iteration 1's aggregate —
+# one fewer job, try_divide in the update row), semantic_decontam
+# (kernel AND oracle moved to fixed-order folds — strict bit-exact at
+# sf0.01 and sf0.1 now, formerly the documented BLAS band),
+# label_propagation (single min(struct(-count,label)) argmax path for
+# all id types), and k_core (early-exit Observation now carries a
+# decimal hash-sum + monotonicity tripwire); (2) all 20 r8-vintage
+# gates — the freshness tail closes at r9 (similarity_ivf/lsh are
+# unchanged-plan: the round-12 self-tuning knobs are DEFAULTS and the
+# gates pin the historical values; embedding_near_dup_pairs likewise
+# pins num_planes=12 for a byte-identical plan and keeps its r11
+# evidence); (3) the 24 oldest r9-vintage gates alphabetically to
+# fill 50.  Pre-round local sweep: 45/50 strict bit-exact; the five
+# exceptions are documented EXACTNESS.md ulp-band members green at
+# driver tolerance (similarity_topk/lsh_topk/ivf_topk — BLAS matmul
+# candidate kernels; tfidf — per-row log2 deliverable;
+# decayed_aggregates — per-row libm pow), all driver-hash-green
+# before at exactly this band.  Deferred to 51+: the remaining r9
+# gates, then r10, then r11.
 _PRIORITY = [
+    "bpe_train_documents",
+    "fit_logistic_documents",
+    "semantic_decontam_embeddings",
+    "label_propagation_lineitem",
+    "k_core_lineitem",
+    "bpe_pair_counts_documents",
+    "range_join_events_bands",
+    "repetition_metrics_documents",
+    "row_numbers_contract_customer",
+    "salted_join_lineitem_orders",
+    "scrub_pii_documents",
+    "sessionize_events",
+    "simhash_documents",
+    "similarity_ivf_topk_embeddings",
+    "similarity_lsh_topk_embeddings",
+    "similarity_topk_embeddings",
+    "sorted_groups_lambda_running_sum",
+    "sorted_groups_running_sum_pandas",
+    "split_assign_documents",
+    "stratified_sample_documents",
+    "text_stats_documents",
+    "tfidf_documents",
+    "ticks_events",
+    "time_bucket_rollup_events",
+    "weighted_quantiles_documents",
+    "write_partitioned_read_back",
+    "asof_join_forward_events",
+    "asof_join_nearest_events",
+    "audio_stats_documents",
+    "cat_assoc_documents",
+    "check_constraints_orders",
+    "cohort_retention_events",
+    "corr_matrix_lineitem",
+    "decayed_aggregates_events",
+    "differential_join_lineitem_orders",
+    "discretize_events",
+    "feature_hash_events",
+    "funnel_events",
+    "fuzzy_pairs_part",
+    "group_ols_events",
+    "hilbert_events",
+    "interleave_mix_documents",
+    "interval_join_events",
+    "ks_report_events",
+    "length_batches_documents",
+    "mad_outliers_events",
+    "near_dedup_against_documents",
+    "ngram_containment_documents",
+    "plan_compaction_documents",
+    "prune_files_orders",
     "temperature_mix_documents",
     "dedup_report_documents",
     "dup_source_matrix_documents",
@@ -70,14 +115,12 @@ _PRIORITY = [
     "near_dup_clusters_documents",
     "dedup_keep_best_documents",
     "cluster_splits_documents",
-    "label_propagation_lineitem",
     "semantic_dedup_embeddings",
     "ahash_near_dup_documents",
     "bm25_documents",
     "doc_logprob_bigram_documents",
     "doc_logprob_documents",
     "target_encode_documents",
-    "k_core_lineitem",
     "pagerank_orders",
     "asof_join_events",
     "char_entropy_documents",
@@ -106,59 +149,12 @@ _PRIORITY = [
     "parquet_partitions_lineitem",
     "parquet_schema_lineitem",
     "association_rules_lineitem",
-    "repetition_metrics_documents",
-    "row_numbers_contract_customer",
-    "salted_join_lineitem_orders",
-    "scrub_pii_documents",
-    "sessionize_events",
-    "simhash_documents",
-    "similarity_ivf_topk_embeddings",
-    "similarity_lsh_topk_embeddings",
-    "similarity_topk_embeddings",
-    "sorted_groups_lambda_running_sum",
-    "sorted_groups_running_sum_pandas",
-    "split_assign_documents",
-    "stratified_sample_documents",
-    "text_stats_documents",
-    "tfidf_documents",
-    "ticks_events",
-    "time_bucket_rollup_events",
-    "weighted_quantiles_documents",
-    "write_partitioned_read_back",
-    "asof_join_forward_events",
-    "asof_join_nearest_events",
-    "range_join_events_bands",
-    "audio_stats_documents",
-    "bpe_pair_counts_documents",
-    "bpe_train_documents",
-    "cat_assoc_documents",
-    "check_constraints_orders",
-    "cohort_retention_events",
-    "corr_matrix_lineitem",
-    "decayed_aggregates_events",
-    "differential_join_lineitem_orders",
-    "discretize_events",
-    "feature_hash_events",
-    "funnel_events",
-    "fuzzy_pairs_part",
-    "group_ols_events",
-    "hilbert_events",
-    "interleave_mix_documents",
-    "interval_join_events",
     "dsir_select_documents",
-    "ks_report_events",
-    "length_batches_documents",
-    "mad_outliers_events",
-    "near_dedup_against_documents",
-    "ngram_containment_documents",
     "weighted_sample_documents",
-    "plan_compaction_documents",
-    "prune_files_orders",
     "rank_normalize_events",
     "resample_interpolate_events",
     "safe_union_documents",
     "scd2_merge_orders",
-    "semantic_decontam_embeddings",
     "snapshot_delta_orders",
     "transition_matrix_events",
     "triangle_counts_lineitem",
@@ -176,7 +172,6 @@ _PRIORITY = [
     "diff_lineitem",
     "dsir_weights_documents",
     "embedding_stats_embeddings",
-    "fit_logistic_documents",
     "group_centroids_embeddings",
     "group_quantiles_events",
     "heavy_hitters_documents",
