@@ -622,7 +622,9 @@ def main() -> None:
                 # STEAL_MAX_EXTRA times, median taken over the listed
                 # run indices (non-stolen first, then lowest wall) —
                 # the raw contaminated runs stay in `runs`/`load`
-                # above for audit
+                # above for audit.  Floor-trigger queries whose LATE
+                # triple won also appear here (indices point into the
+                # appended late runs; `floor_rerun` holds which)
                 "picked": picked,
                 # queries whose swept median exceeded FLOOR_RATIO x the
                 # committed quiet floor with a clean triple (the

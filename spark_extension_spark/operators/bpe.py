@@ -136,14 +136,15 @@ GROUP BY 1, 2
 """
 
 
-def _plan_batch(step_tops, guess, min_pair_count: int, cap: int):
+def _plan_batch(step_tops, guess, cap: int):
     """Exact-greedy acceptance rule over a validated batch:
     ``(accepted, next_guess, done)``.
 
     ``step_tops[j]`` is the TRUE top-K pair table — sorted by the
     greedy order (cnt desc, sym_a, sym_b), filtered to ``cnt >=
     min_pair_count`` — of the vocabulary state with ``guess[:j]``
-    applied (computed in one Spark job by :func:`bpe_train`).  Walking
+    applied (computed, already filtered to the trainer's
+    ``min_pair_count``, in one Spark job by :func:`bpe_train`).  Walking
     j upward: while ``guess[j]`` equals state j's argmax, the guess
     was the true greedy merge — accept it.  At the first mismatch (or
     at the final state, one past the guesses) accept the state's TRUE
@@ -238,11 +239,17 @@ def bpe_train(
     since_ckpt = 0
     guess: List[Tuple[str, str]] = []  # first job: bootstrap, 1 merge
     top_k = max(16, 2 * int(batch_size))
-    # bounded window: partitions are the <= batch_size+1 states, each
-    # holding the pair-vocabulary-sized count table (the same frame the
-    # classic loop's per-merge TakeOrdered consumed) — vocabulary-
-    # bounded input, never corpus-sized
-    w_top = Window.partitionBy("step").orderBy(
+    # Per-state top-K via the SALTED two-phase pattern, not a
+    # step-partitioned window: `step` has <= batch_size+1 values, so a
+    # window keyed on it alone would sort each state's ENTIRE pair
+    # table on one task — the global-top-k hazard class the plan CI
+    # exists for, hidden behind a low-cardinality key.  Phase 1 ranks
+    # within (step, salt) — every partition is ~1/N_SALTS of one
+    # state's pair table — and the true per-state top-K is a subset of
+    # the union of per-salt top-Ks, so phase 2 (a driver-side merge of
+    # <= states x N_SALTS x K tiny survivor rows) is exact.
+    n_salts = 16
+    w_top = Window.partitionBy("step", "__salt").orderBy(
         F.col("cnt").desc(), F.col("sym_a"), F.col("sym_b")
     )
     try:
@@ -270,17 +277,27 @@ def bpe_train(
             rows = (
                 _pair_counts_from_spaced(stepped, "step")
                 .where(F.col("cnt") >= int(min_pair_count))
+                .withColumn(
+                    "__salt",
+                    F.pmod(F.xxhash64("sym_a", "sym_b"), F.lit(n_salts)),
+                )
                 .withColumn("__rn", F.row_number().over(w_top))
                 .where(F.col("__rn") <= top_k)
                 .collect()
             )
+            # phase-2 merge: exact per-state top-K from the salted
+            # survivors (greedy order: cnt desc, sym_a, sym_b)
             step_tops: dict = {}
-            for r in sorted(rows, key=lambda r: (r["step"], r["__rn"])):
+            for r in rows:
                 step_tops.setdefault(r["step"], []).append(
                     (r["sym_a"], r["sym_b"], r["cnt"])
                 )
+            for j in step_tops:
+                step_tops[j] = sorted(
+                    step_tops[j], key=lambda t: (-t[2], t[0], t[1])
+                )[:top_k]
             accepted, guess, done = _plan_batch(
-                step_tops, guess, min_pair_count, int(batch_size) - 1
+                step_tops, guess, int(batch_size) - 1
             )
             accepted = accepted[: int(n_merges) - len(merges)]
             if not accepted:
@@ -295,7 +312,14 @@ def bpe_train(
             if done:
                 break
             since_ckpt += len(accepted)
-            if checkpoint_every and since_ckpt >= int(checkpoint_every):
+            # the final vocabulary is never read again (the result is
+            # the driver-side merge list), so don't pay a checkpoint
+            # job when the batch just completed training
+            if (
+                checkpoint_every
+                and since_ckpt >= int(checkpoint_every)
+                and len(merges) < int(n_merges)
+            ):
                 current = cycler.checkpoint(current)
                 since_ckpt = 0
     finally:

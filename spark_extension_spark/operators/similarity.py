@@ -1236,6 +1236,15 @@ def semantic_decontam_flags(
                 ok = norms > 0
                 if ok.any():
                     Vn = V[ok] / norms[ok, None]
+                    if Vn.shape[1] != Bu.shape[0]:
+                        # the matmul this fold replaced raised on shape
+                        # mismatch; the per-dim loop would silently
+                        # truncate the dot product instead — keep the
+                        # loud failure
+                        raise ValueError(
+                            f"corpus vectors have dim {Vn.shape[1]} but "
+                            f"benchmark vectors have dim {Bu.shape[0]}"
+                        )
                     # dim-ordered left fold == list_reduce((a,b)->a+b)
                     # over per-dim products; one vectorized fused add
                     # per dimension ≈ matmul speed at these dims

@@ -628,7 +628,7 @@ class TestBpeBatchedMerges:
                     v = cls._apply_merge(v, *guess[j])
             jobs += 1
             accepted, guess, done = _plan_batch(
-                step_tops, guess, min_pair_count, batch_size - 1
+                step_tops, guess, batch_size - 1
             )
             accepted = accepted[: n_merges - len(merges)]
             if not accepted:
@@ -649,7 +649,6 @@ class TestBpeBatchedMerges:
             {0: [("a", "b", 9), ("c", "d", 8), ("a", "x", 7), ("y", "z", 6)]},
             [],
             2,
-            2,
         )
         assert acc == [("a", "b")] and nxt == [("c", "d"), ("a", "x")]
         assert not done
@@ -661,7 +660,7 @@ class TestBpeBatchedMerges:
             1: [("c", "d", 8), ("e", "f", 3)],
             2: [("e", "f", 3)],
         }
-        acc, nxt, done = _plan_batch(tops, [("a", "b"), ("c", "d")], 2, 3)
+        acc, nxt, done = _plan_batch(tops, [("a", "b"), ("c", "d")], 3)
         assert acc == [("a", "b"), ("c", "d"), ("e", "f")] and not done
 
         # mismatch mid-batch: verified prefix + the TRUE argmax, stop;
@@ -670,13 +669,13 @@ class TestBpeBatchedMerges:
             0: [("a", "b", 9)],
             1: [("x", "y", 9), ("c", "d", 8)],
         }
-        acc, nxt, done = _plan_batch(tops, [("a", "b"), ("c", "d")], 2, 3)
+        acc, nxt, done = _plan_batch(tops, [("a", "b"), ("c", "d")], 3)
         assert acc == [("a", "b"), ("x", "y")] and nxt == [("c", "d")]
         assert not done
 
         # empty state table: training done after the verified prefix
         tops = {0: [("a", "b", 9)], 1: []}
-        acc, nxt, done = _plan_batch(tops, [("a", "b")], 2, 3)
+        acc, nxt, done = _plan_batch(tops, [("a", "b")], 3)
         assert acc == [("a", "b")] and done
 
     def test_batched_equals_reference_on_random_small_alphabet_corpora(self):
