@@ -92,10 +92,19 @@ def _string_pairs(
     multiply candidates — two identical strings share *all* their
     variants, and without this dedup a group of n copies would meet
     n² × variants times before ``distinct`` could collapse it."""
-    lv = left_strings.select(
+    # Spread the distinct strings BEFORE the variant explode.  The
+    # ``distinct()`` the callers feed in is a shuffle whose read-bytes
+    # are tiny (short strings), so AQE coalesces it to ~1 partition —
+    # and the O(L²)-variants-per-string generation below then runs on
+    # ONE task regardless of cluster size (measured: 12.0 s → 1.65 s
+    # for 14k 27-char strings on local[32] with the explicit-count
+    # repartition, which is exempt from AQE coalescing — the same
+    # fan-out-blindness class as the verified-pairs spread below).
+    n_parts = session_shuffle_partitions(left_strings.sparkSession)
+    lv = left_strings.repartition(n_parts).select(
         F.col("__ls"), F.explode(deletion_variants("__ls", max_distance)).alias("__variant")
     )
-    rv = right_strings.select(
+    rv = right_strings.repartition(n_parts).select(
         F.col("__rs"), F.explode(deletion_variants("__rs", max_distance)).alias("__variant")
     )
     # |len(s) - len(t)| <= d is a NECESSARY condition for ed(s, t) <= d
@@ -103,9 +112,16 @@ def _string_pairs(
     # bucket join is lossless for recall while cutting the candidate
     # pairs that reach the distinct shuffle and the levenshtein
     # verification — on natural data most bucket collisions are between
-    # strings of similar-but-not-close-enough lengths
+    # strings of similar-but-not-close-enough lengths.
+    # The variant join is PINNED to shuffle-hash: the planner sizes the
+    # exploded frames from the strings' stats (explode fan-out is not
+    # modeled), so it happily broadcasts a ~L²/2-rows-per-string variant
+    # table — a driver-built hash relation hundreds of times the input
+    # size that OOMs exactly when the corpus stops being a toy (the
+    # salted_join rationale, `skew.py`).  Both sides are variant-keyed
+    # and near-unique, so the per-task SHJ build is input-sized.
     cands = (
-        lv.join(rv, "__variant")
+        lv.join(rv.hint("shuffle_hash"), "__variant")
         .where(F.abs(F.length("__ls") - F.length("__rs")) <= max_distance)
         .select("__ls", "__rs")
         .distinct()
