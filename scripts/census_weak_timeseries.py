@@ -163,11 +163,16 @@ clicks, views = clicks_views(base)
 grid_l = F.lit(W_US).cast("long")
 
 
+def cell_start(x):
+    x = x.cast("long")
+    return x - ((x % grid_l) + grid_l) % grid_l
+
+
 def cells(df, start, end):
-    first = F.floor(F.col(start).cast("long") / grid_l)
-    last = F.floor((F.col(end).cast("long") - 1) / grid_l)
+    first = cell_start(F.col(start))
+    last = cell_start(F.col(end).cast("long") - 1)
     return df.where(F.col(start) < F.col(end)).withColumn(
-        "__cell", F.explode(F.sequence(first, last))
+        "__cell", F.explode(F.sequence(first, last, grid_l))
     )
 
 

@@ -292,11 +292,27 @@ def interval_join(
                 )
     grid_l = F.lit(int(grid)).cast("long")
 
+    # Cells are keyed by their START VALUE, not an index, so the cell
+    # assignment is pure int64 arithmetic (the `time_bucket` floored-
+    # modulo pattern) — exact at ANY axis magnitude.  The former
+    # ``floor(x / grid)`` DOUBLE division drifts off the true cell
+    # boundaries by up to 2^(exp-52) axis units once the axis passes
+    # 2^52 (e.g. a nanosecond epoch, ~1.7e18 today); that form stayed
+    # CORRECT — double conversion and division are monotone, so the
+    # anchor cell provably lands inside both sides' enumerated ranges —
+    # but its correctness rests on that subtle monotonicity argument
+    # and its cell widths go fuzzy at the margins.  Start-valued cells
+    # need no division at all, and ``sequence`` steps by the grid
+    # width directly.
+    def cell_start(x: Column) -> Column:
+        x = x.cast("long")
+        return x - ((x % grid_l) + grid_l) % grid_l
+
     def cells(df: DataFrame, start: str, end: str) -> DataFrame:
-        first = F.floor(F.col(start).cast("long") / grid_l)
-        last = F.floor((F.col(end).cast("long") - 1) / grid_l)
+        first = cell_start(F.col(start))
+        last = cell_start(F.col(end).cast("long") - 1)
         return df.where(F.col(start) < F.col(end)).withColumn(
-            "__cell", F.explode(F.sequence(first, last))
+            "__cell", F.explode(F.sequence(first, last, grid_l))
         )
 
     lc = cells(left, left_start, left_end)
@@ -304,7 +320,7 @@ def interval_join(
     joined = lc.join(rc, [*by, "__cell"])
     ov_start = F.greatest(F.col(left_start), F.col(right_start))
     ov_end = F.least(F.col(left_end), F.col(right_end))
-    anchor_cell = F.floor(ov_start.cast("long") / grid_l)
+    anchor_cell = cell_start(ov_start)
     return (
         joined.where((ov_start < ov_end) & (F.col("__cell") == anchor_cell))
         .withColumn("overlap_start", ov_start)

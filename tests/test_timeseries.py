@@ -169,6 +169,39 @@ def test_interval_join_touching_intervals_do_not_match(spark):
     assert interval_join(left, right, "ls", "le", "rs", "re", grid=50).count() == 0
 
 
+def test_interval_join_exact_at_nanosecond_axis_magnitude(spark):
+    # cell assignment is pure int64 (start-valued cells): axes beyond
+    # 2^52, where double-mediated floor(x / grid) drifts off the true
+    # boundaries, still produce exact results — intervals packed
+    # tightly around a cell boundary B near a present-day nanosecond
+    # epoch (~1.7e18), including the B-1 edge doubles round away
+    from spark_extension_spark.operators.timeseries import interval_join
+
+    grid = 6 * 3600 * 10**9  # 6 h in nanoseconds
+    b = (1_700_000_000_000_000_000 // grid + 1) * grid  # cell boundary
+    left = spark.createDataFrame(
+        [(0, b - 1, b), (1, b - grid, b - 1), (2, b, b + 1), (3, b - 2, b + 2)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(0, b - grid, b), (1, b - 1, b + 1), (2, b, b + grid)],
+        "rid long, rs long, re long",
+    )
+    got = {
+        (r["lid"], r["rid"], r["overlap_start"], r["overlap_end"])
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re", grid=grid
+        ).collect()
+    }
+    naive = {
+        (lr["lid"], rr["rid"], max(lr["ls"], rr["rs"]), min(lr["le"], rr["re"]))
+        for lr in left.collect()
+        for rr in right.collect()
+        if max(lr["ls"], rr["rs"]) < min(lr["le"], rr["re"])
+    }
+    assert got == naive and len(got) > 0
+
+
 class TestCohortRetention:
     def test_small_known_matrix(self, spark):
         from spark_extension_spark.operators.timeseries import cohort_retention
