@@ -162,6 +162,15 @@ def pack_blocks(
         unpersist_handle=unpersist_handle,
     )
     cap = F.lit(int(capacity))
+    # Exactness bound for the double-mediated floor-division below: a
+    # long n < 2^53 is exactly representable, and floor(n / cap) can
+    # only misround when the division's relative error (<= q·2^-53,
+    # q = block index) reaches the 1/cap gap to the next boundary —
+    # i.e. only once the token total n exceeds 2^52 ≈ 4.5e15 tokens
+    # (~180x a 100 TB corpus).  Inside that domain the indices are
+    # provably exact; interval_join's axis had no such bound (ns
+    # epochs exceed 2^52 today), which is why it moved to pure-int64
+    # cells while this stays on the simpler form.
     return (
         out.withColumn("tokens_before", F.col(cum) - tokens)
         .withColumn("block_first", F.floor(F.col("tokens_before") / cap))
