@@ -63,6 +63,15 @@ def file_column_ranges(
                             ok = False
                             break
                         gmin, gmax = float(st.min), float(st.max)
+                        # NaN stats (a nonconforming writer — the spec
+                        # says NaN must never land in min/max) would
+                        # compare FALSE against every predicate bound
+                        # and prune_files would then SKIP a file that
+                        # may hold matching rows; degrade to "no stats"
+                        # (always kept) instead
+                        if gmin != gmin or gmax != gmax:
+                            ok = False
+                            break
                         lo = gmin if lo is None else min(lo, gmin)
                         hi = gmax if hi is None else max(hi, gmax)
                 rows.append((path, n_rows, ok, lo if ok else None, hi if ok else None))
