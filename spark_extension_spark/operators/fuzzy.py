@@ -32,6 +32,8 @@ break the exactness contract.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -84,7 +86,10 @@ def deletion_variants(text, max_deletes: int = 2) -> Column:
 
 
 def _string_pairs(
-    left_strings: DataFrame, right_strings: DataFrame, max_distance: int
+    left_strings: DataFrame,
+    right_strings: DataFrame,
+    max_distance: int,
+    join_hint: Optional[str] = "shuffle_hash",
 ) -> DataFrame:
     """Verified (``__ls``, ``__rs``, ``distance``) pairs between two
     one-column frames of **distinct** strings.  The variant equi-join
@@ -119,9 +124,14 @@ def _string_pairs(
     # table — a driver-built hash relation hundreds of times the input
     # size that OOMs exactly when the corpus stops being a toy (the
     # salted_join rationale, `skew.py`).  Both sides are variant-keyed
-    # and near-unique, so the per-task SHJ build is input-sized.
+    # and near-unique, so the per-task SHJ build is input-sized.  A
+    # caller who KNOWS one side is tiny (query-set-against-corpus) may
+    # pass join_hint="broadcast" to skip shuffling the big side's
+    # variants — deliberate, never planner-guessed.
+    if join_hint is not None:
+        rv = rv.hint(join_hint)
     cands = (
-        lv.join(rv.hint("shuffle_hash"), "__variant")
+        lv.join(rv, "__variant")
         .where(F.abs(F.length("__ls") - F.length("__rs")) <= max_distance)
         .select("__ls", "__rs")
         .distinct()
@@ -146,6 +156,18 @@ def _string_pairs(
     return verified.repartition(session_shuffle_partitions(verified.sparkSession))
 
 
+_JOIN_HINTS = ("shuffle_hash", "merge", "broadcast", None)
+
+
+def _check_hint(join_hint: Optional[str]) -> None:
+    # Spark's analyzer ignores unknown hint names with only a log
+    # warning (the salted_join precedent) — reject typos loudly
+    if join_hint not in _JOIN_HINTS:
+        raise ValueError(
+            f"join_hint must be one of {_JOIN_HINTS}, got: {join_hint!r}"
+        )
+
+
 def fuzzy_join_levenshtein(
     left: DataFrame,
     right: DataFrame,
@@ -154,6 +176,7 @@ def fuzzy_join_levenshtein(
     max_distance: int = 2,
     left_id: str = None,
     right_id: str = None,
+    join_hint: Optional[str] = "shuffle_hash",
 ) -> DataFrame:
     """All (left_id, right_id) pairs whose strings are within
     Levenshtein distance ``max_distance`` — exact result, computed via
@@ -166,14 +189,25 @@ def fuzzy_join_levenshtein(
     are heavily duplicated), and the id expansion is exactly
     output-sized.
 
+    ``join_hint`` pins the variant join's physical shape (default
+    ``"shuffle_hash"`` — the planner's own size estimate is blind to
+    the ~L²/2-per-string explode fan-out and would otherwise broadcast
+    corpus-scale variant tables).  Pass ``"broadcast"`` when the RIGHT
+    side is a known-small query set — its variants then broadcast and
+    the big left side's variants are never shuffled — ``"merge"`` for
+    a spill-graceful sort-merge join, or ``None`` to leave the planner
+    unpinned.
+
     Returns ``left_id, right_id, left_col, right_col, distance``.
     """
+    _check_hint(join_hint)
     left_id = left_id or left.columns[0]
     right_id = right_id or right.columns[0]
     sp = _string_pairs(
         left.select(F.col(left_col).alias("__ls")).distinct(),
         right.select(F.col(right_col).alias("__rs")).distinct(),
         max_distance,
+        join_hint,
     )
     lm = left.select(F.col(left_id).alias("left_id"), F.col(left_col).alias("__ls"))
     rm = right.select(F.col(right_id).alias("right_id"), F.col(right_col).alias("__rs"))
@@ -196,6 +230,7 @@ def fuzzy_dedup_pairs(
     id_col: str,
     text_col: str,
     max_distance: int = 2,
+    join_hint: Optional[str] = "shuffle_hash",
 ) -> DataFrame:
     """Self-join form: unordered pairs (id_a < id_b) of rows whose
     strings are within ``max_distance`` edits — near-duplicate keys,
@@ -209,9 +244,11 @@ def fuzzy_dedup_pairs(
 
     Returns ``id_a, id_b, distance``.
     """
+    _check_hint(join_hint)
     strings = df.select(F.col(text_col).alias("__ls")).distinct()
     sp = _string_pairs(
-        strings, strings.select(F.col("__ls").alias("__rs")), max_distance
+        strings, strings.select(F.col("__ls").alias("__rs")), max_distance,
+        join_hint,
     ).where(F.col("__ls") <= F.col("__rs"))
     members_a = df.select(F.col(id_col).alias("__ia"), F.col(text_col).alias("__ls"))
     members_b = df.select(F.col(id_col).alias("__ib"), F.col(text_col).alias("__rs"))

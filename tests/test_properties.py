@@ -157,6 +157,37 @@ def test_fuzzy_dedup_equals_brute_force(spark, words, d):
     assert got == want
 
 
+def test_fuzzy_join_hint_paths_agree_and_typos_rejected(spark):
+    # broadcast / merge / None produce the same pairs as the default
+    # shuffle_hash pin (hints change physical shape, never semantics);
+    # unknown hints fail loudly (Spark's analyzer only log-warns)
+    import pytest
+
+    from spark_extension_spark.operators.fuzzy import (
+        fuzzy_dedup_pairs,
+        fuzzy_join_levenshtein,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abc"), (4, "xyz")], "id int, s string"
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_dedup_pairs(df, "id", "s", 1).collect()
+    }
+    assert want  # non-trivial
+    for hint in ("broadcast", "merge", None):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in fuzzy_dedup_pairs(df, "id", "s", 1, join_hint=hint).collect()
+        }
+        assert got == want, hint
+    with pytest.raises(ValueError, match="join_hint"):
+        fuzzy_dedup_pairs(df, "id", "s", 1, join_hint="broadcst")
+    with pytest.raises(ValueError, match="join_hint"):
+        fuzzy_join_levenshtein(df, df, "s", "s", 1, join_hint="shuffle")
+
+
 @given(values=st.lists(st.integers(min_value=0, max_value=30), max_size=40))
 @SETTINGS
 def test_kmv_exact_below_capacity(spark, values):
