@@ -29,6 +29,27 @@ from .parquet_metadata import _files_df, _footer_guarded
 __all__ = ["file_column_ranges", "prune_files", "read_pruned"]
 
 
+def _fold_stats(md, idx) -> Tuple[bool, Optional[float], Optional[float]]:
+    """Fold one file's row-group min/max statistics for column ``idx``
+    to a file-level ``(has_stats, lo, hi)``.  Any row group with
+    absent statistics — or NaN min/max from a nonconforming writer
+    (the parquet spec says NaN must never land in min/max; NaN would
+    compare FALSE against every predicate bound and prune_files would
+    then SKIP a file that may hold matching rows) — degrades the whole
+    file to "no stats" (always kept).  Pure function — unit-tested."""
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return False, None, None
+        gmin, gmax = float(st.min), float(st.max)
+        if gmin != gmin or gmax != gmax:
+            return False, None, None
+        lo = gmin if lo is None else min(lo, gmin)
+        hi = gmax if hi is None else max(hi, gmax)
+    return True, lo, hi
+
+
 def file_column_ranges(
     spark: SparkSession,
     *paths: str,
@@ -57,23 +78,7 @@ def file_column_ranges(
                 ok = crypto.encryption == "UNENCRYPTED"
                 n_rows = md.num_rows
                 if ok:
-                    for g in range(md.num_row_groups):
-                        st = md.row_group(g).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            ok = False
-                            break
-                        gmin, gmax = float(st.min), float(st.max)
-                        # NaN stats (a nonconforming writer — the spec
-                        # says NaN must never land in min/max) would
-                        # compare FALSE against every predicate bound
-                        # and prune_files would then SKIP a file that
-                        # may hold matching rows; degrade to "no stats"
-                        # (always kept) instead
-                        if gmin != gmin or gmax != gmax:
-                            ok = False
-                            break
-                        lo = gmin if lo is None else min(lo, gmin)
-                        hi = gmax if hi is None else max(hi, gmax)
+                    ok, lo, hi = _fold_stats(md, idx)
                 rows.append((path, n_rows, ok, lo if ok else None, hi if ok else None))
             yield pd.DataFrame(
                 rows, columns=["path", "n_rows", "has_stats", "min_value", "max_value"]

@@ -6,10 +6,61 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_extension_spark.sources.skipping import (
+    _fold_stats,
     file_column_ranges,
     prune_files,
     read_pruned,
 )
+
+
+class _FakeStats:
+    def __init__(self, mn, mx, has_min_max=True):
+        self.min, self.max, self.has_min_max = mn, mx, has_min_max
+
+
+class _FakeMeta:
+    """Duck-typed pyarrow FileMetaData: one column, given per-group stats."""
+
+    def __init__(self, stats_per_group):
+        self._stats = stats_per_group
+        self.num_row_groups = len(stats_per_group)
+
+    def row_group(self, g):
+        meta, st = self, self._stats[g]
+
+        class _G:
+            def column(self, idx):
+                class _C:
+                    statistics = st
+
+                return _C()
+
+        return _G()
+
+
+def test_fold_stats_normal_fold():
+    md = _FakeMeta([_FakeStats(3.0, 7.0), _FakeStats(1.0, 5.0)])
+    assert _fold_stats(md, 0) == (True, 1.0, 7.0)
+
+
+def test_fold_stats_missing_group_stats_degrade():
+    md = _FakeMeta([_FakeStats(1.0, 2.0), None])
+    assert _fold_stats(md, 0) == (False, None, None)
+    md = _FakeMeta([_FakeStats(1.0, 2.0, has_min_max=False)])
+    assert _fold_stats(md, 0) == (False, None, None)
+
+
+def test_fold_stats_nan_degrades_to_no_stats():
+    # a nonconforming writer's NaN min/max must NOT silently prune the
+    # file: NaN compares false against every bound, so without the
+    # guard prune_files would skip a file that may hold matching rows
+    nan = float("nan")
+    for stats in (
+        [_FakeStats(nan, 5.0)],
+        [_FakeStats(1.0, nan)],
+        [_FakeStats(1.0, 5.0), _FakeStats(nan, nan)],
+    ):
+        assert _fold_stats(_FakeMeta(stats), 0) == (False, None, None)
 
 
 @pytest.fixture(scope="module")
