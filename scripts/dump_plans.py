@@ -20,6 +20,12 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
+    if len(sys.argv) < 4:
+        print(
+            "usage: python scripts/dump_plans.py OUTDIR SUFFIX query [query ...]",
+            file=sys.stderr,
+        )
+        return 2
     outdir, suffix, *names = sys.argv[1:]
     os.makedirs(outdir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,11 +47,18 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from spark_extension_spark.registry import QUERIES
 
+    import contextlib
+    import io
+
     for name in names:
         df = QUERIES[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API: explain(mode=...) prints; capture its stdout
+        # (the former PythonSQLUtils/_jdf route relied on PySpark
+        # internals that can move across versions)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)

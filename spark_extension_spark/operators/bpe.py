@@ -102,6 +102,34 @@ def _pair_counts_from_spaced(vocab: DataFrame, *extra_keys: str) -> DataFrame:
     )
 
 
+def _triple_counts_from_spaced(vocab: DataFrame) -> DataFrame:
+    """(sym_a, sym_b, sym_c, cnt) adjacent-TRIPLE statistics over a
+    symbolized vocabulary — same explode/aggregate shape as the pair
+    counts.  Feeds the trainer's chain-aware speculation only (exact
+    one-merge-ahead count deltas): a merge (a, b) → ab turns every
+    "x a b" context into "x ab" and every "a b y" into "ab y", so the
+    next state's chained-pair counts are exactly this table's rows —
+    the class of continuation (think t+h → th, th+e → the) a stale
+    pair table can never contain."""
+    syms = F.split(F.trim(F.col("spaced")), " ")
+    n = F.size(syms)
+    tris = F.arrays_zip(
+        F.slice(syms, 1, n - 2).alias("sym_a"),
+        F.slice(syms, 2, n - 2).alias("sym_b"),
+        F.slice(syms, 3, n - 2).alias("sym_c"),
+    )
+    return (
+        vocab.where(n >= 3)
+        .select(F.explode(tris).alias("t"), "cnt")
+        .groupBy(
+            F.col("t.sym_a").alias("sym_a"),
+            F.col("t.sym_b").alias("sym_b"),
+            F.col("t.sym_c").alias("sym_c"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-wide adjacent character-pair counts ``(sym_a, sym_b,
     cnt)`` — the iteration-zero statistics of BPE training (and a
@@ -174,6 +202,128 @@ def _plan_batch(step_tops, guess, cap: int):
     raise AssertionError("unreachable: the final state always returns")
 
 
+def _chain_guess(tops, tris, argmax, cap: int, min_pair_count: int):
+    """Speculative greedy continuation from a VALIDATED state: simulate
+    up to ``cap`` merges ahead on the driver over the state's top-K
+    pair table, updating counts per simulated merge.
+
+    ``tops`` is the state's true top-K pair table (``(sym_a, sym_b,
+    cnt)`` in greedy order) and ``tris`` its top adjacent-triple counts
+    (``(sym_a, sym_b, sym_c, cnt)``).  Applying merge (a, b) → ab:
+
+    - exact one-step deltas from the triples — every "x a b" context
+      moves cnt from pair (x, a) to the NEW pair (x, ab), every
+      "a b y" from (b, y) to (ab, y).  This is what predicts the
+      chained continuations (t+h, th+e, the…) that dominate the
+      observed speculation misses: they involve a symbol the previous
+      merge just created, so no stale pair order can rank them.
+    - for merges involving a symbol CREATED during this simulation
+      (no triples can name it), estimates are bounded by the triple
+      counts of its state-symbol DECOMPOSITION: the phrase "x a b"
+      spelled out in origin-state symbols contains every adjacent
+      triple of that spelling as a contiguous subsequence, so each
+      such triple's count is an upper bound — est = min(pair cnt,
+      merged cnt, min over the spelled windows).  An absent window
+      bounds at 0: no spawn and, crucially, no absorption (a pair like
+      (u, p) whose 'p' is never followed by the merged symbol's first
+      component must keep its count — the earlier unconditional
+      min-rule wrongly absorbed exactly this class).
+
+    Counts are estimates past one step — harmless: guesses only ever
+    change how many jobs training takes, never a value (the acceptance
+    rule in :func:`_plan_batch` validates every position against the
+    state's true argmax).  Pure function — unit- and stress-tested."""
+    work = {(a, b): c for a, b, c in tops}
+    tri = {(a, b, c): n for a, b, c, n in tris}
+    by_suffix: dict = {}  # (b, c) -> [(a, cnt)]   triples "a b c"
+    by_prefix: dict = {}  # (a, b) -> [(c, cnt)]
+    for a, b, c, n in tris:
+        by_suffix.setdefault((b, c), []).append((a, n))
+        by_prefix.setdefault((a, b), []).append((c, n))
+    origs: dict = {}  # sim-created symbol -> origin-state spelling
+
+    def spelled(s) -> tuple:
+        return origs.get(s) or (s,)
+
+    def window_bound(seq) -> int:
+        return min(
+            tri.get(seq[i : i + 3], 0) for i in range(len(seq) - 2)
+        )
+
+    guess = []
+    m = argmax
+    cm = work.pop(argmax, None)
+    if cm is None:
+        cm = tops[0][2] if tops else 0
+    while len(guess) < int(cap):
+        a, b = m
+        ab = a + b
+        oa, ob = spelled(a), spelled(b)
+        origs[ab] = oa + ob
+        if len(oa) == 1 and len(ob) == 1:
+            # origin-state pair: the triple deltas are exact, and they
+            # can spawn chain pairs whose source pair is below top-K
+            for x, n in by_suffix.get(m, ()):  # "x a b" -> (x, ab)
+                if (x, a) in work:
+                    work[(x, a)] -= n
+                work[(x, ab)] = work.get((x, ab), 0) + n
+            for y, n in by_prefix.get(m, ()):  # "a b y" -> (ab, y)
+                if (b, y) in work:
+                    work[(b, y)] -= n
+                work[(ab, y)] = work.get((ab, y), 0) + n
+        else:
+            # sim-created symbol: bound by the spelled-out windows
+            for (x, y), c in list(work.items()):
+                if y == a and c > 0:
+                    est = min(c, cm, window_bound(spelled(x) + oa + ob))
+                    if est > 0:
+                        work[(x, ab)] = work.get((x, ab), 0) + est
+                        work[(x, y)] = c - est
+                elif x == b and c > 0:
+                    est = min(c, cm, window_bound(oa + ob + spelled(y)))
+                    if est > 0:
+                        work[(ab, y)] = work.get((ab, y), 0) + est
+                        work[(x, y)] = c - est
+        cand = [
+            (p, c) for p, c in work.items() if c >= int(min_pair_count)
+        ]
+        if not cand:
+            break
+        (m, cm) = min(cand, key=lambda pc: (-pc[1], pc[0][0], pc[0][1]))
+        del work[m]
+        guess.append(m)
+    return guess
+
+
+def _next_round(
+    step_tops, tri_tops, guess, cap: int, base_cap: int, cap_max: int,
+    min_pair_count: int,
+):
+    """One validated batch's outcome → next round's speculation:
+    ``(accepted, next_guess, next_cap, done)``.
+
+    Wraps :func:`_plan_batch` (the exactness-bearing acceptance rule —
+    untouched) with the ADAPTIVE guess depth and the chain-aware
+    speculation: full acceptance doubles the cap (up to ``cap_max``)
+    and builds the next guess by :func:`_chain_guess` from the final
+    state's fresh table + triples; a miss halves the cap (floored at
+    ``base_cap``) and keeps the classic stale-order guess from the
+    mismatch state, whose table is fresh there.  Pure function —
+    stress-tested against the reference greedy trainer."""
+    accepted, stale_guess, done = _plan_batch(step_tops, guess, cap)
+    if done or not accepted:
+        return accepted, [], cap, done
+    if len(accepted) == len(guess) + 1:
+        next_cap = min(2 * cap + 1, cap_max)
+        next_guess = _chain_guess(
+            step_tops.get(len(guess)) or [], tri_tops, accepted[-1],
+            next_cap, min_pair_count,
+        ) or stale_guess[:next_cap]
+        return accepted, next_guess, next_cap, False
+    next_cap = max(base_cap, cap // 2)
+    return accepted, stale_guess[:next_cap], next_cap, False
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
@@ -238,23 +388,43 @@ def bpe_train(
     cycler = LocalCheckpointCycler(spark, lag=1)
     since_ckpt = 0
     guess: List[Tuple[str, str]] = []  # first job: bootstrap, 1 merge
-    top_k = max(16, 2 * int(batch_size))
+    # ADAPTIVE guess depth (round-13): `cap` is the live guess length —
+    # it doubles on a fully-accepted batch (a good speculation streak
+    # under-commits at a fixed depth) and halves on a miss, floored at
+    # the caller's batch_size and ceilinged at 8x it (a runaway streak
+    # must not grow one job's state count without bound: job cost is
+    # states x vocab).  batch_size=1 still forces the classic
+    # one-merge-per-job loop exactly (cap 0 -> no guesses ever).
+    base_cap = int(batch_size) - 1
+    cap = base_cap
+    cap_max = max(base_cap, 8 * int(batch_size) - 1)
     # Per-state top-K via the SALTED two-phase pattern, not a
-    # step-partitioned window: `step` has <= batch_size+1 values, so a
+    # step-partitioned window: `step` has <= cap+2 values, so a
     # window keyed on it alone would sort each state's ENTIRE pair
     # table on one task — the global-top-k hazard class the plan CI
     # exists for, hidden behind a low-cardinality key.  Phase 1 ranks
     # within (step, salt) — every partition is ~1/N_SALTS of one
     # state's pair table — and the true per-state top-K is a subset of
     # the union of per-salt top-Ks, so phase 2 (a driver-side merge of
-    # <= states x N_SALTS x K tiny survivor rows) is exact.
+    # <= states x N_SALTS x K tiny survivor rows) is exact.  The
+    # last state's TRIPLE counts ride the same job under step = -1
+    # (they feed the chain-aware speculation only — see _chain_guess).
     n_salts = 16
-    w_top = Window.partitionBy("step", "__salt").orderBy(
-        F.col("cnt").desc(), F.col("sym_a"), F.col("sym_b")
-    )
     try:
         while len(merges) < int(n_merges):
-            guess = guess[: min(int(batch_size) - 1, int(n_merges) - len(merges) - 1)]
+            guess = guess[: min(cap, int(n_merges) - len(merges) - 1)]
+            # top-K must cover the guess depth (stale-order fallback
+            # reads tops[1:cap+1]) AND give the chain simulation a deep
+            # enough working set — a pair just below a 16-row cutoff
+            # (e.g. rank 17 by count) may be the true next argmax once
+            # higher pairs are absorbed by chains
+            top_k = max(32, 2 * int(batch_size), 2 * (cap + 1))
+            w_top = Window.partitionBy("step", "__salt").orderBy(
+                F.col("cnt").desc(),
+                F.col("sym_a"),
+                F.col("sym_b"),
+                F.asc_nulls_first("sym_c"),
+            )
             # state j = current with guess[:j] applied — prefix chains
             # of the same rewrite expressions the accept step will use
             states, spaced = [F.col("spaced")], F.col("spaced")
@@ -274,12 +444,35 @@ def bpe_train(
                 ).alias("s"),
                 "cnt",
             ).select("s.step", "s.spaced", "cnt")
-            rows = (
+            pair_rows = (
                 _pair_counts_from_spaced(stepped, "step")
                 .where(F.col("cnt") >= int(min_pair_count))
+                .select(
+                    "step", "sym_a", "sym_b",
+                    F.lit(None).cast("string").alias("sym_c"), "cnt",
+                )
+            )
+            # the FINAL state's triple counts, under step = -1 — the
+            # exact one-merge-ahead deltas _chain_guess needs; built
+            # from the last-state expression directly (not the exploded
+            # frame) so the branch costs one vocab pass, not states-many
+            tri_rows = (
+                _triple_counts_from_spaced(
+                    current.select(states[-1].alias("spaced"), "cnt")
+                )
+                .where(F.col("cnt") >= int(min_pair_count))
+                .select(
+                    F.lit(-1).alias("step"), "sym_a", "sym_b", "sym_c",
+                    "cnt",
+                )
+            )
+            rows = (
+                pair_rows.unionByName(tri_rows)
                 .withColumn(
                     "__salt",
-                    F.pmod(F.xxhash64("sym_a", "sym_b"), F.lit(n_salts)),
+                    # xxhash64 skips null inputs, so pair rows hash
+                    # exactly as before the sym_c column existed
+                    F.pmod(F.xxhash64("sym_a", "sym_b", "sym_c"), F.lit(n_salts)),
                 )
                 .withColumn("__rn", F.row_number().over(w_top))
                 .where(F.col("__rn") <= top_k)
@@ -288,16 +481,24 @@ def bpe_train(
             # phase-2 merge: exact per-state top-K from the salted
             # survivors (greedy order: cnt desc, sym_a, sym_b)
             step_tops: dict = {}
+            tri_tops: list = []
             for r in rows:
-                step_tops.setdefault(r["step"], []).append(
-                    (r["sym_a"], r["sym_b"], r["cnt"])
-                )
+                if r["step"] == -1:
+                    tri_tops.append(
+                        (r["sym_a"], r["sym_b"], r["sym_c"], r["cnt"])
+                    )
+                else:
+                    step_tops.setdefault(r["step"], []).append(
+                        (r["sym_a"], r["sym_b"], r["cnt"])
+                    )
             for j in step_tops:
                 step_tops[j] = sorted(
                     step_tops[j], key=lambda t: (-t[2], t[0], t[1])
                 )[:top_k]
-            accepted, guess, done = _plan_batch(
-                step_tops, guess, int(batch_size) - 1
+            tri_tops.sort(key=lambda t: (-t[3], t[0], t[1], t[2]))
+            accepted, guess, cap, done = _next_round(
+                step_tops, tri_tops, guess, cap, base_cap, cap_max,
+                int(min_pair_count),
             )
             accepted = accepted[: int(n_merges) - len(merges)]
             if not accepted:

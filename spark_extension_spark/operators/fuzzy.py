@@ -90,6 +90,7 @@ def _string_pairs(
     right_strings: DataFrame,
     max_distance: int,
     join_hint: Optional[str] = "shuffle_hash",
+    variant_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Verified (``__ls``, ``__rs``, ``distance``) pairs between two
     one-column frames of **distinct** strings.  The variant equi-join
@@ -105,7 +106,18 @@ def _string_pairs(
     # for 14k 27-char strings on local[32] with the explicit-count
     # repartition, which is exempt from AQE coalescing — the same
     # fan-out-blindness class as the verified-pairs spread below).
-    n_parts = session_shuffle_partitions(left_strings.sparkSession)
+    # ``variant_partitions`` pins the spread width explicitly — the ANN
+    # ``num_planes`` precedent: the count is data-independent, so a
+    # caller who KNOWS the distinct-string cardinality is small (a gate
+    # corpus, a query set) can pin a proportionate width and skip the
+    # fixed overhead of a cluster-wide fan-out, with no silent
+    # data-dependent shape switch.  Default: the session's shuffle
+    # partitions (scale-adaptive).
+    n_parts = (
+        int(variant_partitions)
+        if variant_partitions
+        else session_shuffle_partitions(left_strings.sparkSession)
+    )
     lv = left_strings.repartition(n_parts).select(
         F.col("__ls"), F.explode(deletion_variants("__ls", max_distance)).alias("__variant")
     )
@@ -153,7 +165,7 @@ def _string_pairs(
     # pathological pair of two mega-duplicated strings still expands in
     # one task; that regime needs an upstream exact-dedup pass anyway
     # (module docstring's honest-blowup contract).
-    return verified.repartition(session_shuffle_partitions(verified.sparkSession))
+    return verified.repartition(n_parts)
 
 
 _JOIN_HINTS = ("shuffle_hash", "merge", "broadcast", None)
@@ -177,6 +189,7 @@ def fuzzy_join_levenshtein(
     left_id: str = None,
     right_id: str = None,
     join_hint: Optional[str] = "shuffle_hash",
+    variant_partitions: Optional[int] = None,
 ) -> DataFrame:
     """All (left_id, right_id) pairs whose strings are within
     Levenshtein distance ``max_distance`` — exact result, computed via
@@ -198,6 +211,13 @@ def fuzzy_join_levenshtein(
     a spill-graceful sort-merge join, or ``None`` to leave the planner
     unpinned.
 
+    ``variant_partitions`` pins the explicit fan-out width of the
+    variant explode and the verified-pair spread (default: the
+    session's shuffle partitions).  The count is data-independent, so
+    pinning a small value for a known-small distinct-string input
+    trades cluster-wide spread for lower fixed overhead — results are
+    identical either way.
+
     Returns ``left_id, right_id, left_col, right_col, distance``.
     """
     _check_hint(join_hint)
@@ -208,6 +228,7 @@ def fuzzy_join_levenshtein(
         right.select(F.col(right_col).alias("__rs")).distinct(),
         max_distance,
         join_hint,
+        variant_partitions,
     )
     lm = left.select(F.col(left_id).alias("left_id"), F.col(left_col).alias("__ls"))
     rm = right.select(F.col(right_id).alias("right_id"), F.col(right_col).alias("__rs"))
@@ -231,6 +252,7 @@ def fuzzy_dedup_pairs(
     text_col: str,
     max_distance: int = 2,
     join_hint: Optional[str] = "shuffle_hash",
+    variant_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Self-join form: unordered pairs (id_a < id_b) of rows whose
     strings are within ``max_distance`` edits — near-duplicate keys,
@@ -242,13 +264,15 @@ def fuzzy_dedup_pairs(
     string pair via the degenerate ``distance = 0`` string pair, so
     exact-duplicate groups cost one levenshtein call, not n².
 
+    ``variant_partitions`` as in :func:`fuzzy_join_levenshtein`.
+
     Returns ``id_a, id_b, distance``.
     """
     _check_hint(join_hint)
     strings = df.select(F.col(text_col).alias("__ls")).distinct()
     sp = _string_pairs(
         strings, strings.select(F.col("__ls").alias("__rs")), max_distance,
-        join_hint,
+        join_hint, variant_partitions,
     ).where(F.col("__ls") <= F.col("__rs"))
     members_a = df.select(F.col(id_col).alias("__ia"), F.col(text_col).alias("__ls"))
     members_b = df.select(F.col(id_col).alias("__ib"), F.col(text_col).alias("__rs"))

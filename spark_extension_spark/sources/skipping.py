@@ -36,7 +36,14 @@ def _fold_stats(md, idx) -> Tuple[bool, Optional[float], Optional[float]]:
     (the parquet spec says NaN must never land in min/max; NaN would
     compare FALSE against every predicate bound and prune_files would
     then SKIP a file that may hold matching rows) — degrades the whole
-    file to "no stats" (always kept).  Pure function — unit-tested."""
+    file to "no stats" (always kept).  A file with ZERO row groups has
+    no statistics either — report it as such so the caller's keep
+    expression stays boolean (has_stats=True with NULL bounds would
+    make it NULL; the file was only ever "skipped" because it is
+    empty, an invariant this return makes explicit instead of
+    implicit).  Pure function — unit-tested."""
+    if md.num_row_groups == 0:
+        return False, None, None
     lo = hi = None
     for g in range(md.num_row_groups):
         st = md.row_group(g).column(idx).statistics

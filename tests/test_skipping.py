@@ -50,6 +50,14 @@ def test_fold_stats_missing_group_stats_degrade():
     assert _fold_stats(md, 0) == (False, None, None)
 
 
+def test_fold_stats_zero_row_groups_has_no_stats():
+    # an empty file (zero row groups) must report has_stats=False: the
+    # former (True, None, None) return made prune_files' keep
+    # expression NULL — the file was skipped only because an empty file
+    # trivially holds no matching rows, an invariant this pins down
+    assert _fold_stats(_FakeMeta([]), 0) == (False, None, None)
+
+
 def test_fold_stats_nan_degrades_to_no_stats():
     # a nonconforming writer's NaN min/max must NOT silently prune the
     # file: NaN compares false against every bound, so without the

@@ -606,29 +606,53 @@ class TestBpeBatchedMerges:
         return rows[:k]
 
     @classmethod
+    def _tris(cls, vocab, min_pair_count):
+        tris = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 2):
+                t = (syms[i], syms[i + 1], syms[i + 2])
+                tris[t] = tris.get(t, 0) + c
+        return sorted(
+            (
+                (a, b, d, c)
+                for (a, b, d), c in tris.items()
+                if c >= min_pair_count
+            ),
+            key=lambda r: (-r[3], r[0], r[1], r[2]),
+        )
+
+    @classmethod
     def _sim_batched(cls, word_counts, n_merges, batch_size, min_pair_count=2):
         """Pure-Python simulation of the speculate+validate loop: one
-        per-state top-K 'job' per batch, merges applied with the same
-        leftmost non-overlapping semantics the Spark regex uses.
-        Mirrors bpe_train's driver logic exactly (shared _plan_batch)."""
-        from spark_extension_spark.operators.bpe import _plan_batch
+        per-state top-K (+ last-state triples) 'job' per batch, merges
+        applied with the same leftmost non-overlapping semantics the
+        Spark regex uses.  Mirrors bpe_train's driver logic exactly
+        (shared _next_round: _plan_batch acceptance + adaptive cap +
+        chain-aware guessing)."""
+        from spark_extension_spark.operators.bpe import _next_round
 
         vocab = {tuple(w): c for w, c in word_counts.items()}
         merges = []
         guess = []
-        top_k = max(16, 2 * batch_size)
+        base_cap = batch_size - 1
+        cap = base_cap
+        cap_max = max(base_cap, 8 * batch_size - 1)
         jobs = 0
         while len(merges) < n_merges:
-            guess = guess[: min(batch_size - 1, n_merges - len(merges) - 1)]
+            guess = guess[: min(cap, n_merges - len(merges) - 1)]
+            top_k = max(32, 2 * batch_size, 2 * (cap + 1))
             # the 'one job': per-state top-K for states 0..len(guess)
+            # plus the final state's triple counts
             step_tops, v = {}, dict(vocab)
             for j in range(len(guess) + 1):
                 step_tops[j] = cls._tops(v, min_pair_count, top_k)
                 if j < len(guess):
                     v = cls._apply_merge(v, *guess[j])
+            tri_tops = cls._tris(v, min_pair_count)
             jobs += 1
-            accepted, guess, done = _plan_batch(
-                step_tops, guess, batch_size - 1
+            accepted, guess, cap, done = _next_round(
+                step_tops, tri_tops, guess, cap, base_cap, cap_max,
+                min_pair_count,
             )
             accepted = accepted[: n_merges - len(merges)]
             if not accepted:
