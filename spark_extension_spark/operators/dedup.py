@@ -184,7 +184,15 @@ def _shingle_pair_counts(
     stop-shingle frequencies as separate branches joined back in; five
     consumers of the (persisted) shingle frame raced the cache under
     AQE's parallel broadcast builds — measured 11x full-width re-reads
-    of the source at sf0.01."""
+    of the source at sf0.01.
+
+    A repartition(id)-then-fused-dedup variant (making the size window
+    ride the same exchange) was measured in round 13 and REJECTED: a
+    cached plan's output partitioning is opaque to consumers under AQE
+    (verified with a minimal repro — a downstream groupBy re-shuffles a
+    cached ``repartition("x")`` by x), so the window re-shuffles either
+    way and the variant only traded the distinct's map-side partial
+    dedup for nothing."""
     sh = shingles(df, id_col, text_col, n).persist()
     if unpersist_handle is not None:
         unpersist_handle.add_dataframe(sh)
@@ -607,9 +615,20 @@ def _cc_label_propagation(
     each step's join hash-partitioned on ``id`` from the previous
     aggregate, and ``sym`` is pre-partitioned on ``src``, so the
     labels-onto-edges join itself moves nothing: ONE exchange per step
-    (the union aggregate).  The batch-start labels (``__old``) ride the
+    (the union aggregate).  The reference labels (``__old``) ride the
     aggregate as ``max`` over a column only the self branch populates —
     exactly one non-null per id.
+
+    Convergence is judged on the batch's LAST step alone (round 13):
+    ``__old`` is re-stamped to the second-to-last state's labels, so
+    ``changed == 0`` means the final step was a no-op — and monotone
+    labels make a single no-op step a fixpoint proof, the same theorem
+    the whole-batch comparison used.  The former batch-start ``__old``
+    needed one FULLY no-op batch to exit: a graph whose diameter d
+    satisfies d ≡ check_every - 1 (mod check_every) paid one extra
+    batch job purely to observe zero change (the near-dup gate shape,
+    d = 2, paid 2 batch jobs where 1 suffices).  Batch jobs are now
+    exactly ``ceil((d + 1) / check_every)`` and total steps unchanged.
 
     Convergence is read from an :class:`~pyspark.sql.Observation` bound
     to the batch's checkpoint materialization job — the former separate
@@ -645,7 +664,13 @@ def _cc_label_propagation(
         # compose `batch` propagation steps lazily; one job materializes
         # the whole batch at the checkpoint below
         stepped = labels.withColumn("__old", F.col("label"))
-        for _ in range(batch):
+        for i in range(batch):
+            if i == batch - 1 and batch > 1:
+                # re-stamp the reference labels so the Observation
+                # counts only the LAST step's changes (docstring)
+                stepped = stepped.select(
+                    "id", "label", F.col("label").alias("__old")
+                )
             contrib = sym.join(
                 stepped.select(F.col("id").alias("src"), "label"), "src"
             ).select(
@@ -771,7 +796,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
-    check_every: int = 2,
+    check_every: int = 3,
     algorithm: str = "label",
     unpersist_handle: Optional[UnpersistHandle] = None,
     warn_single_use: bool = True,
@@ -787,8 +812,14 @@ def connected_components(
     = graph diameter (near-dup graphs are piles of small cliques —
     single digits).  Convergence is detected from a filter-count over
     the checkpointed step output (labels are monotone non-increasing),
-    and only every ``check_every`` steps, so the per-step driver sync
-    the naive loop pays is amortized away.  Iteration state is
+    judged on each batch's LAST step alone so the batch that reaches
+    the fixpoint also proves it, and only every ``check_every`` steps,
+    so the per-step driver sync the naive loop pays is amortized away.
+    Batch jobs are ``ceil((diameter + 1) / check_every)``; the default
+    3 covers the common clique-pile shape (diameter ≤ 2) in ONE batch
+    at the cost of at most 2 no-op steps past the fixpoint — on a
+    diameter-heavy graph prefer a larger ``check_every`` (fewer driver
+    syncs) or ``algorithm='star'``.  Iteration state is
     ``localCheckpoint``-ed to truncate lineage (exponential-plan
     guard); on a fault-tolerance-critical cluster job, set a checkpoint
     dir and swap in reliable ``checkpoint()``.
@@ -842,11 +873,19 @@ def connected_components(
             F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
         )
     )
+    # the edge dedup rides the src repartition: hash(src) collocates
+    # every (src, dst) group, so dropDuplicates fuses onto that one
+    # exchange — the former distinct()-then-repartition paid TWO full
+    # edge-list exchanges in this cache build (round 13; note the win
+    # is build-side only — a cached plan's output partitioning is
+    # opaque to consumers under AQE, so the loop's per-batch join
+    # re-shuffles the cached edges either way, once per batch via AQE
+    # stage reuse across the composed steps)
     sym = (
         edges.select(both_dirs.alias("__e"))
         .select("__e.src", "__e.dst")
-        .distinct()
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     sym.count()  # force once: later consumers read the warm cache

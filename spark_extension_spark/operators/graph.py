@@ -105,6 +105,20 @@ def pagerank(
     # storage stays at one generation across any iteration count; the
     # final generation backs the returned DataFrame and is left live
     cycler = LocalCheckpointCycler(e.sparkSession, lag=1)
+    from pyspark.sql import Observation
+
+    # The dangling mass is a 1-row aggregate over the PREVIOUS ranks.
+    # When the previous round ended in a checkpoint, that exact sum is
+    # folded into the checkpoint's Observation (the k_core pattern) and
+    # arrives here as a plain Python double — the dangling subtree
+    # (filter + decimal aggregate + broadcast build) then vanishes from
+    # this round's plan entirely.  The observed expression is the SAME
+    # order-independent decimal(38,20) sum cast to double inside the
+    # JVM, so the literal is bit-identical to what the broadcast row
+    # carried.  Rounds whose predecessor did not checkpoint (sparser
+    # checkpoint cadences, and round 0 over the un-materialized seed)
+    # keep the in-plan broadcast path.
+    observed_dang = None
     for i in range(int(iterations)):
         contrib = (
             e.join(ranks.select("id", "out_deg", "rank"), e["src"] == F.col("id"))
@@ -112,30 +126,45 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("__c").cast("decimal(38,20)")).cast("double").alias("__in"))
         )
-        dangling = ranks.where(F.col("out_deg") == 0).agg(
-            F.coalesce(
-                F.sum(F.col("rank").cast("decimal(38,20)")).cast("double"), F.lit(0.0)
-            ).alias("__dang")
-        )
-        ranks = (
-            ranks.join(contrib, ranks["id"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                "out_deg",
-                (
-                    F.lit(1.0 - d) / F.col("__n")
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dang") / F.col("__n")
-                    )
-                ).alias("rank"),
-                "__n",
+        stepped = ranks.join(contrib, ranks["id"] == contrib["dst"], "left")
+        if observed_dang is not None:
+            dang_col = F.lit(float(observed_dang))
+        else:
+            dangling = ranks.where(F.col("out_deg") == 0).agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(38,20)")).cast("double"),
+                    F.lit(0.0),
+                ).alias("__dang")
             )
+            stepped = stepped.crossJoin(F.broadcast(dangling))
+            dang_col = F.col("__dang")
+        ranks = stepped.select(
+            "id",
+            "out_deg",
+            (
+                F.lit(1.0 - d) / F.col("__n")
+                + F.lit(d)
+                * (F.coalesce(F.col("__in"), F.lit(0.0)) + dang_col / F.col("__n"))
+            ).alias("rank"),
+            "__n",
         )
+        observed_dang = None
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
-            ranks = cycler.checkpoint(ranks)
+            obs = Observation()
+            ranks = cycler.checkpoint(
+                ranks.observe(
+                    obs,
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("out_deg") == 0, F.col("rank")).cast(
+                                "decimal(38,20)"
+                            )
+                        ).cast("double"),
+                        F.lit(0.0),
+                    ).alias("__dang"),
+                )
+            )
+            observed_dang = obs.get["__dang"]
 
     # the last live generation backs the returned ranks' lineage and
     # cannot be freed here; the caller's handle frees it when done
@@ -307,6 +336,27 @@ def degrees_from_canonical(und: DataFrame) -> DataFrame:
     return ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
 
 
+def _kcore_exit_metrics():
+    """The early-exit guard metrics k_core folds into each checkpoint's
+    Observation: the surviving edge count plus an order-independent
+    edge-set hash-sum (a retried, metric-inflated count cannot also
+    reproduce the previous SET's hash aggregate).  Module-level seam so
+    the guard's isolated cost can be A/B-measured."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent like the former decimal(20,0)
+        # hash-SUM but pure int64 — no decimal path and no overflow at
+        # ANY edge count (the sum form's ANSI bound was ~10^10 edges).
+        # XOR cancels duplicated rows, but the exit also requires the
+        # COUNT to match and the monotonicity tripwire distrusts any
+        # count rise, so a retry-inflated observation still cannot pass.
+        # A/B-measured (5 interleaved clean-steal rounds): the guard —
+        # either form — costs nothing over a count-only exit; the r12
+        # floor delta (1.04 -> 1.29 s) was host drift, not the guard.
+        F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
+    ]
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -373,12 +423,7 @@ def k_core(
     # mode (exactly-once observation) count-equality alone is already
     # a theorem-backed fixed-point proof; the extra guard costs two
     # aggregate expressions on a job the loop pays anyway.
-    _exit_metrics = [
-        F.count(F.lit(1)).alias("n"),
-        # decimal-widened so the full-int64-range hash values sum
-        # without long overflow (ANSI-safe up to ~10^10 edges)
-        F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(20,0)")).alias("h"),
-    ]
+    _exit_metrics = _kcore_exit_metrics()
     prev = None
     metrics_trusted = True
     if checkpoint_every:

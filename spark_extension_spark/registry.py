@@ -2673,7 +2673,15 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.fuzzy import fuzzy_dedup_pairs
 
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
-    return fuzzy_dedup_pairs(part, "p_partkey", "p_name", max_distance=2)
+    # the gate corpus has ~64 distinct p_name strings: pin the explode
+    # spread to 8 partitions (~8 strings/task, each ~500 variants) the
+    # way the ANN gates pin num_planes — the default (session shuffle
+    # partitions) is sized for corpus-scale string sets and its fixed
+    # fan-out overhead dominates at this shape.  Values are identical
+    # for any width; the variant join stays pinned shuffle_hash.
+    return fuzzy_dedup_pairs(
+        part, "p_partkey", "p_name", max_distance=2, variant_partitions=8
+    )
 
 
 # scalar digest of the quantized vector (array-typed result cells break

@@ -167,6 +167,31 @@ def test_connected_components_check_every_batching(spark):
     assert set(got.values()) == {1}
 
 
+def test_connected_components_last_step_detection(spark):
+    # round-13: convergence is judged on the batch's LAST step alone,
+    # so the batch that reaches the fixpoint also proves it — a
+    # diameter-2 graph at check_every=3 must exit after ONE batch
+    # (the former whole-batch comparison needed a second, fully no-op
+    # batch), with identical labels
+    from spark_extension_spark import connected_components
+    from spark_extension_spark.operators.dedup import cc_stats_log
+
+    cc_stats_log(clear=True)
+    # star around 1: diameter 2 via the center
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, check_every=3, warn_single_use=False
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    (entry,) = cc_stats_log(clear=True)
+    assert entry["iterations"] == 3 and entry["converged"]  # one batch
+
+
 def test_connected_components_stats_log(spark):
     from spark_extension_spark import connected_components
     from spark_extension_spark.operators.dedup import cc_stats_log
@@ -695,6 +720,24 @@ def test_pagerank_dangling_mass_redistributed(spark):
     df = spark.createDataFrame([(0, 1)], ["src", "dst"])
     pr = {r["id"]: r["rank"] for r in pagerank(df, iterations=30).collect()}
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_observed_dangling_matches_inplan(spark):
+    # round-13: with checkpoint_every=1 the dangling mass rides each
+    # checkpoint's Observation and enters the next round as a literal;
+    # with sparser cadences the in-plan broadcast path is used for
+    # rounds whose predecessor did not checkpoint, and with
+    # checkpoint_every=0 it is used everywhere.  All cadences must be
+    # bit-identical (the observed literal IS the broadcast value).
+    from spark_extension_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 11) for i in range(30)] + [(11, 12)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=5, checkpoint_every=1).collect()))
+    b = sorted(map(tuple, pagerank(edges, iterations=5, checkpoint_every=2).collect()))
+    c = sorted(map(tuple, pagerank(edges, iterations=5, checkpoint_every=0).collect()))
+    assert a == b == c
 
 
 def test_pagerank_partitioning_independent(spark):
