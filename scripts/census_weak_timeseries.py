@@ -190,5 +190,42 @@ out["interval_join"] = {
     },
 }
 
+# --- sessionize (the gate shape: 1 h gap, per-user windows) ---
+# round-13 addition (VERDICT r12 #8): sessionize is the one remaining
+# timeseries gate without census rows.  Keys are per-shard-offset
+# user_ids, so sessions are structurally intra-shard and session
+# counts must grow exactly K-fold; the per-key window partition size
+# is shard-invariant (same events per user), so wall should track
+# rows with NO skew growth — the thing this census exists to check.
+from spark_extension_spark.operators.timeseries import session_summary  # noqa: E402
+
+# the census axis `t` is epoch MILLIS (unix_micros div 1000) — use the
+# gate's 1 h gap in the axis's own unit so sessions genuinely split
+# (a µs-valued gap against the ms axis degenerates to 1 session/user)
+GAP_MS = 3_600_000
+
+
+def build_sessionize(ev):
+    e = ev.select("user_id", "event_id", F.col("t").alias("ts_ms"))
+    return session_summary(
+        e, "ts_ms", gap=GAP_MS, by=["user_id"], tiebreak=["event_id"]
+    )
+
+
+runs = timed(build_sessionize)
+sess = build_sessionize(base)
+per_user = sess.groupBy("user_id").count()
+mx = per_user.agg(F.max("count").alias("m"), F.expr("percentile(count, 0.5)").alias("med")).collect()[0]
+out["sessionize"] = {
+    "runs": runs,
+    "min": min(runs),
+    "stages": {
+        "input_rows": left_n,
+        "sessions": sess.count(),
+        "max_sessions_per_user": int(mx["m"]),
+        "median_sessions_per_user": float(mx["med"]),
+    },
+}
+
 print(json.dumps(out), flush=True)
 spark.stop()

@@ -1584,30 +1584,35 @@ def prefix_jaccard_pairs(
     # groupBy replaces the former .distinct() — identical shuffle key,
     # three small agg columns extra.
     ub = F.least(F.col("__sa") - F.col("__pa"), F.col("__sb") - F.col("__pb")) + F.lit(1)
+    # Both filters apply PER JOIN ROW, before the pair aggregate
+    # (round 13): the sizes are constant within a pair, so the length
+    # filter is row-invariant, and "max over matched occurrences of ub
+    # >= minoverlap" holds iff SOME row's ub does — dropping sub-bound
+    # rows can never change the surviving pair set.  The former
+    # groupBy-then-filter carried three aggregate columns and shuffled
+    # every raw prefix match into the pair exchange (measured ~10x the
+    # filtered row count at the gate shape); filtering first shrinks
+    # the exchange to qualifying occurrences and the aggregate
+    # collapses back to a bare distinct.
     cand = (
         pa.join(pb, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.max(ub).alias("__ub"),
-            F.max("__sa").alias("__msa"),
-            F.max("__sb").alias("__msb"),
-        )
         .where(
-            (
-                F.least("__msa", "__msb").cast("double")
-                >= F.lit(t) * F.greatest("__msa", "__msb").cast("double") - F.lit(1e-9)
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__sa", "__sb").cast("double")
+                >= F.lit(t) * F.greatest("__sa", "__sb").cast("double") - F.lit(1e-9)
             )
             & (
-                F.col("__ub")
+                ub
                 >= F.ceil(
                     F.lit(t / (1.0 + t))
-                    * (F.col("__msa") + F.col("__msb")).cast("double")
+                    * (F.col("__sa") + F.col("__sb")).cast("double")
                     - F.lit(1e-9)
                 )
             )
         )
         .select("id_a", "id_b")
+        .distinct()
     )
     sets = sh.groupBy(id_col).agg(
         F.collect_list("shingle").alias("__toks"),
