@@ -1112,11 +1112,14 @@ def dedup_keep_best(
     registers on ``unpersist_handle`` — one call releases them all.
 
     Scale shape: the clustering is :func:`connected_components` (its
-    scaling notes apply); everything after is one left join of the
-    corpus against the (much smaller) cluster map, a per-cluster
-    max-struct aggregate — map-side combined, no window sort — and a
-    semi-join back.  The corpus is never shuffled by anything wider
-    than its own id.
+    scaling notes apply); everything after runs over the PAIRED-doc
+    subset only — the cluster map covers exactly the docs appearing in
+    a pair, so the per-cluster max-struct aggregate (map-side combined,
+    no window sort) and the winner join-back are pair-subset-sized, and
+    the untouched singletons rejoin via one anti-join whose corpus-side
+    exchange is shared with the member join (identical subtrees).  The
+    corpus is never shuffled by anything wider than its own id, and
+    never aggregated corpus-wide.
     """
     if clusters is None:
         if pairs is None:
@@ -1130,15 +1133,23 @@ def dedup_keep_best(
             warn_single_use=warn_single_use, _warn_stacklevel=4,
         )
     clusters = clusters.withColumnRenamed("doc_id", id_col)
-    # `labeled` feeds both the per-cluster max-struct aggregate and the
-    # final join below; without the persist the corpus→clusters shuffle
-    # join runs twice (clusters itself is already cached upstream).
-    labeled = df.join(clusters, id_col, "left").withColumn(
-        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
-    ).persist()
+    # Only documents that appear in a PAIR can lose (round 13): the
+    # cluster map covers exactly the paired docs, so the per-cluster
+    # argmax and the winner join-back run over that (usually much
+    # smaller) subset, and the untouched singletons rejoin by
+    # anti-join — their own id as cluster_id, size 1, by definition.
+    # The former corpus-wide formulation paid THREE corpus-sized
+    # exchanges (corpus→clusters join, corpus-wide cluster aggregate,
+    # corpus×best join-back); this one pays the corpus→clusters
+    # shuffle once (the anti and inner branches are identical subtrees
+    # — one exchange, read twice; broadcast regime: none at all) and
+    # everything else is paired-subset-sized.  Values identical: the
+    # coalesce'd singleton rows always satisfied the final join
+    # (their cluster is {themselves}), winners are unchanged.
+    member = df.join(clusters, id_col).persist()
     if unpersist_handle is not None:
-        unpersist_handle.add_dataframe(labeled)
-    best = labeled.groupBy("cluster_id").agg(
+        unpersist_handle.add_dataframe(member)
+    best = member.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.max(
             F.struct(
@@ -1152,7 +1163,14 @@ def dedup_keep_best(
         (-F.col("__b.nid")).alias(id_col),
         "cluster_size",
     )
-    return labeled.join(best_ids, ["cluster_id", id_col])
+    winners = member.join(best_ids, ["cluster_id", id_col])
+    singles = df.join(clusters.select(id_col), id_col, "left_anti").select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(id_col),
+        *[c for c in df.columns if c != id_col],
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return winners.unionByName(singles.select(*winners.columns))
 
 
 def leakage_safe_splits(
