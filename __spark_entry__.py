@@ -23,34 +23,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["diff_lineitem"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-hash exposure rotation (round 12): the driver's correctness
-# gate samples a 50-query prefix of this dict.  Cumulative record after
-# round 11: all 150 registry gates driver-hash GREEN on their latest
-# check, zero reds anywhere; freshness ledger (scripts/freshness.py)
-# reads r8 x20, r9 x37, r10 x43, r11 x50.  This window serves, in
-# order: (1) every gate whose PLAN or VALUES changed in round 12 — the
-# speculate+validate BPE trainer (bpe_train; bpe_pair_counts rides
-# along: its helper gained an extra-keys parameter, plan unchanged),
-# fit_logistic (the empty-check now rides iteration 1's aggregate —
-# one fewer job, try_divide in the update row), semantic_decontam
-# (kernel AND oracle moved to fixed-order folds — strict bit-exact at
-# sf0.01 and sf0.1 now, formerly the documented BLAS band),
-# label_propagation (single min(struct(-count,label)) argmax path for
-# all id types), and k_core (early-exit Observation now carries a
-# decimal hash-sum + monotonicity tripwire); (2) all 20 r8-vintage
-# gates — the freshness tail closes at r9 (similarity_ivf/lsh are
-# unchanged-plan: the round-12 self-tuning knobs are DEFAULTS and the
-# gates pin the historical values; embedding_near_dup_pairs likewise
-# pins num_planes=12 for a byte-identical plan and keeps its r11
-# evidence); (3) the 24 oldest r9-vintage gates alphabetically to
-# fill 50.  Pre-round local sweep: 45/50 strict bit-exact; the five
-# exceptions are documented EXACTNESS.md ulp-band members green at
-# driver tolerance (similarity_topk/lsh_topk/ivf_topk — BLAS matmul
-# candidate kernels; tfidf — per-row log2 deliverable;
-# decayed_aggregates — per-row libm pow), all driver-hash-green
-# before at exactly this band.  Deferred to 51+: the remaining r9
-# gates, then r10, then r11.
+# Driver-hash exposure rotation (round 13): the driver's correctness
+# gate samples a 50-query prefix of this dict.  Cumulative record: all
+# 150 registry gates driver-hash GREEN on their latest check, zero
+# reds anywhere (r12: 50/50, CORRECTNESS_r12.json).  The round-13
+# window keeps the round-12 window minus five unchanged, r12-green
+# members (interleave_mix, interval_join, ks_report, length_batches,
+# mad_outliers — displaced to 51+) and adds the five gates whose PLAN
+# changed in round 13 but sat outside the old window:
+# pagerank_orders (dangling mass now rides the checkpoint Observation
+# as a literal — outputs bit-compared identical at two SFs),
+# near_dup_clusters / dedup_keep_best / cluster_splits (the shared CC
+# loop's last-step convergence detection + fused sym dedup;
+# keep_best additionally restructured to the paired subset —
+# bit-compared identical), and prefix_jaccard (the PPJoin length and
+# positional filters moved to join-row level — provably the same
+# candidate set, verified equal to the inverted-index formulation).
+# Round-13-changed gates already inside the window and kept there:
+# bpe_train (chain-aware speculation — merge list bit-identical by
+# the acceptance rule), fuzzy_pairs_part (pinned variant_partitions),
+# k_core (bit_xor exit guard), prune_files (zero-row-group stats
+# guard).  The r12 note on the five documented EXACTNESS.md ulp-band
+# members (similarity_topk/lsh/ivf, tfidf, decayed_aggregates)
+# stands — green at driver tolerance.
 _PRIORITY = [
+    "pagerank_orders",
+    "near_dup_clusters_documents",
+    "dedup_keep_best_documents",
+    "cluster_splits_documents",
+    "prefix_jaccard_documents",
     "bpe_train_documents",
     "fit_logistic_documents",
     "semantic_decontam_embeddings",
@@ -92,15 +93,15 @@ _PRIORITY = [
     "fuzzy_pairs_part",
     "group_ols_events",
     "hilbert_events",
+    "near_dedup_against_documents",
+    "ngram_containment_documents",
+    "plan_compaction_documents",
+    "prune_files_orders",
     "interleave_mix_documents",
     "interval_join_events",
     "ks_report_events",
     "length_batches_documents",
     "mad_outliers_events",
-    "near_dedup_against_documents",
-    "ngram_containment_documents",
-    "plan_compaction_documents",
-    "prune_files_orders",
     "temperature_mix_documents",
     "dedup_report_documents",
     "dup_source_matrix_documents",
@@ -112,16 +113,12 @@ _PRIORITY = [
     "rolling_events",
     "row_numbers_orders",
     "sorted_groups_running_sum",
-    "near_dup_clusters_documents",
-    "dedup_keep_best_documents",
-    "cluster_splits_documents",
     "semantic_dedup_embeddings",
     "ahash_near_dup_documents",
     "bm25_documents",
     "doc_logprob_bigram_documents",
     "doc_logprob_documents",
     "target_encode_documents",
-    "pagerank_orders",
     "asof_join_events",
     "char_entropy_documents",
     "count_null_events",
@@ -185,7 +182,6 @@ _PRIORITY = [
     "paragraph_dedup_documents",
     "pivot_events",
     "pmi_pairs_documents",
-    "prefix_jaccard_documents",
     "profile_orders",
     "psi_report_events",
     "quality_rules_documents",
