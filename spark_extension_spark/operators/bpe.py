@@ -397,7 +397,10 @@ def bpe_train(
     # one-merge-per-job loop exactly (cap 0 -> no guesses ever).
     base_cap = int(batch_size) - 1
     cap = base_cap
-    cap_max = max(base_cap, 8 * int(batch_size) - 1)
+    # batch_size=1 pins the cap at 0 permanently (the classic
+    # one-merge-per-job loop, as documented); otherwise the ceiling is
+    # 8x the caller's batch size
+    cap_max = 8 * int(batch_size) - 1 if base_cap > 0 else 0
     # Per-state top-K via the SALTED two-phase pattern, not a
     # step-partitioned window: `step` has <= cap+2 values, so a
     # window keyed on it alone would sort each state's ENTIRE pair

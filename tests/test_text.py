@@ -636,7 +636,7 @@ class TestBpeBatchedMerges:
         guess = []
         base_cap = batch_size - 1
         cap = base_cap
-        cap_max = max(base_cap, 8 * batch_size - 1)
+        cap_max = 8 * batch_size - 1 if base_cap > 0 else 0
         jobs = 0
         while len(merges) < n_merges:
             guess = guess[: min(cap, n_merges - len(merges) - 1)]
@@ -701,6 +701,17 @@ class TestBpeBatchedMerges:
         tops = {0: [("a", "b", 9)], 1: []}
         acc, nxt, done = _plan_batch(tops, [("a", "b")], 3)
         assert acc == [("a", "b")] and done
+
+    def test_batch_size_one_is_the_classic_loop(self):
+        # the adaptive cap must stay pinned at 0 for batch_size=1: one
+        # merge per job, exactly the classic loop (round-13 contract)
+        from collections import Counter
+
+        words = Counter({"spark": 5, "spar": 3, "park": 4, "spa": 2})
+        want = _ref_bpe_train(words, 6)
+        got, jobs = self._sim_batched(words, 6, 1)
+        assert got == want
+        assert jobs == len(got)
 
     def test_batched_equals_reference_on_random_small_alphabet_corpora(self):
         import random
